@@ -1,0 +1,72 @@
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR.
+
+Prints ONE JSON line:
+  {"metric": "...", "value": <total sec>, "unit": "sec",
+   "queries": {"q1": sec, ...}, "sf": <sf>}
+
+Each query is timed end-to-end (plan + execute + collect-count) after a
+warm-up pass of the session. Run: python bench.py
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+# Headline set: the flagship agg, the join chain, window dedupe, the
+# scalar-heavy parse, plus the scale-path data-pipeline operators as
+# they land. Keep this list in sync with the heaviest QUERIES entries.
+HEADLINE = [
+    "q1_pricing_summary",
+    "j2_revenue_by_nation",
+    "w1_latest_order_per_customer",
+    "w4_rank_dedupe_merge",
+    "f3_parse_localized_prices",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "ann_cosine_topk",
+    "text_quality_score",
+]
+
+
+def main() -> None:
+    from glamira_batch_processing_spark import get_spark
+    from __spark_entry__ import queries
+
+    spark = get_spark("glamira-bench")
+    qs = queries()
+    # Warm up the JVM / parquet footer cache with a trivial action.
+    spark.read.parquet(f"{SF_DIR}/region.parquet").count()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        if name not in qs:
+            continue
+        t0 = time.perf_counter()
+        # count() forces full execution of every operator in the plan
+        qs[name](spark, SF_DIR).count()
+        timings[name] = round(time.perf_counter() - t0, 4)
+
+    sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total",
+                "value": round(sum(timings.values()), 4),
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

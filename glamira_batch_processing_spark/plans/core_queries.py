@@ -1,0 +1,441 @@
+"""Core relational contract queries (SURVEY.md §2.2-§2.7 families).
+
+Each query is the Spark-first formulation of one reference operator
+family, expressed over the driver's TPC-H-ish tables, with a DuckDB
+oracle. Reference citations are per-query.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions.cleaning import (
+    FAKE_NULL_VOCAB,
+    clean_string,
+    parse_localized_number,
+    parse_localized_number_sql,
+)
+from .registry import query, table
+
+
+# ---------------------------------------------------------------------------
+# Flagship: pricing summary (A4-style global conditional agg + group agg).
+# Decimal-exact aggregation then cast to double so Spark and DuckDB emit
+# bit-identical values regardless of partial-agg ordering.
+# ---------------------------------------------------------------------------
+@query(
+    "q1_pricing_summary",
+    oracle="""
+    SELECT
+      l_returnflag,
+      l_linestatus,
+      CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+      CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+      CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS sum_disc_price,
+      CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(4,2))) * (1 + CAST(l_tax AS DECIMAL(4,2)))) AS DOUBLE) AS sum_charge,
+      CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_qty,
+      CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_price,
+      COUNT(*) AS count_order
+    FROM lineitem
+    WHERE CAST(l_shipdate AS DATE) <= DATE '2001-09-02'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Group-agg spine of the engine (ref: stg_order.sql:131 line totals +
+    audit_null_rates conditional-agg style, SURVEY §2.4 A1/A4).
+
+    All arithmetic happens in exact decimal — doubles are cast to their
+    source precision (2dp) first. Double math before a decimal cast would
+    diverge from the oracle by 1 ulp (Spark casts double->decimal through
+    the shortest string representation; DuckDB rounds the exact binary)."""
+    l = table(spark, sf_dir, "lineitem")
+    qty_dec = F.col("l_quantity").cast("decimal(18,2)")
+    price_dec = F.col("l_extendedprice").cast("decimal(18,2)")
+    one = F.lit(1)
+    disc_price = price_dec * (one - F.col("l_discount").cast("decimal(4,2)"))
+    charge = disc_price * (one + F.col("l_tax").cast("decimal(4,2)"))
+    return (
+        l.filter(F.to_date("l_shipdate") <= F.lit("2001-09-02").cast("date"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(qty_dec).cast("double").alias("sum_qty"),
+            F.sum(price_dec).cast("double").alias("sum_base_price"),
+            F.sum(disc_price).cast("double").alias("sum_disc_price"),
+            F.sum(charge).cast("double").alias("sum_charge"),
+            (F.sum(qty_dec).cast("double") / F.count("*")).alias("avg_qty"),
+            (F.sum(price_dec).cast("double") / F.count("*")).alias("avg_price"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# J2-J5: multi-way dim-enrichment joins with broadcast small dims.
+# ---------------------------------------------------------------------------
+@query(
+    "j2_revenue_by_nation",
+    oracle="""
+    SELECT
+      r.r_name AS region_name,
+      n.n_name AS nation_name,
+      CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l.l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue,
+      COUNT(*) AS n_items
+    FROM lineitem l
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    GROUP BY r.r_name, n.n_name
+    """,
+)
+def j2_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dim-enrichment join chain (ref: stg_order.sql:80-85 location join,
+    mart_fact_order.sql:203-224 fx/customer/product joins — SURVEY §2.3
+    J2-J5). nation/region are broadcast; the orders⋈customer side is left
+    to AQE, which picks broadcast automatically when the dim fits."""
+    l = table(spark, sf_dir, "lineitem")
+    o = table(spark, sf_dir, "orders")
+    c = table(spark, sf_dir, "customer")
+    n = F.broadcast(table(spark, sf_dir, "nation"))
+    r = F.broadcast(table(spark, sf_dir, "region"))
+    rev = F.col("l_extendedprice").cast("decimal(18,2)") * (
+        F.lit(1) - F.col("l_discount").cast("decimal(4,2)")
+    )
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(n, c.c_nationkey == n.n_nationkey)
+        .join(r, n.n_regionkey == r.r_regionkey)
+        .groupBy(F.col("r_name").alias("region_name"), F.col("n_name").alias("nation_name"))
+        .agg(
+            F.sum(rev).cast("double").alias("revenue"),
+            F.count("*").alias("n_items"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# W1: dedupe/top-1 per key via row_number (latest order per customer).
+# ---------------------------------------------------------------------------
+@query(
+    "w1_latest_order_per_customer",
+    oracle="""
+    SELECT
+      o_custkey,
+      o_orderkey AS latest_orderkey,
+      strftime(CAST(o_orderdate AS DATE), '%Y-%m-%d') AS latest_orderdate,
+      o_totalprice AS latest_totalprice
+    FROM (
+      SELECT *,
+        row_number() OVER (
+          PARTITION BY o_custkey ORDER BY o_orderdate DESC, o_orderkey DESC
+        ) AS rn
+      FROM orders
+    )
+    WHERE rn = 1
+    """,
+)
+def w1_latest_order_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Latest-row-per-key window dedupe (ref: mart_dim_customer.sql:24-40,
+    SURVEY §2.5 W1). Tie-broken by key desc for determinism."""
+    o = table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.desc("o_orderdate"), F.desc("o_orderkey")
+    )
+    return (
+        o.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "o_custkey",
+            F.col("o_orderkey").alias("latest_orderkey"),
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("latest_orderdate"),
+            F.col("o_totalprice").alias("latest_totalprice"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# W4 + J11: rank-based dedupe-then-merge (incremental load pattern).
+# ---------------------------------------------------------------------------
+@query(
+    "w4_rank_dedupe_merge",
+    oracle="""
+    SELECT
+      l_orderkey,
+      l_partkey,
+      l_suppkey,
+      l_linenumber,
+      l_quantity,
+      l_extendedprice
+    FROM (
+      SELECT *,
+        rank() OVER (
+          PARTITION BY l_orderkey, l_partkey
+          ORDER BY l_suppkey, l_quantity DESC, CAST(l_shipdate AS DATE) DESC,
+                   l_extendedprice DESC, l_linenumber
+        ) AS rnk
+      FROM lineitem
+    )
+    WHERE rnk = 1
+    """,
+)
+def w4_rank_dedupe_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-key tie-broken dedupe before merge (ref:
+    Incremental_load_template.sql:18-30, SURVEY §2.5 W4). The reference
+    RANKs by (ip, qty DESC, ts DESC, price DESC); we add the line number
+    as the final tiebreak so RANK=1 is unique and deterministic."""
+    l = table(spark, sf_dir, "lineitem")
+    w = Window.partitionBy("l_orderkey", "l_partkey").orderBy(
+        F.col("l_suppkey"),
+        F.desc("l_quantity"),
+        F.desc(F.to_date("l_shipdate")),
+        F.desc("l_extendedprice"),
+        F.col("l_linenumber"),
+    )
+    return (
+        l.withColumn("rnk", F.rank().over(w))
+        .filter(F.col("rnk") == 1)
+        .select(
+            "l_orderkey",
+            "l_partkey",
+            "l_suppkey",
+            "l_linenumber",
+            "l_quantity",
+            "l_extendedprice",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# P1/P2: typed projection with lenient casts and renames.
+# ---------------------------------------------------------------------------
+@query(
+    "p1_typed_projection",
+    oracle="""
+    SELECT
+      CAST(o_orderkey AS VARCHAR) AS order_id,
+      o_custkey AS customer_id,
+      TRY_CAST(substr(o_orderpriority, 1, 1) AS INTEGER) AS priority_num,
+      TRY_CAST(o_orderstatus AS INTEGER) AS status_num,
+      upper(o_orderstatus) AS order_status,
+      strftime(CAST(o_orderdate AS DATE), '%Y-%m-%d') AS order_date
+    FROM orders
+    """,
+)
+def p1_typed_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bulk CAST/SAFE_CAST projection with renames (ref: stg_order.sql:5-24
+    P1, stg_order.sql:16 SAFE_CAST P2). ``status_num`` is always NULL —
+    that IS the SAFE_CAST semantics under test."""
+    o = table(spark, sf_dir, "orders")
+    return o.select(
+        F.col("o_orderkey").cast("string").alias("order_id"),
+        F.col("o_custkey").alias("customer_id"),
+        F.substring("o_orderpriority", 1, 1).try_cast("int").alias("priority_num"),
+        F.col("o_orderstatus").try_cast("int").alias("status_num"),
+        F.upper("o_orderstatus").alias("order_status"),
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("order_date"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# P4: fake-null guard / cleaning.
+# ---------------------------------------------------------------------------
+_FAKE_SQL_LIST = ", ".join(f"'{v}'" for v in FAKE_NULL_VOCAB)
+
+@query(
+    "p4_fake_null_cleaning",
+    oracle=f"""
+    WITH messy AS (
+      SELECT
+        c_custkey,
+        CASE
+          WHEN c_custkey % 97 = 0 THEN 'null'
+          WHEN c_custkey % 89 = 0 THEN '  '
+          WHEN c_custkey % 83 = 0 THEN 'N/A'
+          WHEN c_custkey % 79 = 0 THEN NULL
+          ELSE c_mktsegment
+        END AS segment_raw
+      FROM customer
+    )
+    SELECT
+      CASE
+        WHEN segment_raw IS NULL OR trim(segment_raw) = ''
+             OR lower(trim(segment_raw)) IN ({_FAKE_SQL_LIST})
+        THEN NULL ELSE trim(segment_raw)
+      END AS segment,
+      COUNT(*) AS n_customers
+    FROM messy
+    GROUP BY 1
+    """,
+)
+def p4_fake_null_cleaning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fake-null vocabulary cleaning (ref: stg_customer.sql:5-13,
+    stg_product.sql:58-60 — SURVEY §2.2 P4). Messiness is injected
+    deterministically from c_custkey so the oracle reproduces it."""
+    c = table(spark, sf_dir, "customer")
+    messy = c.select(
+        "c_custkey",
+        F.when(F.col("c_custkey") % 97 == 0, F.lit("null"))
+        .when(F.col("c_custkey") % 89 == 0, F.lit("  "))
+        .when(F.col("c_custkey") % 83 == 0, F.lit("N/A"))
+        .when(F.col("c_custkey") % 79 == 0, F.lit(None))
+        .otherwise(F.col("c_mktsegment"))
+        .alias("segment_raw"),
+    )
+    return (
+        messy.select(clean_string(F.col("segment_raw")).alias("segment"))
+        .groupBy("segment")
+        .agg(F.count("*").alias("n_customers"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# P6: latest-snapshot filter via scalar-max subquery.
+# ---------------------------------------------------------------------------
+@query(
+    "p6_latest_snapshot_filter",
+    oracle="""
+    SELECT o_orderkey, o_custkey, strftime(CAST(o_orderdate AS DATE), '%Y-%m-%d') AS order_date, o_totalprice
+    FROM orders
+    WHERE o_orderdate = (SELECT max(o_orderdate) FROM orders)
+    """,
+)
+def p6_latest_snapshot_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Latest-snapshot scalar-subquery filter (ref: mart_fact_order.sql:
+    135-143 fx_latest CTE, SURVEY §2.2 P6): implemented as a broadcast
+    semi-join against the 1-row max, no driver round-trip."""
+    o = table(spark, sf_dir, "orders")
+    latest = o.agg(F.max("o_orderdate").alias("o_orderdate"))
+    return o.join(F.broadcast(latest), "o_orderdate").select(
+        "o_orderkey",
+        "o_custkey",
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("order_date"),
+        "o_totalprice",
+    )
+
+
+# ---------------------------------------------------------------------------
+# J1: posexplode_outer parity (LEFT JOIN UNNEST ... WITH OFFSET).
+# ---------------------------------------------------------------------------
+@query(
+    "j1_posexplode_outer",
+    oracle="""
+    WITH src AS (
+      SELECT o_orderkey,
+        CASE WHEN o_orderkey % 13 = 0 THEN NULL
+             ELSE str_split(o_orderpriority, '-') END AS toks
+      FROM orders
+    )
+    SELECT o_orderkey, pos, token FROM (
+      SELECT o_orderkey,
+             generate_subscripts(toks, 1) - 1 AS pos,
+             unnest(toks) AS token
+      FROM src WHERE toks IS NOT NULL
+    )
+    UNION ALL
+    SELECT o_orderkey, NULL AS pos, NULL AS token FROM src WHERE toks IS NULL
+    """,
+)
+def j1_posexplode_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-preserving lateral explode with element index (ref:
+    stg_order.sql:29-78 double LEFT JOIN UNNEST WITH OFFSET — SURVEY §2.3
+    J1). NULL arrays keep their parent row with NULL pos/token, exactly
+    like BigQuery's LEFT JOIN UNNEST."""
+    o = table(spark, sf_dir, "orders")
+    src = o.select(
+        "o_orderkey",
+        F.when(F.col("o_orderkey") % 13 == 0, F.lit(None)).otherwise(
+            F.split("o_orderpriority", "-")
+        ).alias("toks"),
+    )
+    return src.select(
+        "o_orderkey", F.posexplode_outer("toks").alias("pos", "token")
+    )
+
+
+# ---------------------------------------------------------------------------
+# F3: localized price parsing (the hairiest scalar in the reference).
+# ---------------------------------------------------------------------------
+_PRICE_RAW_SQL = """
+      CASE
+        WHEN l_orderkey % 31 = 0 THEN 'N/A'
+        WHEN l_orderkey % 5 = 0 THEN replace(base, '.', '٫')
+        WHEN l_orderkey % 5 = 1 THEN replace(base, '.', ',')
+        WHEN l_orderkey % 5 = 2 THEN concat('1.', replace(base, '.', ','))
+        WHEN l_orderkey % 5 = 3 THEN concat('1,', base)
+        ELSE concat(' ', base, ' ')
+      END
+"""
+
+@query(
+    "f3_parse_localized_prices",
+    oracle=f"""
+    WITH src AS (
+      SELECT l_orderkey, l_linenumber,
+             CAST(CAST(l_extendedprice AS DECIMAL(12,2)) AS VARCHAR) AS base
+      FROM lineitem
+    ),
+    raws AS (
+      SELECT l_orderkey, l_linenumber, {_PRICE_RAW_SQL} AS price_raw
+      FROM src
+    )
+    SELECT l_orderkey, l_linenumber, price_raw,
+           CAST({parse_localized_number_sql("price_raw", 18, 4)} AS DOUBLE) AS price_parsed
+    FROM raws
+    """,
+)
+def f3_parse_localized_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Localized decimal parsing (ref: stg_order.sql:37-61 — SURVEY §2.8
+    F3). Deterministically re-formats l_extendedprice into the messy
+    locale variants the reference handles (Arabic separator, European
+    1.234,56, US 1,234.56, decimal comma, embedded spaces, garbage) and
+    parses them back — the parse must invert the formatting."""
+    l = table(spark, sf_dir, "lineitem")
+    base = F.col("l_extendedprice").cast("decimal(12,2)").cast("string")
+    src = l.select("l_orderkey", "l_linenumber", base.alias("base"))
+    price_raw = (
+        F.when(F.col("l_orderkey") % 31 == 0, F.lit("N/A"))
+        .when(F.col("l_orderkey") % 5 == 0, F.regexp_replace("base", "\\.", "٫"))
+        .when(F.col("l_orderkey") % 5 == 1, F.regexp_replace("base", "\\.", ","))
+        .when(
+            F.col("l_orderkey") % 5 == 2,
+            F.concat(F.lit("1."), F.regexp_replace("base", "\\.", ",")),
+        )
+        .when(F.col("l_orderkey") % 5 == 3, F.concat(F.lit("1,"), F.col("base")))
+        .otherwise(F.concat(F.lit(" "), F.col("base"), F.lit(" ")))
+    )
+    raws = src.select("l_orderkey", "l_linenumber", price_raw.alias("price_raw"))
+    return raws.select(
+        "l_orderkey",
+        "l_linenumber",
+        "price_raw",
+        parse_localized_number(F.col("price_raw"), 18, 4)
+        .cast("double")
+        .alias("price_parsed"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# U1: union all.
+# ---------------------------------------------------------------------------
+@query(
+    "u1_union_all",
+    oracle="""
+    SELECT o_orderkey, 'high_value' AS bucket FROM orders WHERE o_totalprice > 300000
+    UNION ALL
+    SELECT o_orderkey, 'urgent' AS bucket FROM orders WHERE o_orderpriority = '1-URGENT'
+    """,
+)
+def u1_union_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNION ALL (ref: models/example/my_first_dbt_model.sql:11-20 —
+    SURVEY §2.7 U1)."""
+    o = table(spark, sf_dir, "orders")
+    high = o.filter(F.col("o_totalprice") > 300000).select(
+        "o_orderkey", F.lit("high_value").alias("bucket")
+    )
+    urgent = o.filter(F.col("o_orderpriority") == "1-URGENT").select(
+        "o_orderkey", F.lit("urgent").alias("bucket")
+    )
+    return high.unionByName(urgent)

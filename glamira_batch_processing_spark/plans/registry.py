@@ -1,0 +1,54 @@
+"""Driver-contract query registry.
+
+Every operator family from SURVEY.md §2 registers here as a named query:
+a ``(spark, sf_dir) -> DataFrame`` callable plus (when SQL-expressible)
+a DuckDB oracle SQL string computing the identical result over the same
+parquet tables. ``__spark_entry__.py`` re-exports the two dicts.
+
+Output-type convention (keeps the driver's order-insensitive value-hash
+stable across Spark and DuckDB):
+- no raw DecimalType or TimestampType in outputs — aggregate exactly in
+  decimal, then cast to double; emit dates as DateType or timestamps as
+  epoch micros (bigint);
+- every computed column is aliased identically in Spark and oracle SQL.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+ORACLE: dict[str, str] = {}
+
+
+def query(name: str, oracle: str | None = None):
+    """Register a contract query (and optionally its DuckDB oracle SQL)."""
+
+    def deco(fn: Callable[[SparkSession, str], DataFrame]):
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLE[name] = oracle
+        return fn
+
+    return deco
+
+
+def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Read one synthetic table; column pruning/pushdown flow to the scan."""
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
