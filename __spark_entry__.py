@@ -20,7 +20,12 @@ sys.path.insert(0, str(Path(__file__).resolve().parent))
 from pyspark.sql import DataFrame, SparkSession
 
 # Importing the query modules populates the registry.
-from glamira_batch_processing_spark.plans import core_queries  # noqa: F401
+from glamira_batch_processing_spark.plans import (  # noqa: F401
+    audit_qa_queries,
+    core_queries,
+    scalar_queries,
+    window_queries,
+)
 from glamira_batch_processing_spark.plans.registry import ORACLE, QUERIES
 
 

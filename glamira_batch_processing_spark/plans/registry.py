@@ -49,6 +49,21 @@ def query(name: str, oracle: str | None = None):
 
 
 def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    """Read one synthetic table; column pruning/pushdown flow to the scan."""
+    """Read one synthetic table; column pruning/pushdown flow to the scan.
+
+    ``events.ts`` is stored as parquet INT64 TIMESTAMP(NANOS), which
+    Spark's vectorized reader rejects. We read nanos as long (legacy
+    conf, runtime-settable) and floor-divide to micros — exactly how
+    DuckDB coerces ns -> its microsecond TIMESTAMP, so both engines see
+    the identical instant.
+    """
     spark.conf.set("spark.sql.session.timeZone", "UTC")
+    if name == "events":
+        from pyspark.sql import functions as F
+
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        return df.withColumn(
+            "ts", F.timestamp_micros(F.expr("ts div 1000"))
+        )
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")

@@ -1,0 +1,343 @@
+"""Scalar-function contract queries (SURVEY §2.8 families F1, F4-F8)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.currency import (
+    FX_SEED_ROWS,
+    currency_code_expr,
+    currency_status_expr,
+    fx_rates,
+    infer_currency_from_tld,
+    url_tld,
+)
+from ..functions.keys import key_input, surrogate_key
+from .registry import query, table
+
+
+# ---------------------------------------------------------------------------
+# F1: string normalization toolkit.
+# ---------------------------------------------------------------------------
+@query(
+    "f1_string_normalize",
+    oracle="""
+    SELECT
+      c_custkey,
+      lower(trim(c_name)) AS name_norm,
+      concat_ws('|', c_mktsegment, CAST(c_nationkey AS VARCHAR)) AS seg_key,
+      replace(c_name, 'Customer', 'Cust') AS name_short,
+      CAST(strpos(c_name, '#') AS INTEGER) AS hash_pos,
+      c_name LIKE 'Customer%' AS starts_customer,
+      CAST(length(c_name) AS INTEGER) AS name_len,
+      coalesce(NULLIF(trim(c_mktsegment), ''), 'UNKNOWN') AS segment
+    FROM customer
+    """,
+)
+def f1_string_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TRIM/LOWER/CONCAT_WS/REPLACE/STRPOS/STARTS_WITH/COALESCE/LENGTH
+    (ref: stg_customer.sql:7-9, stg_order.sql:37-101, int_order_qa.sql:35
+    — SURVEY §2.8 F1)."""
+    c = table(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey",
+        F.lower(F.trim("c_name")).alias("name_norm"),
+        F.concat_ws("|", F.col("c_mktsegment"), F.col("c_nationkey").cast("string")).alias("seg_key"),
+        F.replace(F.col("c_name"), F.lit("Customer"), F.lit("Cust")).alias("name_short"),
+        F.instr(F.col("c_name"), "#").alias("hash_pos"),
+        F.col("c_name").startswith("Customer").alias("starts_customer"),
+        F.length("c_name").alias("name_len"),
+        F.coalesce(F.nullif(F.trim("c_mktsegment"), F.lit("")), F.lit("UNKNOWN")).alias("segment"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# F4: currency mapping + TLD inference + fx conversion (J3).
+# ---------------------------------------------------------------------------
+_LABELS = [
+    "USD $", "€", "£", "kr", "$", "zł", "Kč", "лв.", "din.", "R$", "", "د.ك.‏",
+]
+_TLDS = ["de", "co.uk", "se", "com", "dk", "fr"]
+
+_LABEL_CASE = " ".join(
+    f"WHEN o_orderkey % 12 = {i} THEN '{lab}'" for i, lab in enumerate(_LABELS)
+)
+_TLD_CASE = " ".join(
+    f"WHEN o_custkey % 6 = {i} THEN '{t}'" for i, t in enumerate(_TLDS)
+)
+_FX_VALUES = ",\n      ".join(
+    f"('{code}', {rate!r})" for _, _, code, rate in FX_SEED_ROWS
+)
+
+# The oracle re-implements the full mapping CASE (same semantics as
+# mart_fact_order.sql:21-131) over the constructed labels actually in play.
+_ORACLE_F4 = f"""
+    WITH src AS (
+      SELECT
+        o_orderkey,
+        CASE {_LABEL_CASE} END AS currency_raw,
+        concat('https://www.glamira.', CASE {_TLD_CASE} END, '/checkout') AS current_url,
+        CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS amount
+      FROM orders
+    ),
+    mapped AS (
+      SELECT *,
+        CASE
+          WHEN currency_raw IS NULL OR trim(currency_raw) = '' THEN NULL
+          WHEN lower(trim(currency_raw)) = 'usd $' THEN 'USD'
+          WHEN lower(trim(currency_raw)) = 'zł' THEN 'PLN'
+          WHEN lower(trim(currency_raw)) = 'kč' THEN 'CZK'
+          WHEN lower(trim(currency_raw)) = 'лв.' THEN 'BGN'
+          WHEN lower(trim(currency_raw)) = 'din.' THEN 'RSD'
+          WHEN lower(trim(currency_raw)) = 'r$' THEN 'BRL'
+          WHEN trim(currency_raw) = '€' THEN 'EUR'
+          WHEN trim(currency_raw) = '£' THEN 'GBP'
+          WHEN trim(currency_raw) = 'د.ك.‏' THEN 'KWD'
+          ELSE NULL
+        END AS mapped_code,
+        CASE
+          WHEN currency_raw IS NULL OR trim(currency_raw) = '' THEN 'UNKNOWN'
+          WHEN lower(trim(currency_raw)) IN ('usd $','zł','kč','лв.','din.','r$') THEN 'CLEAN'
+          WHEN trim(currency_raw) IN ('€','£','د.ك.‏') THEN 'CLEAN'
+          WHEN trim(currency_raw) = '$' THEN 'AMBIGUOUS'
+          WHEN lower(trim(currency_raw)) = 'kr' THEN 'AMBIGUOUS'
+          ELSE 'UNKNOWN'
+        END AS currency_status,
+        regexp_extract(lower(trim(coalesce(regexp_extract(current_url, '://([^/]+)', 1), ''))), '\\.([a-z]{{2,}})$', 1) AS tld,
+        lower(trim(coalesce(regexp_extract(current_url, '://([^/]+)', 1), ''))) AS host
+      FROM src
+    ),
+    inferred AS (
+      SELECT *,
+        CASE
+          WHEN mapped_code IS NOT NULL THEN NULL
+          WHEN currency_status != 'AMBIGUOUS' THEN NULL
+          WHEN host LIKE '%co.uk' THEN 'GBP'
+          WHEN tld = 'uk' THEN 'GBP' WHEN tld = 'de' THEN 'EUR' WHEN tld = 'fr' THEN 'EUR'
+          WHEN tld = 'se' THEN 'SEK' WHEN tld = 'dk' THEN 'DKK'
+          ELSE NULL
+        END AS inferred_code
+      FROM mapped
+    ),
+    fx(currency_code, usd_to_ccy) AS (VALUES
+      {_FX_VALUES}
+    )
+    SELECT
+      i.o_orderkey,
+      i.currency_raw,
+      coalesce(i.mapped_code, i.inferred_code) AS currency_code,
+      CASE
+        WHEN i.mapped_code IS NOT NULL THEN i.currency_status
+        WHEN i.currency_status = 'AMBIGUOUS' AND i.inferred_code IS NOT NULL THEN 'INFERRED'
+        ELSE i.currency_status
+      END AS currency_status,
+      CASE
+        WHEN coalesce(i.mapped_code, i.inferred_code) IS NULL THEN NULL
+        WHEN fx.usd_to_ccy IS NULL THEN NULL
+        ELSE i.amount / fx.usd_to_ccy
+      END AS amount_usd
+    FROM inferred i
+    LEFT JOIN fx ON fx.currency_code = coalesce(i.mapped_code, i.inferred_code)
+"""
+
+@query("f4_currency_resolution", oracle=_ORACLE_F4)
+def f4_currency_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Raw currency label -> ISO code -> USD conversion (ref:
+    mart_fact_order.sql:21-131 mapping + TLD inference, :145-201 fx join
+    J3/F7 — SURVEY §2.8 F4). Labels and URLs are constructed
+    deterministically from order keys; the fx seed is broadcast."""
+    o = table(spark, sf_dir, "orders")
+    ok = F.col("o_orderkey")
+    label = F.when(F.lit(False), F.lit(None))
+    for i, lab in enumerate(_LABELS):
+        label = label.when(ok % 12 == i, F.lit(lab))
+    tld = F.when(F.lit(False), F.lit(None))
+    for i, t in enumerate(_TLDS):
+        tld = tld.when(F.col("o_custkey") % 6 == i, F.lit(t))
+    src = o.select(
+        "o_orderkey",
+        label.alias("currency_raw"),
+        F.concat(F.lit("https://www.glamira."), tld, F.lit("/checkout")).alias("current_url"),
+        F.col("o_totalprice").cast("decimal(18,2)").cast("double").alias("amount"),
+    )
+    mapped = src.select(
+        "*",
+        currency_code_expr(F.col("currency_raw")).alias("mapped_code"),
+        currency_status_expr(F.col("currency_raw")).alias("currency_status_pre"),
+    )
+    inferred = mapped.withColumn(
+        "inferred_code",
+        F.when(F.col("mapped_code").isNotNull(), F.lit(None)).otherwise(
+            infer_currency_from_tld(F.col("currency_status_pre"), F.col("current_url"))
+        ),
+    )
+    fx = F.broadcast(
+        fx_rates(spark).select("currency_code", "usd_to_ccy")
+    )
+    final_code = F.coalesce(F.col("mapped_code"), F.col("inferred_code"))
+    resolved = inferred.withColumn("currency_code", final_code).withColumn(
+        "currency_status",
+        F.when(F.col("mapped_code").isNotNull(), F.col("currency_status_pre"))
+        .when(
+            (F.col("currency_status_pre") == "AMBIGUOUS")
+            & F.col("inferred_code").isNotNull(),
+            F.lit("INFERRED"),
+        )
+        .otherwise(F.col("currency_status_pre")),
+    )
+    return resolved.join(fx, "currency_code", "left").select(
+        "o_orderkey",
+        "currency_raw",
+        "currency_code",
+        "currency_status",
+        F.when(F.col("currency_code").isNull(), F.lit(None))
+        .when(F.col("usd_to_ccy").isNull(), F.lit(None))
+        .otherwise(F.col("amount") / F.col("usd_to_ccy"))
+        .alias("amount_usd"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# F5: surrogate keys — natural-key input parity + injectivity check.
+# ---------------------------------------------------------------------------
+@query(
+    "f5_surrogate_key_inputs",
+    oracle="""
+    SELECT
+      concat_ws('|',
+        coalesce(CAST(l_orderkey AS VARCHAR), ''),
+        coalesce(CAST(l_partkey AS VARCHAR), ''),
+        coalesce(CAST(l_suppkey AS VARCHAR), ''),
+        coalesce(CAST(l_linenumber AS VARCHAR), '')
+      ) AS item_key_input,
+      COUNT(*) AS n_rows
+    FROM lineitem
+    GROUP BY 1
+    """,
+)
+def f5_surrogate_key_inputs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Surrogate-key natural-key construction (ref: stg_order.sql:88-102
+    F5). FARM_FINGERPRINT != xxhash64, so per FIXTURES.md the oracle
+    compares the pre-hash '|'-joined input; hash injectivity is checked
+    separately by f5_surrogate_key_consistency."""
+    l = table(spark, sf_dir, "lineitem")
+    return (
+        l.select(
+            key_input(
+                F.col("l_orderkey"), F.col("l_partkey"),
+                F.col("l_suppkey"), F.col("l_linenumber"),
+            ).alias("item_key_input")
+        )
+        .groupBy("item_key_input")
+        .agg(F.count("*").alias("n_rows"))
+    )
+
+
+@query(
+    "f5_surrogate_key_consistency",
+    oracle="""
+    SELECT
+      CAST(COUNT(DISTINCT concat_ws('|',
+        coalesce(CAST(l_orderkey AS VARCHAR), ''),
+        coalesce(CAST(l_partkey AS VARCHAR), ''),
+        coalesce(CAST(l_suppkey AS VARCHAR), ''),
+        coalesce(CAST(l_linenumber AS VARCHAR), '')
+      )) AS BIGINT) AS n_distinct_inputs,
+      CAST(COUNT(DISTINCT concat_ws('|',
+        coalesce(CAST(l_orderkey AS VARCHAR), ''),
+        coalesce(CAST(l_partkey AS VARCHAR), ''),
+        coalesce(CAST(l_suppkey AS VARCHAR), ''),
+        coalesce(CAST(l_linenumber AS VARCHAR), '')
+      )) AS BIGINT) AS n_distinct_keys
+    FROM lineitem
+    """,
+)
+def f5_surrogate_key_consistency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hash-key injectivity: count(distinct xxhash64 keys) must equal
+    count(distinct natural inputs) — a collision would break the
+    equality the oracle asserts (its SQL counts the inputs twice, since
+    DuckDB cannot reproduce xxhash64 values)."""
+    l = table(spark, sf_dir, "lineitem")
+    inp = key_input(
+        F.col("l_orderkey"), F.col("l_partkey"), F.col("l_suppkey"), F.col("l_linenumber")
+    )
+    sk = surrogate_key(
+        F.col("l_orderkey"), F.col("l_partkey"), F.col("l_suppkey"), F.col("l_linenumber")
+    )
+    return l.select(inp.alias("inp"), sk.alias("sk")).agg(
+        F.countDistinct("inp").alias("n_distinct_inputs"),
+        F.countDistinct("sk").alias("n_distinct_keys"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# F6: date dimension from a generated date range.
+# ---------------------------------------------------------------------------
+@query(
+    "f6_date_dimension",
+    oracle="""
+    SELECT
+      strftime(CAST(d AS DATE), '%Y-%m-%d') AS date_str,
+      CAST(year(CAST(d AS DATE)) AS INTEGER) AS year,
+      CAST(month(CAST(d AS DATE)) AS INTEGER) AS month,
+      CAST(quarter(CAST(d AS DATE)) AS INTEGER) AS quarter
+    FROM generate_series(DATE '2015-01-01', DATE '2050-12-31', INTERVAL 1 DAY) AS t(d)
+    """,
+)
+def f6_date_dimension(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date dimension 2015-01-01..2050-12-31, 13149 rows (ref:
+    mart_dim_date.sql:3-13 GENERATE_DATE_ARRAY + EXTRACT — F6).
+    F.sequence builds the array in one task; explode distributes."""
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    dates = spark.range(1).select(
+        F.explode(
+            F.sequence(
+                F.lit("2015-01-01").cast("date"),
+                F.lit("2050-12-31").cast("date"),
+                F.expr("interval 1 day"),
+            )
+        ).alias("date")
+    )
+    return dates.select(
+        F.date_format("date", "yyyy-MM-dd").alias("date_str"),
+        F.year("date").alias("year"),
+        F.month("date").alias("month"),
+        F.quarter("date").alias("quarter"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# F8: JSON value extraction with fallback chain.
+# ---------------------------------------------------------------------------
+@query(
+    "f8_json_extract",
+    oracle="""
+    SELECT
+      event_id,
+      json_extract_string(props, '$.k') AS k_str,
+      TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_num,
+      coalesce(
+        json_extract_string(props, '$.missing'),
+        json_extract_string(props, '$.also_missing'),
+        json_extract_string(props, '$.k')
+      ) AS k_fallback
+    FROM events
+    """,
+)
+def f8_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON path extraction + id fallback chain (ref: stg_product.sql:
+    4-35 TO_JSON_STRING/JSON_VALUE with product_id->productId->id->_id
+    coalesce — F8)."""
+    e = table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k")
+    return e.select(
+        "event_id",
+        k.alias("k_str"),
+        k.try_cast("bigint").alias("k_num"),
+        F.coalesce(
+            F.get_json_object("props", "$.missing"),
+            F.get_json_object("props", "$.also_missing"),
+            k,
+        ).alias("k_fallback"),
+    )

@@ -1,0 +1,90 @@
+"""Simulate the external driver's correctness gate.
+
+Usage: python scripts/driver_sim.py [sf_dir]
+Runs entry() smoke + every queries() entry vs its oracle_sql() via
+DuckDB, order-insensitive full-precision comparison. Exit 1 on any
+mismatch.
+"""
+
+from __future__ import annotations
+
+import datetime
+import math
+import sys
+from decimal import Decimal
+from pathlib import Path
+
+import duckdb
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+import __spark_entry__ as contract
+from glamira_batch_processing_spark.plans.registry import TABLES
+
+
+def norm(v) -> str:
+    if v is None:
+        return "NULL"
+    if isinstance(v, float):
+        return "NULL" if math.isnan(v) else repr(v)
+    if isinstance(v, Decimal):
+        return repr(float(v))
+    if isinstance(v, (datetime.datetime, datetime.date)):
+        return v.isoformat()
+    return str(v)
+
+
+def main() -> int:
+    sf = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    from pyspark.sql import SparkSession
+
+    spark = (
+        SparkSession.builder.master("local[16]")
+        .config("spark.sql.shuffle.partitions", "16")
+        .config("spark.ui.enabled", "false")
+        .appName("driver-sim")
+        .getOrCreate()
+    )
+    rows = contract.entry(spark).collect()
+    print(f"ENTRY smoke: rows={len(rows)}")
+    assert len(rows) > 0
+
+    qs, osql = contract.queries(), contract.oracle_sql()
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf}/{t}.parquet'")
+
+    fails = []
+    for name, fn in sorted(qs.items()):
+        if name not in osql:
+            n = fn(spark, sf).count()
+            print(f"ROWS-ONLY {name}: rows={n}")
+            continue
+        spdf = fn(spark, sf).toPandas()
+        dkdf = con.sql(osql[name]).df()
+        sc, dc = sorted(spdf.columns), sorted(dkdf.columns)
+        srows = sorted(
+            tuple(norm(v) for v in r)
+            for r in spdf[sc].itertuples(index=False, name=None)
+        )
+        drows = sorted(
+            tuple(norm(v) for v in r)
+            for r in dkdf[dc].itertuples(index=False, name=None)
+        )
+        ok = sc == dc and srows == drows
+        print(f"{'PASS' if ok else 'FAIL'} {name}: rows={len(srows)}/{len(drows)}")
+        if not ok:
+            fails.append(name)
+            if sc != dc:
+                print(f"  cols spark={sc}\n  cols duck ={dc}")
+            else:
+                for i, (a, b) in enumerate(zip(srows, drows)):
+                    if a != b:
+                        print(f"  first diff row {i}:\n   spark={a}\n   duck ={b}")
+                        break
+    print("RESULT:", "ALL MATCH" if not fails else f"MISMATCH: {fails}")
+    return 1 if fails else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
