@@ -23,6 +23,7 @@ from pyspark.sql import DataFrame, SparkSession
 from glamira_batch_processing_spark.plans import (  # noqa: F401
     audit_qa_queries,
     core_queries,
+    datapipe_queries,
     scalar_queries,
     window_queries,
 )

@@ -1,0 +1,199 @@
+"""Deduplication operators: exact, n-gram Jaccard, MinHash+LSH, SimHash,
+embedding-cosine near-dup.
+
+Scale design (the point of each variant):
+- exact:        one hash-groupBy shuffle on md5(content) — linear.
+- ngram+jaccard: exact pairwise similarity; candidate pairs come from a
+                shingle-inverted-index self-join, so cost is bounded by
+                shingle co-occurrence, not n^2. Still superlinear —
+                use for verification of candidates, not discovery.
+- minhash+LSH:  the 100 TB path. K minhashes per doc -> banded
+                signatures -> bucket-join. Each stage is one shuffle on
+                a high-cardinality key; no pairwise work outside a
+                bucket. Probability of catching Jaccard-s pairs is
+                1-(1-s^r)^b (r rows/band, b bands).
+- simhash:      near-dup via Hamming-close bit signatures; here grouped
+                at distance 0 (identical signature) with banding as the
+                scale path for distance<=k.
+- embedding:    cosine over vector columns; brute-force for small
+                candidate sets, IVF/LSH bucketing in similarity.py for
+                scale.
+
+All deterministic: hashing uses md5 hex strings (reproducible in any
+engine), minima are lexicographic, ordering has total tie-breaks.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def content_key(text: Column) -> Column:
+    """Exact-dup grouping key."""
+    return F.md5(text)
+
+
+def exact_dedup_stats(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Per content-hash: copy count + canonical (minimum) id."""
+    return (
+        df.groupBy(content_key(F.col(text_col)).alias("content_hash"))
+        .agg(
+            F.count("*").alias("n_copies"),
+            F.min(id_col).alias("canonical_doc_id"),
+        )
+    )
+
+
+def doc_shingles(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: int = 3) -> DataFrame:
+    """(id, shingle) pairs, distinct per doc. Expects ``text_col``; emits
+    the exploded inverted-index input."""
+    parts = ", ".join(f"w[i+{k}]" for k in range(n))
+    with_grams = df.withColumn("w", F.split(F.lower(F.col(text_col)), " ")).withColumn(
+        "shingles",
+        F.when(
+            F.size("w") >= n,
+            F.expr(f"transform(sequence(0, size(w) - {n}), i -> concat_ws(' ', {parts}))"),
+        ).otherwise(F.array().cast("array<string>")),
+    )
+    return (
+        with_grams.select(id_col, F.explode("shingles").alias("shingle"))
+        .distinct()
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    threshold: float = 0.6,
+) -> DataFrame:
+    """Pairs (doc_a < doc_b) with Jaccard(shingles) >= threshold.
+
+    Candidate generation is an inverted-index self-join on shingle —
+    only docs sharing at least one shingle are compared.
+    """
+    sh = doc_shingles(df, text_col, id_col, n)
+    sizes = sh.groupBy(id_col).agg(F.count("*").alias("n_shingles"))
+    a = sh.select(F.col(id_col).alias("doc_a"), "shingle")
+    b = sh.select(F.col(id_col).alias("doc_b"), "shingle")
+    inter = (
+        a.join(b, "shingle")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("n_common"))
+    )
+    sa = sizes.select(F.col(id_col).alias("doc_a"), F.col("n_shingles").alias("size_a"))
+    sb = sizes.select(F.col(id_col).alias("doc_b"), F.col("n_shingles").alias("size_b"))
+    out = (
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn(
+            "jaccard",
+            F.col("n_common") / (F.col("size_a") + F.col("size_b") - F.col("n_common")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+    return out.select("doc_a", "doc_b", "n_common", "size_a", "size_b", "jaccard")
+
+
+def minhash_signatures(
+    shingled: DataFrame,
+    id_col: str = "doc_id",
+    num_hashes: int = 12,
+) -> DataFrame:
+    """(id, seed, minhash): minhash_j = min over shingles of
+    md5(j || '#' || shingle). md5-hex lexicographic minima are engine-
+    portable (same result in DuckDB/any SQL engine)."""
+    seeded = shingled.select(
+        id_col,
+        "shingle",
+        F.explode(F.sequence(F.lit(0), F.lit(num_hashes - 1))).alias("seed"),
+    )
+    hashed = seeded.withColumn(
+        "h",
+        F.md5(F.concat(F.col("seed").cast("string"), F.lit("#"), F.col("shingle"))),
+    )
+    return hashed.groupBy(id_col, "seed").agg(F.min("h").alias("minhash"))
+
+
+def lsh_candidate_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    num_hashes: int = 12,
+    band_rows: int = 3,
+) -> DataFrame:
+    """Distinct candidate pairs (doc_a < doc_b) sharing >=1 LSH band.
+
+    Pipeline: shingle -> minhash (num_hashes) -> band signature
+    (band_rows hashes concatenated in seed order) -> bucket self-join.
+    Every stage shuffles on a high-cardinality key; no global pairwise
+    comparison ever happens.
+    """
+    sh = doc_shingles(df, text_col, id_col, n)
+    mh = minhash_signatures(sh, id_col, num_hashes)
+    banded = mh.withColumn("band", (F.col("seed") / band_rows).cast("int"))
+    # Order-stable concat: sort (seed, minhash) structs, then join values.
+    sigs = banded.groupBy(id_col, "band").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("seed", "minhash"))),
+                lambda x: x["minhash"],
+            ),
+            "|",
+        ).alias("band_sig")
+    )
+    a = sigs.select(F.col(id_col).alias("doc_a"), "band", "band_sig")
+    b = sigs.select(F.col(id_col).alias("doc_b"), "band", "band_sig")
+    return (
+        a.join(b, ["band", "band_sig"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+
+
+def simhash_bits(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits: int = 32) -> DataFrame:
+    """Per-doc SimHash signature string of ``bits`` 0/1 chars.
+
+    Bit i is derived from hex digit i of md5(token): (digit & 1). Tokens
+    vote +1/-1 per bit with multiplicity; the sign of the sum is the
+    signature bit. Identical signatures => near-identical token bags.
+    """
+    toks = df.select(
+        id_col, F.explode(F.split(F.lower(F.col(text_col)), " ")).alias("tok")
+    ).withColumn("h", F.md5("tok"))
+    hexmap = "0123456789abcdef"
+    aggs = []
+    for i in range(bits):
+        digit = F.instr(F.lit(hexmap), F.substring(F.col("h"), i + 1, 1)) - 1
+        vote = F.when(digit % 2 == 1, F.lit(1)).otherwise(F.lit(-1))
+        aggs.append(F.sum(vote).alias(f"s{i}"))
+    sums = toks.groupBy(id_col).agg(*aggs)
+    sig = F.concat(
+        *[
+            F.when(F.col(f"s{i}") > 0, F.lit("1")).otherwise(F.lit("0"))
+            for i in range(bits)
+        ]
+    )
+    return sums.select(id_col, sig.alias("simhash"))
+
+
+# --- DuckDB SQL twins ------------------------------------------------------
+
+def sql_shingles_cte(corpus: str, n: int = 3) -> str:
+    """CTE body producing (doc_id, shingle) distinct from ``corpus``."""
+    parts = " || ' ' || ".join(f"w[i+{k}]" for k in range(n))
+    return f"""
+      SELECT DISTINCT doc_id, shingle
+      FROM (
+        SELECT doc_id,
+               unnest(CASE WHEN len(w) >= {n}
+                 THEN list_transform(range(1, len(w) - {n - 2}), i -> {parts})
+                 ELSE [] END) AS shingle
+        FROM (SELECT doc_id, str_split(lower(text), ' ') AS w FROM {corpus})
+      )
+    """

@@ -1,0 +1,96 @@
+"""Similarity search over embedding columns (array<float>).
+
+Two paths:
+- brute-force cosine top-k: exact, O(queries x corpus). Fine when the
+  query set is small or as the within-bucket scorer.
+- IVF (inverted-file) bucketed ANN: assign every vector to its nearest
+  of K centroids (one broadcast join), then search only the query's
+  bucket — the 100 TB path: candidate set shrinks by ~K, and bucket
+  assignment is a linear scan.
+
+Determinism: dot products are computed as an ordered left fold of
+double-precision multiply-adds (F.aggregate over zip_with). The same
+fold in DuckDB (list_reduce) and Python produces bit-identical doubles,
+so oracle comparison needs no tolerance.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Ordered-fold double dot product (deterministic)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(dot(a, a))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (norm(a) * norm(b))
+
+
+def sql_dot(a: str, b: str) -> str:
+    """DuckDB twin of :func:`dot` — same fold order, same doubles."""
+    return (
+        f"list_reduce(list_transform(range(1, len({a}) + 1), "
+        f"i -> CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE)), (x, y) -> x + y)"
+    )
+
+
+def sql_cosine(a: str, b: str) -> str:
+    return f"({sql_dot(a, b)} / (sqrt({sql_dot(a, a)}) * sqrt({sql_dot(b, b)})))"
+
+
+def cosine_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 10,
+    query_id: str = "query_id",
+    corpus_id: str = "vec_id",
+    query_vec: str = "qvec",
+    corpus_vec: str = "embedding",
+) -> DataFrame:
+    """Exact top-k neighbors per query by cosine, excluding self-matches.
+
+    The query side is broadcast (small); scoring is a map-side nested
+    loop over the corpus scan — no shuffle until the final per-query
+    top-k, which is a window over query_id.
+    """
+    j = corpus.join(F.broadcast(queries), F.col(query_id) != F.col(corpus_id))
+    scored = j.withColumn("cosine_sim", cosine(F.col(query_vec), F.col(corpus_vec)))
+    w = Window.partitionBy(query_id).orderBy(
+        F.desc("cosine_sim"), F.col(corpus_id)
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(query_id, F.col(corpus_id).alias("neighbor_id"), "rank", "cosine_sim")
+    )
+
+
+def ivf_assign(
+    vectors: DataFrame,
+    centroids: DataFrame,
+    vec_id: str = "vec_id",
+    vec_col: str = "embedding",
+    centroid_id: str = "centroid_id",
+    centroid_vec: str = "cvec",
+) -> DataFrame:
+    """Assign each vector to its highest-cosine centroid (broadcast join
+    + deterministic argmax via row_number)."""
+    j = vectors.crossJoin(F.broadcast(centroids))
+    scored = j.withColumn("c_sim", cosine(F.col(vec_col), F.col(centroid_vec)))
+    w = Window.partitionBy(vec_id).orderBy(F.desc("c_sim"), F.col(centroid_id))
+    return (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select(vec_id, vec_col, centroid_id)
+    )

@@ -1,0 +1,550 @@
+"""Training-data-pipeline contract queries: dedup, similarity search,
+text analysis, multimodal plumbing (BASELINE.json north star — beyond
+the reference's own surface).
+
+Duplicate structure is injected deterministically (near-dup and exact
+copies with offset ids) so the dedup operators have real work and the
+DuckDB oracle reproduces the identical corpus.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..operators import text as T
+from ..operators.dedup import (
+    doc_shingles,
+    exact_dedup_stats,
+    lsh_candidate_pairs,
+    minhash_signatures,
+    ngram_jaccard_pairs,
+    simhash_bits,
+    sql_shingles_cte,
+)
+from ..operators.multimodal import decode_images, sample_frames, with_text_payload
+from ..operators.similarity import dot, norm, sql_dot
+from .registry import query, table
+
+# ---------------------------------------------------------------------------
+# Shared corpora (Spark + SQL twins).
+# ---------------------------------------------------------------------------
+
+def corpus(spark: SparkSession, sf_dir: str, bound: int | None = None) -> DataFrame:
+    """documents + injected near-dup (+100000) and exact (+200000) copies."""
+    d = table(spark, sf_dir, "documents").select("doc_id", "text")
+    if bound is not None:
+        d = d.filter(F.col("doc_id") < bound)
+    near = d.filter(F.col("doc_id") % 7 == 0).select(
+        (F.col("doc_id") + 100000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" near duplicate suffix")).alias("text"),
+    )
+    exact = d.filter(F.col("doc_id") % 11 == 0).select(
+        (F.col("doc_id") + 200000).alias("doc_id"), "text"
+    )
+    return d.unionByName(near).unionByName(exact)
+
+
+def corpus_cte(bound: int | None = None) -> str:
+    w = f"WHERE doc_id < {bound}" if bound is not None else ""
+    w_and = f"doc_id < {bound} AND " if bound is not None else ""
+    return f"""
+    corpus AS (
+      SELECT doc_id, text FROM documents {w}
+      UNION ALL
+      SELECT doc_id + 100000 AS doc_id, text || ' near duplicate suffix' AS text
+      FROM documents WHERE {w_and}doc_id % 7 = 0
+      UNION ALL
+      SELECT doc_id + 200000 AS doc_id, text FROM documents WHERE {w_and}doc_id % 11 = 0
+    )
+    """
+
+
+def vec_corpus(spark: SparkSession, sf_dir: str, bound: int) -> DataFrame:
+    e = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    base = e.filter(F.col("vec_id") < bound)
+    dups = base.filter(F.col("vec_id") % 17 == 0).select(
+        (F.col("vec_id") + 10000).alias("vec_id"), "embedding"
+    )
+    return base.unionByName(dups)
+
+
+def vec_corpus_cte(bound: int) -> str:
+    return f"""
+    vecs AS (
+      SELECT vec_id, embedding FROM embeddings WHERE vec_id < {bound}
+      UNION ALL
+      SELECT vec_id + 10000 AS vec_id, embedding
+      FROM embeddings WHERE vec_id < {bound} AND vec_id % 17 = 0
+    )
+    """
+
+
+# ---------------------------------------------------------------------------
+# Dedup: exact (hash groupBy).
+# ---------------------------------------------------------------------------
+@query(
+    "dedup_exact",
+    oracle=f"""
+    WITH {corpus_cte()}
+    SELECT md5(text) AS content_hash,
+           COUNT(*) AS n_copies,
+           MIN(doc_id) AS canonical_doc_id
+    FROM corpus
+    GROUP BY 1
+    """,
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: one hash-groupBy shuffle on md5(content); linear in
+    input, map-side partial aggregation — the 100 TB baseline dedup."""
+    return exact_dedup_stats(corpus(spark, sf_dir))
+
+
+# ---------------------------------------------------------------------------
+# Dedup: n-gram Jaccard (inverted-index pairwise verification).
+# ---------------------------------------------------------------------------
+@query(
+    "dedup_ngram_jaccard",
+    oracle=f"""
+    WITH {corpus_cte(bound=300)},
+    shingles AS ({sql_shingles_cte("corpus")}),
+    sizes AS (SELECT doc_id, COUNT(*) AS n_shingles FROM shingles GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+      FROM shingles a JOIN shingles b USING (shingle)
+      WHERE a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b, n_common,
+           sa.n_shingles AS size_a, sb.n_shingles AS size_b,
+           n_common / (sa.n_shingles + sb.n_shingles - n_common) AS jaccard
+    FROM inter
+    JOIN sizes sa ON sa.doc_id = doc_a
+    JOIN sizes sb ON sb.doc_id = doc_b
+    WHERE n_common / (sa.n_shingles + sb.n_shingles - n_common) >= 0.6
+    """,
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Word-3-gram Jaccard >= 0.6 pairs via shingle inverted-index join
+    (no n^2 scan). Bounded to the first 300 base docs — this operator is
+    the verification stage; discovery at scale is LSH below."""
+    return ngram_jaccard_pairs(corpus(spark, sf_dir, bound=300), threshold=0.6)
+
+
+# ---------------------------------------------------------------------------
+# Dedup: MinHash + LSH banding (the scale path).
+# ---------------------------------------------------------------------------
+@query(
+    "dedup_minhash_lsh",
+    oracle=f"""
+    WITH {corpus_cte()},
+    shingles AS ({sql_shingles_cte("corpus")}),
+    mh AS (
+      SELECT doc_id, seed, MIN(md5(CAST(seed AS VARCHAR) || '#' || shingle)) AS minhash
+      FROM shingles, (SELECT unnest(range(0, 12)) AS seed)
+      GROUP BY doc_id, seed
+    ),
+    sigs AS (
+      SELECT doc_id, seed // 3 AS band,
+             string_agg(minhash, '|' ORDER BY seed) AS band_sig
+      FROM mh GROUP BY doc_id, seed // 3
+    )
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM sigs a JOIN sigs b ON a.band = b.band AND a.band_sig = b.band_sig
+    WHERE a.doc_id < b.doc_id
+    """,
+)
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash(12) + LSH(4 bands x 3 rows) candidate pairs. Every stage
+    is one shuffle on a high-cardinality key (doc, (doc,seed), bucket);
+    no pairwise work outside buckets — the 100 TB dedup discovery path."""
+    return lsh_candidate_pairs(corpus(spark, sf_dir), num_hashes=12, band_rows=3)
+
+
+# ---------------------------------------------------------------------------
+# Dedup: SimHash signatures.
+# ---------------------------------------------------------------------------
+def _simhash_oracle(bits: int = 32) -> str:
+    digit = (
+        lambda i: f"(strpos('0123456789abcdef', substr(h, {i + 1}, 1)) - 1)"
+    )
+    votes = ",\n        ".join(
+        f"SUM(CASE WHEN {digit(i)} % 2 = 1 THEN 1 ELSE -1 END) AS s{i}"
+        for i in range(bits)
+    )
+    sig = " || ".join(
+        f"CASE WHEN s{i} > 0 THEN '1' ELSE '0' END" for i in range(bits)
+    )
+    return f"""
+    WITH {corpus_cte()},
+    toks AS (
+      SELECT doc_id, md5(tok) AS h
+      FROM (SELECT doc_id, unnest(str_split(lower(text), ' ')) AS tok FROM corpus)
+    ),
+    sums AS (
+      SELECT doc_id,
+        {votes}
+      FROM toks GROUP BY doc_id
+    )
+    SELECT doc_id, {sig} AS simhash FROM sums
+    """
+
+
+@query("dedup_simhash", oracle=_simhash_oracle())
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """32-bit SimHash per doc (token votes from md5 hex digits).
+    Identical signatures = near-identical token bags; banding the bits
+    extends to Hamming-distance<=k search at scale."""
+    return simhash_bits(corpus(spark, sf_dir), bits=32)
+
+
+# ---------------------------------------------------------------------------
+# Dedup: embedding-cosine near-duplicate pairs.
+# ---------------------------------------------------------------------------
+@query(
+    "dedup_embedding_cosine",
+    oracle=f"""
+    WITH {vec_corpus_cte(bound=400)},
+    normed AS (
+      SELECT vec_id, embedding, sqrt({sql_dot("embedding", "embedding")}) AS nrm
+      FROM vecs
+    )
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+           {sql_dot("a.embedding", "b.embedding")} / (a.nrm * b.nrm) AS cosine_sim
+    FROM normed a JOIN normed b ON a.vec_id < b.vec_id
+    WHERE {sql_dot("a.embedding", "b.embedding")} / (a.nrm * b.nrm) >= 0.95
+    """,
+)
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup pairs: cosine >= 0.95 over a bounded corpus
+    with injected duplicate vectors. Norms are precomputed once per
+    vector; the pairwise stage is the verification path (IVF/LSH bucket
+    first at scale)."""
+    vecs = vec_corpus(spark, sf_dir, bound=400)
+    normed = vecs.withColumn("nrm", norm(F.col("embedding")))
+    a = normed.select(
+        F.col("vec_id").alias("vec_a"),
+        F.col("embedding").alias("ea"),
+        F.col("nrm").alias("na"),
+    )
+    b = normed.select(
+        F.col("vec_id").alias("vec_b"),
+        F.col("embedding").alias("eb"),
+        F.col("nrm").alias("nb"),
+    )
+    pairs = a.join(b, F.col("vec_a") < F.col("vec_b"))
+    sim = dot(F.col("ea"), F.col("eb")) / (F.col("na") * F.col("nb"))
+    return (
+        pairs.withColumn("cosine_sim", sim)
+        .filter(F.col("cosine_sim") >= 0.95)
+        .select("vec_a", "vec_b", "cosine_sim")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Similarity search: brute-force cosine top-k.
+# ---------------------------------------------------------------------------
+@query(
+    "ann_cosine_topk",
+    oracle=f"""
+    WITH normed AS (
+      SELECT vec_id, embedding, sqrt({sql_dot("embedding", "embedding")}) AS nrm
+      FROM embeddings
+    ),
+    scored AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             {sql_dot("q.embedding", "c.embedding")} / (q.nrm * c.nrm) AS cosine_sim
+      FROM normed q JOIN normed c ON q.vec_id != c.vec_id
+      WHERE q.vec_id % 100 = 0
+    )
+    SELECT query_id, neighbor_id, rank, cosine_sim FROM (
+      SELECT *, row_number() OVER (
+        PARTITION BY query_id ORDER BY cosine_sim DESC, neighbor_id
+      ) AS rank
+      FROM scored
+    )
+    WHERE rank <= 10
+    """,
+)
+def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine top-10 for every 100th vector as query. Queries are
+    broadcast; scoring is a map-side loop over the corpus scan; the only
+    shuffle is the per-query top-k window. Dot products are ordered
+    double folds — bit-identical to the DuckDB oracle."""
+    e = table(spark, sf_dir, "embeddings")
+    normed = e.withColumn("nrm", norm(F.col("embedding")))
+    q = normed.filter(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qvec"),
+        F.col("nrm").alias("qnrm"),
+    )
+    c = normed.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").alias("cvec"),
+        F.col("nrm").alias("cnrm"),
+    )
+    scored = c.join(
+        F.broadcast(q), F.col("query_id") != F.col("neighbor_id")
+    ).withColumn(
+        "cosine_sim",
+        dot(F.col("qvec"), F.col("cvec")) / (F.col("qnrm") * F.col("cnrm")),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine_sim"), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 10)
+        .select("query_id", "neighbor_id", "rank", "cosine_sim")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Similarity search: IVF-bucketed ANN (the scale path).
+# ---------------------------------------------------------------------------
+@query(
+    "ann_ivf_bucketed",
+    oracle=f"""
+    WITH normed AS (
+      SELECT vec_id, embedding, sqrt({sql_dot("embedding", "embedding")}) AS nrm
+      FROM embeddings
+    ),
+    centroids AS (SELECT * FROM normed WHERE vec_id < 8),
+    assigned AS (
+      SELECT vec_id, embedding, nrm, centroid_id FROM (
+        SELECT v.vec_id, v.embedding, v.nrm, c.vec_id AS centroid_id,
+               row_number() OVER (
+                 PARTITION BY v.vec_id
+                 ORDER BY {sql_dot("v.embedding", "c.embedding")} / (v.nrm * c.nrm) DESC,
+                          c.vec_id
+               ) AS rn
+        FROM normed v CROSS JOIN centroids c
+      ) WHERE rn = 1
+    ),
+    scored AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, q.centroid_id,
+             {sql_dot("q.embedding", "c.embedding")} / (q.nrm * c.nrm) AS cosine_sim
+      FROM assigned q
+      JOIN assigned c ON q.centroid_id = c.centroid_id AND q.vec_id != c.vec_id
+      WHERE q.vec_id % 100 = 0
+    )
+    SELECT query_id, centroid_id, neighbor_id, rank, cosine_sim FROM (
+      SELECT *, row_number() OVER (
+        PARTITION BY query_id ORDER BY cosine_sim DESC, neighbor_id
+      ) AS rank
+      FROM scored
+    )
+    WHERE rank <= 5
+    """,
+)
+def ann_ivf_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN: assign every vector to its nearest of 8 deterministic
+    centroids (broadcast join, linear), then search only the query's
+    bucket. The candidate set shrinks by ~K vs brute force — this is
+    how 100 TB ANN stays tractable. Recall is approximate by design."""
+    e = table(spark, sf_dir, "embeddings")
+    normed = e.withColumn("nrm", norm(F.col("embedding")))
+    cents = normed.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("centroid_id"),
+        F.col("embedding").alias("cvec"),
+        F.col("nrm").alias("cnrm"),
+    )
+    sim_c = dot(F.col("embedding"), F.col("cvec")) / (F.col("nrm") * F.col("cnrm"))
+    w_assign = Window.partitionBy("vec_id").orderBy(
+        F.desc("c_sim"), F.col("centroid_id")
+    )
+    assigned = (
+        normed.crossJoin(F.broadcast(cents))
+        .withColumn("c_sim", sim_c)
+        .withColumn("rn", F.row_number().over(w_assign))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "embedding", "nrm", "centroid_id")
+    )
+    q = assigned.filter(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qvec"),
+        F.col("nrm").alias("qnrm"),
+        "centroid_id",
+    )
+    c = assigned.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").alias("cvec2"),
+        F.col("nrm").alias("cnrm2"),
+        F.col("centroid_id").alias("c2"),
+    )
+    scored = q.join(
+        c, (F.col("centroid_id") == F.col("c2")) & (F.col("query_id") != F.col("neighbor_id"))
+    ).withColumn(
+        "cosine_sim",
+        dot(F.col("qvec"), F.col("cvec2")) / (F.col("qnrm") * F.col("cnrm2")),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine_sim"), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 5)
+        .select("query_id", "centroid_id", "neighbor_id", "rank", "cosine_sim")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Text analysis.
+# ---------------------------------------------------------------------------
+def _lang_counts_sql() -> dict[str, str]:
+    return {
+        lang: T.sql_stopword_count("text", sws)
+        for lang, sws in T.LANG_STOPWORDS.items()
+    }
+
+
+_LC = _lang_counts_sql()
+_G = f"greatest({_LC['en']}, {_LC['de']}, {_LC['fr']}, {_LC['es']})"
+
+@query(
+    "text_langid",
+    oracle=f"""
+    SELECT doc_id, lang AS labeled_lang,
+      CAST({_LC['en']} AS INTEGER) AS s_en,
+      CAST({_LC['de']} AS INTEGER) AS s_de,
+      CAST({_LC['fr']} AS INTEGER) AS s_fr,
+      CAST({_LC['es']} AS INTEGER) AS s_es,
+      CASE
+        WHEN {_LC['en']} = {_G} THEN 'en'
+        WHEN {_LC['de']} = {_G} THEN 'de'
+        WHEN {_LC['fr']} = {_G} THEN 'fr'
+        WHEN {_LC['es']} = {_G} THEN 'es'
+        ELSE 'unknown'
+      END AS predicted_lang
+    FROM documents
+    """,
+)
+def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-profile language ID (the n-gram heuristic family) —
+    pure Column exprs, one scan, no shuffle."""
+    d = table(spark, sf_dir, "documents")
+    scores = T.lang_scores(F.col("text"))
+    return d.select(
+        "doc_id",
+        F.col("lang").alias("labeled_lang"),
+        *[scores[lang].alias(f"s_{lang}") for lang in T.LANG_STOPWORDS],
+        T.predict_lang(F.col("text")).alias("predicted_lang"),
+    )
+
+
+@query(
+    "text_quality_score",
+    oracle=f"""
+    SELECT doc_id,
+      CAST(length(text) AS INTEGER) AS n_chars,
+      CAST(len(str_split(lower(text), ' ')) AS INTEGER) AS n_words,
+      {T.sql_stopword_count("text", T.LANG_STOPWORDS["en"])} / len(str_split(lower(text), ' ')) AS stop_ratio,
+      length(regexp_replace(lower(text), '[^a-z]', '', 'g')) / length(text) AS alpha_ratio,
+      length(replace(text, ' ', '')) / len(str_split(lower(text), ' ')) AS mean_word_len,
+      0.4 * ({T.sql_stopword_count("text", T.LANG_STOPWORDS["en"])} / len(str_split(lower(text), ' ')))
+        + 0.4 * (length(regexp_replace(lower(text), '[^a-z]', '', 'g')) / length(text))
+        + 0.2 * (CASE WHEN length(replace(text, ' ', '')) / len(str_split(lower(text), ' ')) >= 2.0
+                       AND length(replace(text, ' ', '')) / len(str_split(lower(text), ' ')) <= 12.0
+                      THEN 1.0 ELSE 0.0 END) AS quality
+    FROM documents
+    """,
+)
+def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document quality heuristics: length, stopword density, alphabetic
+    density, word-length sanity -> composite score. One scan, codegen'd."""
+    d = table(spark, sf_dir, "documents")
+    t = F.col("text")
+    return d.select(
+        "doc_id",
+        F.length(t).alias("n_chars"),
+        T.n_words(t).alias("n_words"),
+        T.stop_ratio(t).alias("stop_ratio"),
+        T.alpha_ratio(t).alias("alpha_ratio"),
+        T.mean_word_len(t).alias("mean_word_len"),
+        T.quality_score(t).alias("quality"),
+    )
+
+
+@query(
+    "text_token_count",
+    oracle=r"""
+    SELECT doc_id,
+      CAST(len(str_split_regex(trim(text), '\s+')) AS INTEGER) AS n_ws_tokens,
+      CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS INTEGER) AS n_re_tokens,
+      CAST(len(list_distinct(str_split_regex(trim(lower(text)), '\s+'))) AS INTEGER) AS n_distinct_tokens
+    FROM documents
+    """,
+)
+def text_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting: whitespace tokens + BPE-ish regex pre-tokens +
+    distinct-token vocabulary size."""
+    d = table(spark, sf_dir, "documents")
+    t = F.col("text")
+    return d.select(
+        "doc_id",
+        T.n_ws_tokens(t).alias("n_ws_tokens"),
+        T.n_re_tokens(t).alias("n_re_tokens"),
+        T.n_distinct_tokens(t).alias("n_distinct_tokens"),
+    )
+
+
+@query(
+    "text_fingerprint",
+    oracle=f"""
+    WITH {corpus_cte()}
+    SELECT doc_id, {T.sql_fingerprint("text")} AS fp,
+           substr({T.sql_fingerprint("text")}, 1, 8) AS fp_prefix
+    FROM corpus
+    """,
+)
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Normalized content fingerprint (md5 of lower/strip/collapse) —
+    the join key for fuzzy-exact dedup across formatting variants."""
+    c = corpus(spark, sf_dir)
+    fp = T.fingerprint(F.col("text"))
+    return c.select(
+        "doc_id", fp.alias("fp"), F.substring(fp, 1, 8).alias("fp_prefix")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Multimodal plumbing (mapInPandas stubs over binary payloads).
+# ---------------------------------------------------------------------------
+@query(
+    "multimodal_decode_meta",
+    oracle="""
+    SELECT doc_id,
+      CAST(octet_length(encode(text)) AS INTEGER) AS n_bytes,
+      md5(text) AS checksum,
+      CAST(64 + octet_length(encode(text)) % 64 AS INTEGER) AS width,
+      CAST(64 + (octet_length(encode(text)) * 7) % 64 AS INTEGER) AS height,
+      'fake' AS format
+    FROM documents
+    """,
+)
+def multimodal_decode_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary payload -> typed image metadata through REAL mapInPandas
+    plumbing (Arrow batches, fixed schema); the codec itself is a
+    deterministic fake (see operators.multimodal — real decode stubs
+    NotImplementedError since no image libs ship in this env)."""
+    d = with_text_payload(table(spark, sf_dir, "documents"))
+    return decode_images(d)
+
+
+@query(
+    "multimodal_frame_sample",
+    oracle="""
+    SELECT doc_id,
+      CAST(i AS INTEGER) AS frame_index,
+      md5(substr(text, CAST(i * 96 + 1 AS INTEGER), 32)) AS frame_checksum
+    FROM documents, (SELECT unnest(range(0, 1000)) AS i)
+    WHERE i * 96 < length(text)
+    """,
+)
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1->N frame sampling via mapInPandas (every 96 bytes emit a
+    32-byte 'frame' + checksum) — the video-frame-extraction shape with
+    a byte-slicing stand-in for a codec."""
+    d = with_text_payload(table(spark, sf_dir, "documents"))
+    frames = sample_frames(d, frame_size=32, stride=96)
+    return frames.select("doc_id", "frame_index", "frame_checksum")
