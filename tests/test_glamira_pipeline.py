@@ -1,0 +1,218 @@
+"""End-to-end tests of the Glamira warehouse DAG over synthetic raw data.
+
+Three layers, mirroring the reference's test strategy (SURVEY.md §5)
+plus a DuckDB differential check it lacks:
+1. dbt-style constraint tests (unique/not_null) from schema.yml
+2. audit metric sanity (null rates, orphan rates within expectations)
+3. DuckDB replication of stg_order's hairiest semantics (double
+   LEFT JOIN UNNEST WITH OFFSET + localized price parse) over the SAME
+   generated parquet — full differential on the flattened line items.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from glamira_batch_processing_spark.plans.checks import (
+    check_accepted_values,
+    check_not_null,
+    check_unique,
+)
+from glamira_batch_processing_spark.plans.glamira import build_glamira_pipeline
+from glamira_batch_processing_spark.sources.raw_generator import write_raw_tables
+
+N_EVENTS = 8000
+
+
+@pytest.fixture(scope="module")
+def glamira(spark, tmp_path_factory):
+    base = tmp_path_factory.mktemp("glamira")
+    paths = write_raw_tables(spark, str(base / "raw"), n_events=N_EVENTS)
+    p = build_glamira_pipeline(
+        spark,
+        raw_events=spark.read.parquet(paths["raw_events"]),
+        raw_product=spark.read.parquet(paths["raw_product"]),
+        raw_ip_locations=spark.read.parquet(paths["raw_ip_locations"]),
+        workdir=str(base / "models"),
+    )
+    p.run()
+    return p, paths
+
+
+def test_stg_order_constraints(glamira):
+    p, _ = glamira
+    o = p.ref("stg_order")
+    assert check_unique(o, "item_key") == 0
+    assert check_not_null(o, ["order_id", "time_stamp", "event_ts", "store_id"]) == 0
+    assert o.count() > 0
+    # NULL carts are impossible here (every checkout has items), but NULL
+    # option arrays must have survived the outer explode:
+    assert o.filter(F.col("option_id").isNull()).count() > 0
+
+
+def test_stg_customer_constraints(glamira):
+    p, _ = glamira
+    c = p.ref("stg_customer")
+    assert check_unique(c, ["email_address", "user_db_id"]) == 0
+    assert check_not_null(c, ["email_address", "user_db_id"]) == 0
+    assert check_accepted_values(
+        c, "has_email_multiple_user_ids", ["Unique", "Multiple"]
+    ) == 0
+    # generator maps emails (mod 400) across users (mod 500) -> multiples exist
+    assert c.filter(F.col("has_email_multiple_user_ids") == "Multiple").count() > 0
+
+
+def test_stg_product_constraints(glamira):
+    p, _ = glamira
+    pr = p.ref("stg_product")
+    assert check_not_null(pr, ["product_key", "sku"]) == 0
+    assert check_unique(pr, "product_id") == 0
+    # unparsable weights became NULL via try_cast, not errors
+    assert pr.filter(F.col("gold_weight").isNull()).count() > 0
+
+
+def test_stg_location_constraints(glamira):
+    p, _ = glamira
+    loc = p.ref("stg_location")
+    assert check_unique(loc, "ip") == 0
+    assert check_not_null(loc, ["location_key", "ip"]) == 0
+    dim = p.ref("mart_dim_location")
+    assert check_unique(dim, "location_key") == 0
+
+
+def test_mart_dims(glamira):
+    p, _ = glamira
+    dc = p.ref("mart_dim_customer")
+    assert check_unique(dc, "user_db_id") == 0
+    dd = p.ref("mart_dim_date")
+    assert dd.count() == 13149  # 2015-01-01 .. 2050-12-31 (BASELINE.md)
+    assert check_unique(dd, "date") == 0
+
+
+def test_mart_fact_order(glamira):
+    p, _ = glamira
+    f = p.ref("mart_fact_order")
+    assert check_unique(f, "item_key") == 0
+    assert f.count() == p.ref("stg_order").count()
+    # INFERRED rows exist (ambiguous $/kr + mapped TLD) and carry fx
+    inferred = f.filter(F.col("currency_status") == "INFERRED")
+    assert inferred.count() > 0
+    assert inferred.filter(F.col("line_total_amount_usd").isNotNull()).count() > 0
+    # UNKNOWN-currency rows have NULL usd amounts
+    assert (
+        f.filter(F.col("currency_code").isNull())
+        .filter(F.col("line_total_amount_usd").isNotNull())
+        .count()
+        == 0
+    )
+
+
+def test_scd2_snapshot(glamira):
+    p, _ = glamira
+    scd = p.ref("customer_email_scd")
+    assert check_not_null(scd, ["user_db_id", "email_address", "event_ts"]) == 0
+    # rn=1 is unique per user (current marker, W3)
+    current = scd.filter(F.col("rn") == 1)
+    assert check_unique(current, "user_db_id") == 0
+
+
+def test_qa_and_audit(glamira):
+    p, _ = glamira
+    qa = p.ref("int_order_qa")
+    total = qa.count()
+    valid = qa.filter(F.col("is_row_valid")).count()
+    assert 0 < valid < total  # generator injects both clean and dirty rows
+    nr = p.ref("audit_null_rates_stg_order").collect()[0]
+    assert nr.rows_total == total
+    assert 0 < nr.null_rate_user_db_id < 1
+    orr = p.ref("audit_orphan_rates").collect()[0]
+    assert orr.fact_rows == total
+    assert 0 < orr.orphan_location_rate < 0.2  # ~2% orphan ips + specials
+    assert orr.orphan_product_rate < 0.2
+
+
+def test_stg_order_vs_duckdb(glamira, spark):
+    """Differential: replicate stg_order's flatten+parse in DuckDB over
+    the same parquet and compare the full flattened line-item set."""
+    import duckdb
+
+    p, paths = glamira
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW raw_events AS SELECT * FROM '{paths['raw_events']}/*.parquet'"
+    )
+    duck = con.sql(
+        """
+        WITH base AS (
+          SELECT order_id, time_stamp, ip, cart_products
+          FROM raw_events WHERE collection = 'checkout_success'
+        ),
+        li AS (
+          SELECT order_id, time_stamp, ip,
+                 generate_subscripts(cart_products, 1) - 1 AS cp_offset,
+                 unnest(cart_products) AS cp
+          FROM base WHERE cart_products IS NOT NULL
+        ),
+        flat AS (
+          SELECT order_id, time_stamp, ip, cp_offset,
+                 TRY_CAST(cp.product_id AS BIGINT) AS product_id,
+                 TRY_CAST(cp.amount AS BIGINT) AS product_quantity,
+                 cp.price AS price_raw,
+                 cp.option AS opts
+          FROM li
+        ),
+        with_opts AS (
+          SELECT order_id, time_stamp, ip, cp_offset, product_id,
+                 product_quantity, price_raw,
+                 generate_subscripts(opts, 1) - 1 AS opt_offset,
+                 unnest(opts) AS opt
+          FROM flat WHERE opts IS NOT NULL AND len(opts) > 0
+          UNION ALL
+          SELECT order_id, time_stamp, ip, cp_offset, product_id,
+                 product_quantity, price_raw, NULL, NULL
+          FROM flat WHERE opts IS NULL OR len(opts) = 0
+        )
+        SELECT order_id, cp_offset, opt_offset,
+               opt.option_id AS option_id,
+               product_id, product_quantity,
+               CAST(TRY_CAST(
+                 trim(replace(
+                   CASE
+                     WHEN strpos(replace(price_raw, '٫', '.'), ',') > 0
+                          AND strpos(replace(price_raw, '٫', '.'), '.') > 0 THEN
+                       CASE WHEN strpos(replace(price_raw, '٫', '.'), ',')
+                                 < strpos(replace(price_raw, '٫', '.'), '.')
+                            THEN replace(replace(price_raw, '٫', '.'), ',', '')
+                            ELSE replace(replace(replace(price_raw, '٫', '.'), '.', ''), ',', '.')
+                       END
+                     WHEN strpos(replace(price_raw, '٫', '.'), ',') > 0
+                       THEN replace(replace(price_raw, '٫', '.'), ',', '.')
+                     ELSE replace(price_raw, '٫', '.')
+                   END, ' ', ''))
+                 AS DECIMAL(38,9)) AS DOUBLE) AS product_price
+        FROM with_opts
+        """
+    ).df()
+
+    o = p.ref("stg_order").select(
+        "order_id",
+        "cp_offset",
+        "opt_offset",
+        "option_id",
+        "product_id",
+        "product_quantity",
+        F.col("product_price").cast("double").alias("product_price"),
+    )
+    spdf = o.toPandas()
+
+    def normset(pdf):
+        cols = sorted(pdf.columns)
+        return sorted(
+            tuple("NULL" if v is None or v != v else repr(v) if isinstance(v, float) else str(v) for v in row)
+            for row in pdf[cols].itertuples(index=False, name=None)
+        )
+
+    s, d = normset(spdf), normset(duck)
+    assert len(s) == len(d), f"row counts differ: spark={len(s)} duck={len(d)}"
+    assert s == d
