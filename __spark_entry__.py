@@ -24,6 +24,7 @@ from glamira_batch_processing_spark.plans import (  # noqa: F401
     audit_qa_queries,
     core_queries,
     datapipe_queries,
+    e2e_queries,
     scalar_queries,
     window_queries,
 )
@@ -32,7 +33,7 @@ from glamira_batch_processing_spark.plans.registry import ORACLE, QUERIES
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    return QUERIES["q1_pricing_summary"](spark, "/root/testdata/sf0.001")
+    return QUERIES["glamira_e2e_revenue_rollup"](spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -1,0 +1,201 @@
+"""Flagship end-to-end contract query: the Glamira order-flattening
+spine expressed over the driver's TPC-H-ish tables.
+
+Builds nested cart_products from lineitem (collect_list of structs),
+then runs the reference's stg_order semantics — null-preserving double
+flatten, localized price parse, composite item key, line totals — and
+a revenue rollup. Exercises J1+F3+F5+F7+A-family in one plan, with a
+full DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.cleaning import parse_localized_number, parse_localized_number_sql
+from ..functions.keys import key_input
+from .registry import query, table
+
+# Localized price string variants built from the 2dp decimal rendering
+# of l_extendedprice (same trick as f3, keyed by orderkey+linenumber).
+_PRICE_SQL = """
+          CASE
+            WHEN (l_orderkey + l_linenumber) % 4 = 0 THEN replace(base, '.', ',')
+            WHEN (l_orderkey + l_linenumber) % 4 = 1 THEN concat('1.', replace(base, '.', ','))
+            WHEN (l_orderkey + l_linenumber) % 4 = 2 THEN concat('1,', base)
+            ELSE base
+          END
+"""
+
+@query(
+    "glamira_e2e_order_flatten",
+    oracle=f"""
+    WITH li AS (
+      SELECT l_orderkey, l_linenumber, l_partkey,
+             CAST(CAST(l_extendedprice AS DECIMAL(12,2)) AS VARCHAR) AS base,
+             CAST(l_quantity AS BIGINT) AS amount
+      FROM lineitem
+    ),
+    carts AS (
+      SELECT l_orderkey,
+             list(struct_pack(
+               ln := l_linenumber,
+               product_id := l_partkey,
+               amount := amount,
+               price := {_PRICE_SQL}
+             ) ORDER BY l_linenumber, l_partkey, amount, {_PRICE_SQL}) AS cart
+      FROM li
+      GROUP BY l_orderkey
+    ),
+    base AS (
+      SELECT o.o_orderkey, o.o_custkey,
+             CASE WHEN o.o_orderkey % 10 = 0 THEN NULL ELSE c.cart END AS cart
+      FROM orders o LEFT JOIN carts c ON o.o_orderkey = c.l_orderkey
+    ),
+    flat AS (
+      SELECT o_orderkey, o_custkey,
+             generate_subscripts(cart, 1) - 1 AS pos,
+             unnest(cart) AS cp
+      FROM base WHERE cart IS NOT NULL
+    ),
+    items AS (
+      SELECT o_orderkey, o_custkey, pos,
+             cp.product_id AS product_id,
+             cp.amount AS quantity,
+             cp.price AS price_raw,
+             CAST({parse_localized_number_sql("cp.price", 18, 4)} AS DOUBLE) AS price,
+             CAST(cp.amount * {parse_localized_number_sql("cp.price", 18, 4)} AS DOUBLE) AS line_total,
+             concat_ws('|',
+               coalesce(CAST(o_orderkey AS VARCHAR), ''),
+               coalesce(CAST(cp.product_id AS VARCHAR), ''),
+               coalesce(CAST(pos AS VARCHAR), '-1')
+             ) AS item_key_input
+      FROM flat
+      UNION ALL
+      SELECT o_orderkey, o_custkey, NULL, NULL, NULL, NULL, NULL, NULL,
+             concat_ws('|', coalesce(CAST(o_orderkey AS VARCHAR), ''), '', '-1')
+      FROM base WHERE cart IS NULL
+    )
+    SELECT o_orderkey, o_custkey, pos, product_id, quantity, price_raw,
+           price, line_total, item_key_input
+    FROM items
+    """,
+)
+def glamira_e2e_order_flatten(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The stg_order spine over TPC-H shapes (ref: stg_order.sql:29-135):
+    nested line items -> LEFT JOIN UNNEST WITH OFFSET -> localized price
+    parse -> composite item key -> line totals. Orders with key%10==0
+    get a NULL cart and must survive the outer explode with NULL pos."""
+    li = table(spark, sf_dir, "lineitem")
+    ok, ln = F.col("l_orderkey"), F.col("l_linenumber")
+    base = F.col("l_extendedprice").cast("decimal(12,2)").cast("string")
+    price = (
+        F.when((ok + ln) % 4 == 0, F.regexp_replace(base, "\\.", ","))
+        .when((ok + ln) % 4 == 1, F.concat(F.lit("1."), F.regexp_replace(base, "\\.", ",")))
+        .when((ok + ln) % 4 == 2, F.concat(F.lit("1,"), base))
+        .otherwise(base)
+    )
+    items = li.select(
+        "l_orderkey",
+        F.struct(
+            ln.alias("ln"),
+            F.col("l_partkey").alias("product_id"),
+            F.col("l_quantity").cast("long").alias("amount"),
+            price.alias("price"),
+        ).alias("item"),
+    )
+    carts = items.groupBy("l_orderkey").agg(
+        F.array_sort(F.collect_list("item")).alias("cart")
+    )
+    o = table(spark, sf_dir, "orders")
+    based = o.join(carts, o.o_orderkey == carts.l_orderkey, "left").select(
+        "o_orderkey",
+        "o_custkey",
+        F.when(F.col("o_orderkey") % 10 == 0, F.lit(None)).otherwise(F.col("cart")).alias("cart"),
+    )
+    flat = based.select(
+        "o_orderkey", "o_custkey", F.posexplode_outer("cart").alias("pos", "cp")
+    )
+    parsed = parse_localized_number(F.col("cp.price"), 18, 4)
+    return flat.select(
+        "o_orderkey",
+        "o_custkey",
+        "pos",
+        F.col("cp.product_id").alias("product_id"),
+        F.col("cp.amount").alias("quantity"),
+        F.col("cp.price").alias("price_raw"),
+        parsed.cast("double").alias("price"),
+        (F.col("cp.amount") * parsed).cast("double").alias("line_total"),
+        key_input(
+            F.col("o_orderkey"),
+            F.col("cp.product_id"),
+            F.coalesce(F.col("pos"), F.lit(-1)),
+        ).alias("item_key_input"),
+    )
+
+
+@query(
+    "glamira_e2e_revenue_rollup",
+    oracle=f"""
+    WITH li AS (
+      SELECT l_orderkey, l_linenumber,
+             CAST(CAST(l_extendedprice AS DECIMAL(12,2)) AS VARCHAR) AS base,
+             CAST(l_quantity AS BIGINT) AS amount
+      FROM lineitem
+    ),
+    parsed AS (
+      SELECT l_orderkey,
+             amount * {parse_localized_number_sql(_PRICE_SQL.strip(), 18, 4)} AS line_total
+      FROM li
+    ),
+    joined AS (
+      SELECT n.n_name, strftime(CAST(o.o_orderdate AS DATE), '%Y-%m') AS order_month,
+             p.line_total
+      FROM parsed p
+      JOIN orders o ON p.l_orderkey = o.o_orderkey
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      JOIN nation n ON c.c_nationkey = n.n_nationkey
+    )
+    SELECT n_name AS nation_name, order_month,
+           CAST(SUM(line_total) AS DOUBLE) AS revenue,
+           COUNT(*) AS n_items
+    FROM joined
+    GROUP BY 1, 2
+    """,
+)
+def glamira_e2e_revenue_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship rollup (ref: the mart_fact_order -> revenue-by-geo-month
+    path, SURVEY §7.3): parse messy prices, join dims, aggregate revenue
+    by nation x month in exact decimal."""
+    li = table(spark, sf_dir, "lineitem")
+    ok, ln = F.col("l_orderkey"), F.col("l_linenumber")
+    base = F.col("l_extendedprice").cast("decimal(12,2)").cast("string")
+    price_raw = (
+        F.when((ok + ln) % 4 == 0, F.regexp_replace(base, "\\.", ","))
+        .when((ok + ln) % 4 == 1, F.concat(F.lit("1."), F.regexp_replace(base, "\\.", ",")))
+        .when((ok + ln) % 4 == 2, F.concat(F.lit("1,"), base))
+        .otherwise(base)
+    )
+    parsed = li.select(
+        "l_orderkey",
+        (
+            F.col("l_quantity").cast("long") * parse_localized_number(price_raw, 18, 4)
+        ).alias("line_total"),
+    )
+    o = table(spark, sf_dir, "orders")
+    c = table(spark, sf_dir, "customer")
+    n = F.broadcast(table(spark, sf_dir, "nation"))
+    return (
+        parsed.join(o, parsed.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(n, c.c_nationkey == n.n_nationkey)
+        .groupBy(
+            F.col("n_name").alias("nation_name"),
+            F.date_format("o_orderdate", "yyyy-MM").alias("order_month"),
+        )
+        .agg(
+            F.sum("line_total").cast("double").alias("revenue"),
+            F.count("*").alias("n_items"),
+        )
+    )
