@@ -103,17 +103,31 @@ def infer_currency_from_tld(status: Column, current_url: Column) -> Column:
     return expr.otherwise(F.lit(None))
 
 
-def fx_rates(spark: SparkSession, rows: list[tuple] | None = None) -> DataFrame:
+FX_SCHEMA = "fx_date date, base_code string, currency_code string, usd_to_ccy double"
+
+
+def fx_rates(
+    spark: SparkSession,
+    rows: list[tuple] | None = None,
+    csv_path: str | None = None,
+) -> DataFrame:
     """The fx seed as a small broadcast-able DataFrame.
 
-    ref: seeds/fx_to_usd_22_01_26.csv (34 rows, one fx_date). Semantics:
-    1 USD = ``usd_to_ccy`` units of ``currency_code``, so
+    ref: seeds/fx_to_usd_22_01_26.csv + dbt_project.yml:49-57 (typed
+    seed, S9 in SURVEY §2.1): 34 rows, one fx_date. Semantics: 1 USD =
+    ``usd_to_ccy`` units of ``currency_code``, so
     ``amount_usd = amount_ccy / usd_to_ccy``.
+
+    By default loads the packaged CSV seed with an explicit typed schema
+    (the dbt column_types analog); ``rows`` overrides for tests.
     """
-    data = rows or FX_SEED_ROWS
-    return spark.createDataFrame(
-        data, "fx_date date, base_code string, currency_code string, usd_to_ccy double"
-    )
+    if rows is not None:
+        return spark.createDataFrame(rows, FX_SCHEMA)
+    if csv_path is None:
+        from pathlib import Path
+
+        csv_path = str(Path(__file__).resolve().parent.parent / "seeds" / "fx_to_usd.csv")
+    return spark.read.csv(csv_path, header=True, schema=FX_SCHEMA)
 
 
 import datetime as _dt

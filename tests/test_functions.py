@@ -1,0 +1,100 @@
+"""Unit tests for the Column-expression function layer."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from glamira_batch_processing_spark.functions.cleaning import (
+    clean_string,
+    parse_localized_number,
+    user_id_status,
+)
+from glamira_batch_processing_spark.functions.currency import (
+    currency_code_expr,
+    currency_status_expr,
+    fx_rates,
+    infer_currency_from_tld,
+)
+
+
+@pytest.mark.parametrize(
+    "raw,expected",
+    [
+        ("1234.56", "1234.560000000"),
+        ("1.234,56", "1234.560000000"),   # European
+        ("1,234.56", "1234.560000000"),   # US thousands
+        ("1234,56", "1234.560000000"),    # decimal comma
+        # NOTE: Spark's cast parses Arabic-Indic digits (DuckDB/BigQuery
+        # would not) — oracle queries therefore only ever use the '٫'
+        # separator with ASCII digits.
+        ("١٢٣٤٫56", "1234.560000000"),
+        ("1234٫56", "1234.560000000"),    # arabic decimal separator
+        (" 1 234,56 ", "1234.560000000"), # embedded spaces
+        ("N/A", None),
+        ("", None),
+        (None, None),
+        ("1,2.3,4", "12.340000000"),      # pathological: comma seen first
+                                          # -> thousands sep, all removed
+    ],
+)
+def test_parse_localized_number(spark, raw, expected):
+    """Port parity of stg_order.sql:37-61 (ref behavior, incl. the
+    STRPOS first-occurrence disambiguation)."""
+    df = spark.createDataFrame([(raw,)], "price string")
+    got = df.select(parse_localized_number(F.col("price"), 38, 9).alias("p")).collect()[0].p
+    assert (str(got) if got is not None else None) == expected
+
+
+def test_user_id_status(spark):
+    rows = [(None,), ("",), (" "," "), ("null",), ("N/A",), ("undefined",), ("123",)]
+    df = spark.createDataFrame([(r[0],) for r in rows], "u string")
+    got = [r.s for r in df.select(user_id_status(F.col("u")).alias("s")).collect()]
+    assert got == ["NULL", "EMPTY", "EMPTY", "FAKE_NULL", "FAKE_NULL", "FAKE_NULL", "VALID"]
+
+
+def test_clean_string(spark):
+    df = spark.createDataFrame(
+        [("  x  ",), ("null",), ("",), (None,), ("ok",)], "v string"
+    )
+    got = [r.c for r in df.select(clean_string(F.col("v")).alias("c")).collect()]
+    assert got == ["x", None, None, None, "ok"]
+
+
+def test_currency_mapping(spark):
+    df = spark.createDataFrame(
+        [("USD $", "https://www.glamira.com/x"),
+         ("€", "https://www.glamira.de/x"),
+         ("$", "https://www.glamira.de/x"),
+         ("kr", "https://www.glamira.se/x"),
+         ("$", "https://www.glamira.co.uk/x"),
+         ("???", "https://www.glamira.fr/x"),
+         ("", "https://www.glamira.fr/x")],
+        "cur string, url string",
+    )
+    out = df.select(
+        currency_code_expr(F.col("cur")).alias("code"),
+        currency_status_expr(F.col("cur")).alias("status"),
+        infer_currency_from_tld(
+            currency_status_expr(F.col("cur")), F.col("url")
+        ).alias("inferred"),
+    ).collect()
+    assert (out[0].code, out[0].status) == ("USD", "CLEAN")
+    assert (out[1].code, out[1].status) == ("EUR", "CLEAN")
+    assert (out[2].code, out[2].status, out[2].inferred) == (None, "AMBIGUOUS", "EUR")
+    assert (out[3].code, out[3].status, out[3].inferred) == (None, "AMBIGUOUS", "SEK")
+    assert (out[4].inferred) == "GBP"  # co.uk host special case
+    assert (out[5].code, out[5].status) == (None, "UNKNOWN")
+    assert (out[6].status) == "UNKNOWN"
+
+
+def test_fx_seed_csv(spark):
+    """S9: typed CSV seed load — 34 rows, USD rate exactly 1.0."""
+    fx = fx_rates(spark)
+    assert fx.count() == 34
+    assert dict(fx.dtypes) == {
+        "fx_date": "date", "base_code": "string",
+        "currency_code": "string", "usd_to_ccy": "double",
+    }
+    usd = fx.filter(F.col("currency_code") == "USD").collect()[0]
+    assert usd.usd_to_ccy == 1.0

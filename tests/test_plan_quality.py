@@ -1,0 +1,94 @@
+"""Physical-plan audits: the scale posture is part of correctness.
+
+Each test asserts the plan shape we designed for — filters reach the
+parquet scan, small dims broadcast, top-k avoids a global sort, column
+pruning reaches ReadSchema — so a regression that silently degrades the
+100 TB plan fails CI, not just the benchmark.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+import __spark_entry__  # noqa: F401  (populates the registry)
+from glamira_batch_processing_spark.plans.registry import QUERIES, table
+from tests.conftest import SF_SMALL
+
+
+def plan_of(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def optimized_of(df) -> str:
+    return df._jdf.queryExecution().optimizedPlan().toString()
+
+
+def test_filter_pushdown_reaches_scan(spark):
+    """q1's shipdate filter must appear as a parquet PushedFilters entry."""
+    df = QUERIES["q1_pricing_summary"](spark, SF_SMALL)
+    plan = plan_of(df)
+    assert "PushedFilters: [" in plan
+    assert "l_shipdate" in plan.split("PushedFilters:")[1][:200]
+
+
+def test_column_pruning_reaches_scan(spark):
+    """A 2-column projection must not read all 11 lineitem columns."""
+    df = table(spark, SF_SMALL, "lineitem").select("l_orderkey", "l_quantity")
+    plan = plan_of(df)
+    read_schema = plan.split("ReadSchema:")[1].splitlines()[0]
+    assert "l_orderkey" in read_schema and "l_quantity" in read_schema
+    assert "l_comment" not in read_schema and "l_extendedprice" not in read_schema
+
+
+def test_dim_joins_broadcast(spark):
+    """j2's nation/region (and AQE-sized customer) joins must be
+    broadcast — no shuffle join against a 25-row dim."""
+    df = QUERIES["j2_revenue_by_nation"](spark, SF_SMALL)
+    plan = plan_of(df)
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "SortMergeJoin" not in plan
+
+
+def test_topk_avoids_global_sort(spark):
+    """o4 must plan TakeOrderedAndProject (per-partition top-k + k-row
+    merge), never a full Exchange+Sort of the table."""
+    df = QUERIES["o4_topk_composite_order"](spark, SF_SMALL)
+    plan = plan_of(df)
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_latest_snapshot_is_broadcast_semi(spark):
+    """p6's scalar-max filter is a broadcast join, not a driver collect."""
+    df = QUERIES["p6_latest_snapshot_filter"](spark, SF_SMALL)
+    assert "BroadcastHashJoin" in plan_of(df)
+
+
+def test_lsh_shuffle_count(spark):
+    """LSH plan: shingle explode must NOT introduce a dedup exchange —
+    exchanges only for the minhash groupBy and the bucket join + final
+    distinct."""
+    from glamira_batch_processing_spark.operators.dedup import lsh_candidate_pairs
+    from glamira_batch_processing_spark.plans.datapipe_queries import corpus
+
+    df = lsh_candidate_pairs(corpus(spark, SF_SMALL))
+    optimized = optimized_of(df)
+    # no Deduplicate/Aggregate directly over the raw shingle explode
+    plan = plan_of(df)
+    n_exchanges = plan.count("Exchange ")
+    assert n_exchanges <= 6, f"too many shuffles in LSH plan: {n_exchanges}\n{plan}"
+
+
+def test_fact_write_partition_prunes(spark, tmp_path):
+    """partitionBy(date) tables must prune partitions on a date filter."""
+    from glamira_batch_processing_spark.sources.writers import write_partitioned
+
+    path = str(tmp_path / "fact")
+    df = table(spark, SF_SMALL, "orders").withColumn(
+        "date", F.date_format("o_orderdate", "yyyy-MM")
+    )
+    write_partitioned(df, path, partition_col="date")
+    back = spark.read.parquet(path).filter(F.col("date") == "1996-01")
+    plan = plan_of(back)
+    m = plan.split("PartitionFilters:")[1].splitlines()[0]
+    assert "date" in m
