@@ -25,6 +25,7 @@ from glamira_batch_processing_spark.plans import (  # noqa: F401
     core_queries,
     datapipe_queries,
     e2e_queries,
+    misc_queries,
     scalar_queries,
     window_queries,
 )

@@ -1,0 +1,108 @@
+"""Remaining small operator families: A7, P5, J12, F7 (SURVEY §2)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.cleaning import safe_divide
+from .registry import query, table
+
+
+@query(
+    "a7_group_max_count",
+    oracle="""
+    SELECT user_id, event_type,
+           max(value) AS max_value,
+           COUNT(*) AS n_events
+    FROM events
+    GROUP BY user_id, event_type
+    """,
+)
+def a7_group_max_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Group-and-count with max flag (ref: step1_collect_product_urls.py
+    :124-155 pid_url_stats driver loop — A7, rebuilt as one groupBy).
+    max() passes stored doubles through unchanged — no arithmetic, so no
+    cross-engine float concerns."""
+    e = table(spark, sf_dir, "events")
+    return e.groupBy("user_id", "event_type").agg(
+        F.max("value").alias("max_value"), F.count("*").alias("n_events")
+    )
+
+
+@query(
+    "p5_drop_columns",
+    oracle="""
+    SELECT * EXCLUDE (o_orderstatus, o_orderpriority, o_orderdate),
+           strftime(CAST(o_orderdate AS DATE), '%Y-%m-%d') AS order_date
+    FROM orders
+    """,
+)
+def p5_drop_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SELECT * EXCEPT(...) column-drop projection (ref:
+    mart_fact_order.sql:210,219 — P5)."""
+    o = table(spark, sf_dir, "orders")
+    return o.withColumn(
+        "order_date", F.date_format("o_orderdate", "yyyy-MM-dd")
+    ).drop("o_orderstatus", "o_orderpriority", "o_orderdate")
+
+
+@query(
+    "j12_multikey_join",
+    oracle="""
+    WITH first_per_pair AS (
+      SELECT user_id, event_type, min(event_id) AS first_event_id
+      FROM events GROUP BY user_id, event_type
+    )
+    SELECT e.event_id, e.user_id, e.event_type,
+           f.first_event_id,
+           e.event_id = f.first_event_id AS is_first_of_kind
+    FROM events e
+    LEFT JOIN first_per_pair f
+      ON e.user_id = f.user_id AND e.event_type = f.event_type
+    """,
+)
+def j12_multikey_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-column-key equi join (ref: Incremental_load_template.sql:50-57
+    user_id AND email_address — J12)."""
+    e = table(spark, sf_dir, "events")
+    first = e.groupBy("user_id", "event_type").agg(
+        F.min("event_id").alias("first_event_id")
+    )
+    return e.join(first, ["user_id", "event_type"], "left").select(
+        "event_id",
+        "user_id",
+        "event_type",
+        "first_event_id",
+        (F.col("event_id") == F.col("first_event_id")).alias("is_first_of_kind"),
+    )
+
+
+@query(
+    "f7_math_ops",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+      CAST(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2)) AS DOUBLE) AS line_total,
+      CAST(round(CAST(l_extendedprice AS DECIMAL(18,2)), 1) AS DOUBLE) AS price_rounded,
+      abs(-l_quantity) AS qty_abs,
+      CASE WHEN (l_linenumber % 3) = 0 THEN NULL
+           ELSE l_quantity / (l_linenumber % 3) END AS safe_ratio
+    FROM lineitem
+    """,
+)
+def f7_math_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Math family (ref: stg_order.sql:131 multiply, mart_fact_order.sql
+    :190-201 divide, audit null rates SAFE_DIVIDE, Incremental template
+    ROUND/ABS — F7). ROUND happens on exact decimal, never double (the
+    engines disagree on double rounding via shortest-string repr)."""
+    l = table(spark, sf_dir, "lineitem")
+    qty_dec = F.col("l_quantity").cast("decimal(18,2)")
+    price_dec = F.col("l_extendedprice").cast("decimal(18,2)")
+    return l.select(
+        "l_orderkey",
+        "l_linenumber",
+        (qty_dec * price_dec).cast("double").alias("line_total"),
+        F.round(price_dec, 1).cast("double").alias("price_rounded"),
+        F.abs(-F.col("l_quantity")).alias("qty_abs"),
+        safe_divide(F.col("l_quantity"), F.col("l_linenumber") % 3).alias("safe_ratio"),
+    )
