@@ -1,0 +1,111 @@
+"""Unit tests for operator modules not fully covered by contract queries."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from glamira_batch_processing_spark.operators.incremental import merge_upsert
+from glamira_batch_processing_spark.operators.multimodal import (
+    decode_images,
+    resize_plan,
+    sample_frames,
+    with_text_payload,
+)
+from glamira_batch_processing_spark.operators.similarity import cosine, cosine_topk
+from glamira_batch_processing_spark.operators.skew import salted_agg, with_salt
+from glamira_batch_processing_spark.operators.windows import scd2_from_history
+
+
+def test_merge_upsert_with_source_dedupe(spark):
+    tgt = spark.createDataFrame(
+        [(1, "a", 1), (2, "b", 1)], "k long, v string, ver long"
+    )
+    src = spark.createDataFrame(
+        [(2, "b2", 2), (2, "b3", 3), (3, "c", 1)], "k long, v string, ver long"
+    )
+    out = merge_upsert(tgt, src, ["k"], order_by=[F.desc("ver")])
+    got = {r.k: (r.v, r.ver) for r in out.collect()}
+    assert got == {1: ("a", 1), 2: ("b3", 3), 3: ("c", 1)}
+
+
+def test_salted_agg_matches_plain_agg(spark):
+    df = spark.range(10000).select(
+        (F.col("id") % 3).alias("k"), (F.col("id") % 7).cast("double").alias("v")
+    )
+    plain = {
+        r.k: (r.n, r.s)
+        for r in df.groupBy("k")
+        .agg(F.count("*").alias("n"), F.sum(F.col("v").cast("decimal(18,2)")).cast("double").alias("s"))
+        .collect()
+    }
+    salted = {
+        r.k: (r.n, r.s)
+        for r in salted_agg(
+            df,
+            ["k"],
+            [F.count("*").alias("n"), F.sum(F.col("v").cast("decimal(18,2)")).alias("s_d")],
+            [F.sum("n").alias("n"), F.sum("s_d").cast("double").alias("s")],
+            buckets=8,
+        ).collect()
+    }
+    assert plain == salted
+
+
+def test_with_salt_deterministic(spark):
+    df = spark.range(100).select(F.col("id"), (F.col("id") % 5).alias("k"))
+    a = [r["__salt"] for r in with_salt(df).orderBy("id").collect()]
+    b = [r["__salt"] for r in with_salt(df).orderBy("id").collect()]
+    assert a == b
+    assert len(set(a)) > 1
+
+
+def test_scd2_validity_windows(spark):
+    df = spark.createDataFrame(
+        [(1, 10, "a"), (1, 20, "b"), (1, 30, "c"), (2, 5, "x")],
+        "k long, ts long, v string",
+    )
+    out = scd2_from_history(df, "k", F.col("ts"), F.col("v")).collect()
+    rows = {(r.k, r.ts): (r.valid_from, r.valid_to, r.is_current) for r in out}
+    assert rows[(1, 10)] == (10, 20, False)
+    assert rows[(1, 20)] == (20, 30, False)
+    assert rows[(1, 30)] == (30, None, True)
+    assert rows[(2, 5)] == (5, None, True)
+
+
+def test_cosine_topk_operator(spark):
+    vecs = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, [0.9, 0.1]), (2, [0.0, 1.0]), (3, [-1.0, 0.0])],
+        "vec_id long, embedding array<double>",
+    )
+    q = vecs.filter(F.col("vec_id") == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
+    )
+    out = cosine_topk(q, vecs, k=2).collect()
+    ranked = [(r.rank, r.neighbor_id) for r in sorted(out, key=lambda r: r.rank)]
+    assert ranked == [(1, 1), (2, 2)]  # closest then orthogonal; -1 excluded by k
+
+
+def test_multimodal_plumbing(spark):
+    docs = spark.createDataFrame(
+        [(1, "hello world " * 20), (2, "tiny")], "doc_id long, text string"
+    )
+    with_bytes = with_text_payload(docs)
+    meta = decode_images(with_bytes)
+    got = {r.doc_id: r for r in meta.collect()}
+    assert got[1].n_bytes == len("hello world " * 20)
+    assert got[1].format == "fake"
+    assert 64 <= got[1].width < 128 and 64 <= got[1].height < 128
+
+    rp = resize_plan(meta, max_side=96).collect()
+    for r in rp:
+        assert max(r.target_width, r.target_height) <= 96 or (
+            max(r.width, r.height) <= 96
+        )
+
+    frames = sample_frames(with_bytes, frame_size=32, stride=96)
+    f1 = frames.filter(F.col("doc_id") == 1).collect()
+    assert len(f1) == (240 + 95) // 96  # ceil(len/stride)
+    assert all(len(bytes(r.frame_bytes)) <= 32 for r in f1)
+    f2 = frames.filter(F.col("doc_id") == 2).collect()
+    assert len(f2) == 1 and bytes(f2[0].frame_bytes) == b"tiny"
