@@ -330,7 +330,7 @@ def build_glamira_pipeline(
             .select("date", F.year("date").alias("year"), F.month("date").alias("month"))
         )
 
-    @p.model("mart_fact_order", materialized="table")
+    @p.model("mart_fact_order", materialized="table", partition_by="date")
     def mart_fact_order(p: Pipeline) -> DataFrame:
         """ref: models/marts/mart_fact_order.sql — currency clean/map,
         TLD inference for ambiguous labels, latest-fx join, USD measures,

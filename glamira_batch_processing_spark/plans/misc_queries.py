@@ -79,6 +79,40 @@ def j12_multikey_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "j5_product_enrichment",
+    oracle="""
+    SELECT
+      p.p_brand AS brand,
+      s.s_name AS supplier_name,
+      CAST(SUM(CAST(l.l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS total_qty,
+      CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price,
+      COUNT(*) AS n_lines
+    FROM lineitem l
+    LEFT JOIN part p ON l.l_partkey = p.p_partkey
+    LEFT JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    GROUP BY p.p_brand, s.s_name
+    """,
+)
+def j5_product_enrichment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product/supplier dim enrichment with natural->surrogate swap shape
+    (ref: mart_fact_order.sql:218-224 product join — J5). Both dims are
+    broadcast; aggregation in exact decimal."""
+    l = table(spark, sf_dir, "lineitem")
+    p = F.broadcast(table(spark, sf_dir, "part"))
+    s = F.broadcast(table(spark, sf_dir, "supplier"))
+    return (
+        l.join(p, l.l_partkey == p.p_partkey, "left")
+        .join(s, l.l_suppkey == s.s_suppkey, "left")
+        .groupBy(F.col("p_brand").alias("brand"), F.col("s_name").alias("supplier_name"))
+        .agg(
+            F.sum(F.col("l_quantity").cast("decimal(18,2)")).cast("double").alias("total_qty"),
+            F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).cast("double").alias("total_price"),
+            F.count("*").alias("n_lines"),
+        )
+    )
+
+
+@query(
     "f7_math_ops",
     oracle="""
     SELECT l_orderkey, l_linenumber,

@@ -22,6 +22,7 @@ class Model:
     name: str
     fn: Callable[["Pipeline"], DataFrame]
     materialized: str = "view"  # view | table
+    partition_by: str | None = None  # table-only: partition column
 
 
 @dataclass
@@ -35,9 +36,9 @@ class Pipeline:
     def add_source(self, name: str, df: DataFrame) -> None:
         self.sources[name] = df
 
-    def model(self, name: str, materialized: str = "view"):
+    def model(self, name: str, materialized: str = "view", partition_by: str | None = None):
         def deco(fn: Callable[[Pipeline], DataFrame]):
-            self.models[name] = Model(name, fn, materialized)
+            self.models[name] = Model(name, fn, materialized, partition_by)
             return fn
 
         return deco
@@ -56,7 +57,12 @@ class Pipeline:
         df = m.fn(self)
         if m.materialized == "table" and self.workdir:
             path = f"{self.workdir}/{m.name}"
-            df.write.mode("overwrite").parquet(path)
+            writer = df.write.mode("overwrite")
+            if m.partition_by:
+                # Day-partitioned warehouse layout (ref: load_to_bigquery
+                # TimePartitioning) -> downstream partition pruning.
+                writer = writer.partitionBy(m.partition_by)
+            writer.parquet(path)
             df = self.spark.read.parquet(path)
         self._built[name] = df
         df.createOrReplaceTempView(m.name)
