@@ -27,6 +27,7 @@ from glamira_batch_processing_spark.plans import (  # noqa: F401
     e2e_queries,
     misc_queries,
     scalar_queries,
+    session_queries,
     window_queries,
 )
 from glamira_batch_processing_spark.plans.registry import ORACLE, QUERIES

@@ -1,0 +1,82 @@
+"""Stateful streaming sessionization + incremental SCD2 apply."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from glamira_batch_processing_spark.operators.windows import (
+    scd2_apply,
+    scd2_from_history,
+)
+from glamira_batch_processing_spark.streaming.sessionize import (
+    sessionize_batch,
+    sessionize_stateful,
+)
+
+
+def test_stateful_sessionize_matches_batch(spark, tmp_path):
+    """Run the applyInPandasWithState sessionizer as a real stream over
+    two files and compare final session aggregates with the batch
+    window formulation."""
+    src = str(tmp_path / "sess_src")
+    schema = "user_id long, event_id long, ts_us long"
+    GAP = 30 * 60 * 1_000_000
+    base = 1_700_000_000_000_000
+    batch = [
+        (1, 1, base),
+        (1, 2, base + 10_000_000),          # same session
+        (1, 3, base + GAP + 20_000_000),    # new session
+        (2, 4, base),
+    ]
+    spark.createDataFrame(batch, schema).coalesce(1).write.mode("append").parquet(src)
+
+    stream = spark.readStream.schema(schema).parquet(src)
+    sessions = sessionize_stateful(stream.groupBy("user_id"))
+    q = (
+        sessions.writeStream.format("memory")
+        .queryName("sessions")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {
+        (r.user_id, r.session_seq): (r.n_events, r.start_us, r.last_us)
+        for r in spark.sql("SELECT * FROM sessions").collect()
+    }
+    assert got[(1, 1)] == (2, base, base + 10_000_000)
+    assert got[(1, 2)] == (1, base + GAP + 20_000_000, base + GAP + 20_000_000)
+    assert got[(2, 1)] == (1, base, base)
+
+    # batch twin agrees on session structure
+    bdf = spark.createDataFrame(batch, schema).withColumn(
+        "ts", F.timestamp_micros(F.col("ts_us"))
+    )
+    b = sessionize_batch(bdf)
+    bs = {
+        (r.user_id, r.session_seq): r.n
+        for r in b.groupBy("user_id", "session_seq").agg(F.count("*").alias("n")).collect()
+    }
+    assert bs == {(1, 1): 2, (1, 2): 1, (2, 1): 1}
+
+
+def test_scd2_apply_equals_full_rebuild(spark):
+    hist_events = spark.createDataFrame(
+        [(1, 10, "a"), (1, 20, "b"), (2, 10, "x"), (3, 10, "q")],
+        "k long, ts long, v string",
+    )
+    history = scd2_from_history(hist_events, "k", F.col("ts"), F.col("v"))
+    new_batch = spark.createDataFrame(
+        [(1, 30, "c"), (4, 5, "new")], "k long, ts long, v string"
+    )
+    applied = scd2_apply(history, new_batch, "k", F.col("ts"), F.col("v"))
+    full = scd2_from_history(
+        hist_events.unionByName(new_batch), "k", F.col("ts"), F.col("v")
+    )
+    norm = lambda df: sorted(map(tuple, df.select("k", "ts", "v", "valid_from", "valid_to", "is_current").collect()))  # noqa: E731
+    assert norm(applied) == norm(full)
+    # untouched keys (2, 3) were not recomputed but are present & current
+    cur = {r.k for r in applied.filter("is_current").collect()}
+    assert cur == {1, 2, 3, 4}
