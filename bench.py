@@ -29,6 +29,10 @@ HEADLINE = [
     "w1_latest_order_per_customer",
     "w4_rank_dedupe_merge",
     "f3_parse_localized_prices",
+    "glamira_e2e_order_flatten",
+    "glamira_e2e_revenue_rollup",
+    "sessionize_gap30m",
+    "asof_join_last_purchase",
     "dedup_exact",
     "dedup_minhash_lsh",
     "ann_cosine_topk",

@@ -54,6 +54,48 @@ def sessionize_gap30m(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "asof_join_last_purchase",
+    oracle="""
+    WITH purchases AS (
+      SELECT user_id, ts, max(value) AS last_purchase_value
+      FROM events WHERE event_type = 'purchase'
+      GROUP BY user_id, ts
+    )
+    SELECT e.event_id, e.user_id, epoch_us(e.ts) AS ts_us, p.last_purchase_value
+    FROM events e
+    ASOF LEFT JOIN purchases p ON e.user_id = p.user_id AND e.ts >= p.ts
+    """,
+)
+def asof_join_last_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: enrich every event with the user's most recent
+    purchase value at-or-before the event. Union+window formulation (one
+    shuffle, linear per key) vs DuckDB's native ASOF JOIN as oracle."""
+    from ..operators.asof import asof_join
+
+    e = table(spark, sf_dir, "events")
+    purchases = (
+        e.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("last_purchase_value"))
+    )
+    joined = asof_join(
+        e.select("event_id", "user_id", "ts"),
+        purchases,
+        key="user_id",
+        left_ts="ts",
+        right_ts="ts",
+        value_cols=["last_purchase_value"],
+        left_tiebreak="event_id",
+    )
+    return joined.select(
+        "event_id",
+        "user_id",
+        F.unix_micros("ts").alias("ts_us"),
+        "last_purchase_value",
+    )
+
+
+@query(
     "sketch_kmv_distinct",
     oracle=sql_kmv_estimate("events", "user_id", k=64),
 )

@@ -28,6 +28,8 @@ _DEFAULTS = {
     "spark.sql.shuffle.partitions": "32",
     "spark.driver.memory": "8g",
     "spark.ui.enabled": "false",
+    # local managed-table location (bucketed tables in tests/benchmarks)
+    "spark.sql.warehouse.dir": "/tmp/glamira-spark-warehouse",
 }
 
 

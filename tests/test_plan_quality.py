@@ -79,6 +79,35 @@ def test_lsh_shuffle_count(spark):
     assert n_exchanges <= 6, f"too many shuffles in LSH plan: {n_exchanges}\n{plan}"
 
 
+def test_bucketed_join_avoids_shuffle(spark, tmp_path):
+    """Bucketed tables co-located on the join key must join with NO
+    Exchange on either side (the bucketing IS the shuffle, paid once at
+    write time) — the 100 TB strategy for repeated fact<->fact joins."""
+    import shutil
+
+    spark.sql("DROP TABLE IF EXISTS bj_left")
+    spark.sql("DROP TABLE IF EXISTS bj_right")
+    # In-memory catalog DROP won't delete files left by a previous
+    # session — purge the managed locations so saveAsTable can't collide.
+    wh = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
+    for t in ("bj_left", "bj_right"):
+        shutil.rmtree(f"{wh}/{t}", ignore_errors=True)
+    df = spark.range(10000).select(
+        F.col("id").alias("k"), (F.col("id") % 97).alias("v")
+    )
+    df.write.bucketBy(8, "k").sortBy("k").saveAsTable("bj_left")
+    df.write.bucketBy(8, "k").sortBy("k").saveAsTable("bj_right")
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        j = spark.table("bj_left").join(spark.table("bj_right"), "k")
+        plan = plan_of(j)
+        assert "SortMergeJoin" in plan
+        assert "Exchange" not in plan, f"bucketed join shuffled:\n{plan}"
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
 def test_fact_write_partition_prunes(spark, tmp_path):
     """partitionBy(date) tables must prune partitions on a date filter."""
     from glamira_batch_processing_spark.sources.writers import write_partitioned
