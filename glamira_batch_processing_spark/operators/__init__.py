@@ -2,5 +2,49 @@
 
 Each module re-expresses one reference operator family Spark-first
 (SURVEY.md §2), plus the large-scale data-pipeline operators (dedup,
-similarity, text, multimodal) the reference lacks.
+similarity, text, multimodal, sessionization, sketches, skew, as-of)
+the reference lacks.
 """
+
+from .asof import asof_join
+from .audit import null_rates, orphan_rates, qa_flags
+from .dedup import (
+    doc_shingles,
+    exact_dedup_stats,
+    lsh_candidate_pairs,
+    minhash_signatures,
+    ngram_jaccard_pairs,
+    simhash_bits,
+)
+from .incremental import merge_upsert
+from .similarity import cosine, cosine_topk, dot, ivf_assign, norm
+from .sketches import kmv_estimate, kmv_sketch
+from .skew import salted_agg, with_salt
+from .windows import dedupe_latest, rank_dedupe, scd2_apply, scd2_from_history
+
+__all__ = [
+    "asof_join",
+    "null_rates",
+    "orphan_rates",
+    "qa_flags",
+    "doc_shingles",
+    "exact_dedup_stats",
+    "lsh_candidate_pairs",
+    "minhash_signatures",
+    "ngram_jaccard_pairs",
+    "simhash_bits",
+    "merge_upsert",
+    "cosine",
+    "cosine_topk",
+    "dot",
+    "ivf_assign",
+    "norm",
+    "kmv_estimate",
+    "kmv_sketch",
+    "salted_agg",
+    "with_salt",
+    "dedupe_latest",
+    "rank_dedupe",
+    "scd2_apply",
+    "scd2_from_history",
+]

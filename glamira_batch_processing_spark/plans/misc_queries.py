@@ -113,6 +113,74 @@ def j5_product_enrichment(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "rollup_revenue_by_region",
+    oracle="""
+    SELECT
+      coalesce(r.r_name, 'ALL') AS region_name,
+      coalesce(n.n_name, 'ALL') AS nation_name,
+      CAST(SUM(CAST(c.c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_acctbal,
+      COUNT(*) AS n_customers
+    FROM customer c
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    GROUP BY ROLLUP (r.r_name, n.n_name)
+    """,
+)
+def rollup_revenue_by_region(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP hierarchy totals (region -> nation -> grand total). Not in
+    the reference (SURVEY §2.4: no grouping sets) — free via Catalyst;
+    NULL grouping slots are labeled 'ALL' for oracle stability."""
+    c = table(spark, sf_dir, "customer")
+    n = F.broadcast(table(spark, sf_dir, "nation"))
+    r = F.broadcast(table(spark, sf_dir, "region"))
+    j = c.join(n, c.c_nationkey == n.n_nationkey).join(
+        r, n.n_regionkey == r.r_regionkey
+    )
+    return (
+        j.rollup("r_name", "n_name")
+        .agg(
+            F.sum(F.col("c_acctbal").cast("decimal(18,2)")).cast("double").alias("total_acctbal"),
+            F.count("*").alias("n_customers"),
+        )
+        .select(
+            F.coalesce("r_name", F.lit("ALL")).alias("region_name"),
+            F.coalesce("n_name", F.lit("ALL")).alias("nation_name"),
+            "total_acctbal",
+            "n_customers",
+        )
+    )
+
+
+@query(
+    "pivot_priority_by_status",
+    oracle="""
+    SELECT o_orderpriority,
+      CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS status_f,
+      CAST(SUM(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS status_o,
+      CAST(SUM(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS BIGINT) AS status_p
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+)
+def pivot_priority_by_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot (long -> wide counts). Spark's pivot() with an explicit
+    value list stays a single hash aggregate; the oracle is the
+    equivalent conditional-agg formulation."""
+    o = table(spark, sf_dir, "orders")
+    out = (
+        o.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .agg(F.count(F.lit(1)))
+    )
+    return out.select(
+        "o_orderpriority",
+        F.coalesce(F.col("F"), F.lit(0)).alias("status_f"),
+        F.coalesce(F.col("O"), F.lit(0)).alias("status_o"),
+        F.coalesce(F.col("P"), F.lit(0)).alias("status_p"),
+    )
+
+
+@query(
     "f7_math_ops",
     oracle="""
     SELECT l_orderkey, l_linenumber,
