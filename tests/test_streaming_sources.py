@@ -65,6 +65,39 @@ def test_incremental_ingest_resumes_from_checkpoint(spark, tmp_path):
     assert updated.quantity == 5 and updated.status == "updated"
 
 
+def test_max_files_per_trigger_bounds_batches(spark, tmp_path):
+    """BATCH_SIZE analog (ref export_to_gcs BATCH_SIZE=5000): with
+    maxFilesPerTrigger=1, three source files process as three
+    micro-batches in one availableNow run."""
+    src = str(tmp_path / "src")
+    for k in range(3):
+        _write_batch(spark, src, [(100 + k, k, 1, "x")])
+    n = incremental_ingest(
+        spark,
+        src,
+        str(tmp_path / "tgt"),
+        str(tmp_path / "ckpt"),
+        SCHEMA,
+        max_files_per_trigger=1,
+    )
+    assert n == 3
+    assert spark.read.parquet(str(tmp_path / "tgt")).count() == 3
+
+
+def test_ivf_assign_operator(spark):
+    from glamira_batch_processing_spark.operators.similarity import ivf_assign
+
+    vecs = spark.createDataFrame(
+        [(10, [1.0, 0.0]), (11, [0.8, 0.2]), (12, [0.0, 1.0])],
+        "vec_id long, embedding array<double>",
+    )
+    cents = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, [0.0, 1.0])], "centroid_id long, cvec array<double>"
+    )
+    got = {r.vec_id: r.centroid_id for r in ivf_assign(vecs, cents).collect()}
+    assert got == {10: 0, 11: 0, 12: 1}
+
+
 def test_windowed_event_counts_streaming(spark, tmp_path):
     """Run the windowed agg as a real stream (file source -> memory sink,
     complete mode) and check event-time windows."""
