@@ -28,6 +28,22 @@ _PRICE_SQL = """
           END
 """
 
+# Options array per cart item, keyed off the part key: %3==0 -> two
+# options, %3==1 -> empty array (row must survive the outer explode),
+# %3==2 -> NULL array (ditto). Mirrors summary_schema.json's nested
+# cart_products[].option[] exactly.
+_OPT_TYPE_SQL = "STRUCT(option_id VARCHAR, option_label VARCHAR)[]"
+_OPTS_SQL = f"""
+          CASE
+            WHEN l_partkey % 3 = 0 THEN [
+              struct_pack(option_id := concat('opt', CAST(l_partkey % 7 AS VARCHAR)), option_label := 'stone'),
+              struct_pack(option_id := concat('opt', CAST((l_partkey + 1) % 7 AS VARCHAR)), option_label := 'metal')
+            ]
+            WHEN l_partkey % 3 = 1 THEN CAST([] AS {_OPT_TYPE_SQL})
+            ELSE CAST(NULL AS {_OPT_TYPE_SQL})
+          END
+"""
+
 @query(
     "glamira_e2e_order_flatten",
     oracle=f"""
@@ -43,7 +59,8 @@ _PRICE_SQL = """
                ln := l_linenumber,
                product_id := l_partkey,
                amount := amount,
-               price := {_PRICE_SQL}
+               price := {_PRICE_SQL},
+               option := {_OPTS_SQL}
              ) ORDER BY l_linenumber, l_partkey, amount, {_PRICE_SQL}) AS cart
       FROM li
       GROUP BY l_orderkey
@@ -58,37 +75,44 @@ _PRICE_SQL = """
              generate_subscripts(cart, 1) - 1 AS pos,
              unnest(cart) AS cp
       FROM base WHERE cart IS NOT NULL
-    ),
-    items AS (
-      SELECT o_orderkey, o_custkey, pos,
-             cp.product_id AS product_id,
-             cp.amount AS quantity,
-             cp.price AS price_raw,
-             CAST({parse_localized_number_sql("cp.price", 18, 4)} AS DOUBLE) AS price,
-             CAST(cp.amount * {parse_localized_number_sql("cp.price", 18, 4)} AS DOUBLE) AS line_total,
-             concat_ws('|',
-               coalesce(CAST(o_orderkey AS VARCHAR), ''),
-               coalesce(CAST(cp.product_id AS VARCHAR), ''),
-               coalesce(CAST(pos AS VARCHAR), '-1')
-             ) AS item_key_input
-      FROM flat
-      UNION ALL
-      SELECT o_orderkey, o_custkey, NULL, NULL, NULL, NULL, NULL, NULL,
-             concat_ws('|', coalesce(CAST(o_orderkey AS VARCHAR), ''), '', '-1')
+      UNION ALL BY NAME
+      SELECT o_orderkey, o_custkey, NULL AS pos, NULL AS cp
       FROM base WHERE cart IS NULL
+    ),
+    opts AS (
+      SELECT o_orderkey, o_custkey, pos, cp,
+             generate_subscripts(cp.option, 1) - 1 AS opt_pos,
+             unnest(cp.option) AS opt
+      FROM flat WHERE cp.option IS NOT NULL AND len(cp.option) > 0
+      UNION ALL BY NAME
+      SELECT o_orderkey, o_custkey, pos, cp, NULL AS opt_pos, NULL AS opt
+      FROM flat WHERE cp.option IS NULL OR len(cp.option) = 0
     )
-    SELECT o_orderkey, o_custkey, pos, product_id, quantity, price_raw,
-           price, line_total, item_key_input
-    FROM items
+    SELECT o_orderkey, o_custkey, pos, opt_pos,
+           cp.product_id AS product_id,
+           cp.amount AS quantity,
+           cp.price AS price_raw,
+           CAST({parse_localized_number_sql("cp.price", 18, 4)} AS DOUBLE) AS price,
+           CAST(cp.amount * {parse_localized_number_sql("cp.price", 18, 4)} AS DOUBLE) AS line_total,
+           opt.option_id AS option_id,
+           concat_ws('|',
+             coalesce(CAST(o_orderkey AS VARCHAR), ''),
+             coalesce(CAST(cp.product_id AS VARCHAR), ''),
+             coalesce(opt.option_id, ''),
+             coalesce(CAST(pos AS VARCHAR), '-1'),
+             coalesce(CAST(opt_pos AS VARCHAR), '-1')
+           ) AS item_key_input
+    FROM opts
     """,
 )
 def glamira_e2e_order_flatten(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The stg_order spine over TPC-H shapes (ref: stg_order.sql:29-135):
-    nested line items -> LEFT JOIN UNNEST WITH OFFSET -> localized price
-    parse -> composite item key -> line totals. Orders with key%10==0
-    get a NULL cart and must survive the outer explode with NULL pos."""
+    nested cart_products[].option[] -> DOUBLE null-preserving LEFT JOIN
+    UNNEST WITH OFFSET (posexplode_outer x2) -> localized price parse ->
+    composite item key -> line totals. NULL carts (orderkey%10==0) and
+    NULL/empty option arrays must all survive with NULL offsets."""
     li = table(spark, sf_dir, "lineitem")
-    ok, ln = F.col("l_orderkey"), F.col("l_linenumber")
+    ok, ln, pk = F.col("l_orderkey"), F.col("l_linenumber"), F.col("l_partkey")
     base = F.col("l_extendedprice").cast("decimal(12,2)").cast("string")
     price = (
         F.when((ok + ln) % 4 == 0, F.regexp_replace(base, "\\.", ","))
@@ -96,13 +120,32 @@ def glamira_e2e_order_flatten(spark: SparkSession, sf_dir: str) -> DataFrame:
         .when((ok + ln) % 4 == 2, F.concat(F.lit("1,"), base))
         .otherwise(base)
     )
+    opt_type = "array<struct<option_id:string,option_label:string>>"
+    opts = (
+        F.when(
+            pk % 3 == 0,
+            F.array(
+                F.struct(
+                    F.concat(F.lit("opt"), (pk % 7).cast("string")).alias("option_id"),
+                    F.lit("stone").alias("option_label"),
+                ),
+                F.struct(
+                    F.concat(F.lit("opt"), ((pk + 1) % 7).cast("string")).alias("option_id"),
+                    F.lit("metal").alias("option_label"),
+                ),
+            ),
+        )
+        .when(pk % 3 == 1, F.array().cast(opt_type))
+        .otherwise(F.lit(None).cast(opt_type))
+    )
     items = li.select(
         "l_orderkey",
         F.struct(
             ln.alias("ln"),
-            F.col("l_partkey").alias("product_id"),
+            pk.alias("product_id"),
             F.col("l_quantity").cast("long").alias("amount"),
             price.alias("price"),
+            opts.alias("option"),
         ).alias("item"),
     )
     carts = items.groupBy("l_orderkey").agg(
@@ -117,20 +160,27 @@ def glamira_e2e_order_flatten(spark: SparkSession, sf_dir: str) -> DataFrame:
     flat = based.select(
         "o_orderkey", "o_custkey", F.posexplode_outer("cart").alias("pos", "cp")
     )
+    opt_flat = flat.select(
+        "*", F.posexplode_outer(F.col("cp.option")).alias("opt_pos", "opt")
+    )
     parsed = parse_localized_number(F.col("cp.price"), 18, 4)
-    return flat.select(
+    return opt_flat.select(
         "o_orderkey",
         "o_custkey",
         "pos",
+        "opt_pos",
         F.col("cp.product_id").alias("product_id"),
         F.col("cp.amount").alias("quantity"),
         F.col("cp.price").alias("price_raw"),
         parsed.cast("double").alias("price"),
         (F.col("cp.amount") * parsed).cast("double").alias("line_total"),
+        F.col("opt.option_id").alias("option_id"),
         key_input(
             F.col("o_orderkey"),
             F.col("cp.product_id"),
+            F.col("opt.option_id"),
             F.coalesce(F.col("pos"), F.lit(-1)),
+            F.coalesce(F.col("opt_pos"), F.lit(-1)),
         ).alias("item_key_input"),
     )
 
