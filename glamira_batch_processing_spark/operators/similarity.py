@@ -76,6 +76,75 @@ def cosine_topk(
     )
 
 
+def cosine_topk_np(
+    queries_pdf,
+    corpus: DataFrame,
+    k: int = 10,
+    corpus_id: str = "vec_id",
+    corpus_vec: str = "embedding",
+) -> DataFrame:
+    """Vectorized exact top-k: per-partition numpy matmul via mapInPandas.
+
+    The Arrow-batched BLAS path for dense scoring — 10-100x the
+    interpreted fold when the query set is large. Trade-off: float
+    summation order differs from the sequential fold, so results agree
+    with :func:`cosine_topk` only to ~1e-12 relative — use the fold for
+    oracle-checked queries, this for production throughput.
+
+    ``queries_pdf``: pandas DataFrame with columns (query_id, qvec) —
+    small, shipped to every task in the closure (broadcast analog).
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.types import (
+        DoubleType,
+        IntegerType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    q_ids = np.asarray(queries_pdf["query_id"], dtype=np.int64)
+    Q = np.vstack([np.asarray(v, dtype=np.float64) for v in queries_pdf["qvec"]])
+    Qn = Q / np.linalg.norm(Q, axis=1, keepdims=True)
+
+    out_schema = StructType(
+        [
+            StructField("query_id", LongType()),
+            StructField("neighbor_id", LongType()),
+            StructField("cosine_sim", DoubleType()),
+        ]
+    )
+
+    def score(batches):
+        for pdf in batches:
+            ids = np.asarray(pdf[corpus_id], dtype=np.int64)
+            C = np.vstack([np.asarray(v, dtype=np.float64) for v in pdf[corpus_vec]])
+            Cn = C / np.linalg.norm(C, axis=1, keepdims=True)
+            sims = Qn @ Cn.T  # (n_queries, batch)
+            for qi, qid in enumerate(q_ids):
+                row = sims[qi]
+                mask = ids != qid
+                cand_ids, cand_sims = ids[mask], row[mask]
+                if len(cand_ids) > k:
+                    part = np.argpartition(-cand_sims, k)[:k]
+                    cand_ids, cand_sims = cand_ids[part], cand_sims[part]
+                yield pd.DataFrame(
+                    {"query_id": qid, "neighbor_id": cand_ids, "cosine_sim": cand_sims}
+                )
+
+    partial = corpus.select(corpus_id, corpus_vec).mapInPandas(score, out_schema)
+    # merge per-partition top-k -> global top-k
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine_sim"), F.col("neighbor_id")
+    )
+    return (
+        partial.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "cosine_sim")
+    )
+
+
 def ivf_assign(
     vectors: DataFrame,
     centroids: DataFrame,

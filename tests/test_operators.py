@@ -109,3 +109,45 @@ def test_multimodal_plumbing(spark):
     assert all(len(bytes(r.frame_bytes)) <= 32 for r in f1)
     f2 = frames.filter(F.col("doc_id") == 2).collect()
     assert len(f2) == 1 and bytes(f2[0].frame_bytes) == b"tiny"
+
+
+def test_cosine_topk_np_matches_fold(spark):
+    """numpy matmul path agrees with the exact-fold path: same neighbor
+    sets and ranks; similarities equal to ~1e-12 relative."""
+    from glamira_batch_processing_spark.operators.similarity import (
+        cosine_topk_np,
+        norm as vnorm,
+        dot as vdot,
+    )
+    from pyspark.sql import Window
+
+    e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    normed = e.withColumn("nrm", vnorm(F.col("embedding")))
+    q = normed.filter(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qvec"),
+        F.col("nrm").alias("qnrm"),
+    )
+    c = normed.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").alias("cvec"),
+        F.col("nrm").alias("cnrm"),
+    )
+    scored = c.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id")).withColumn(
+        "cosine_sim", vdot(F.col("qvec"), F.col("cvec")) / (F.col("qnrm") * F.col("cnrm"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine_sim"), F.col("neighbor_id"))
+    exact = (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 5)
+        .select("query_id", "neighbor_id", "rank", "cosine_sim")
+    )
+    q_pdf = q.select("query_id", "qvec").toPandas()
+    fast = cosine_topk_np(q_pdf, e, k=5)
+
+    ex = {(r.query_id, r.rank): (r.neighbor_id, r.cosine_sim) for r in exact.collect()}
+    fa = {(r.query_id, r.rank): (r.neighbor_id, r.cosine_sim) for r in fast.collect()}
+    assert set(ex) == set(fa)
+    for key in ex:
+        assert ex[key][0] == fa[key][0], (key, ex[key], fa[key])
+        assert abs(ex[key][1] - fa[key][1]) <= 1e-9
