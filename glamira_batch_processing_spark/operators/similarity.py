@@ -145,6 +145,54 @@ def cosine_topk_np(
     )
 
 
+def hyperplane_lsh_planes(dim: int, n_planes: int = 8) -> list[list[float]]:
+    """Deterministic pseudo-random hyperplanes from md5 — no RNG, so the
+    same constants can be embedded as literals in any engine's SQL."""
+    import hashlib
+
+    planes = []
+    for j in range(n_planes):
+        row = []
+        for i in range(dim):
+            h = hashlib.md5(f"{j}_{i}".encode()).hexdigest()
+            row.append(int(h[:8], 16) / 4294967296.0 - 0.5)
+        planes.append(row)
+    return planes
+
+
+def hyperplane_bucket(vec: Column, planes: list[list[float]]) -> Column:
+    """Sign-bit bucket string: bit j = (vec . plane_j >= 0).
+
+    Vectors within ~cos(pi/n_planes) of each other likely share the
+    bucket; at scale this is one projection per row + a groupBy — the
+    embedding analog of minhash banding.
+    """
+    bits = []
+    for row in planes:
+        w = F.array(*[F.lit(x) for x in row])
+        d = F.aggregate(
+            F.zip_with(vec, w, lambda x, y: x.cast("double") * y),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        bits.append(F.when(d >= 0, F.lit("1")).otherwise(F.lit("0")))
+    return F.concat(*bits)
+
+
+def sql_hyperplane_bucket(vec_sql: str, planes: list[list[float]]) -> str:
+    """DuckDB twin of :func:`hyperplane_bucket` (same literals, same
+    fold order -> identical buckets)."""
+    bits = []
+    for row in planes:
+        lit = "[" + ", ".join(repr(x) for x in row) + "]"
+        d = (
+            f"list_reduce(list_transform(range(1, len({vec_sql}) + 1), "
+            f"i -> CAST({vec_sql}[i] AS DOUBLE) * ({lit})[i]), (x, y) -> x + y)"
+        )
+        bits.append(f"CASE WHEN {d} >= 0 THEN '1' ELSE '0' END")
+    return " || ".join(bits)
+
+
 def ivf_assign(
     vectors: DataFrame,
     centroids: DataFrame,

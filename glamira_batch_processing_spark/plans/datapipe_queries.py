@@ -397,6 +397,61 @@ def ann_ivf_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Similarity search: random-hyperplane LSH bucketing (embedding analog
+# of minhash banding).
+# ---------------------------------------------------------------------------
+from ..operators.similarity import (  # noqa: E402
+    hyperplane_bucket,
+    hyperplane_lsh_planes,
+    sql_hyperplane_bucket,
+)
+
+_PLANES = hyperplane_lsh_planes(dim=64, n_planes=8)
+
+@query(
+    "ann_lsh_hyperplane",
+    oracle=f"""
+    WITH {vec_corpus_cte(bound=400)},
+    bucketed AS (
+      SELECT vec_id, embedding,
+             {sql_hyperplane_bucket("embedding", _PLANES)} AS bucket
+      FROM vecs
+    ),
+    normed AS (
+      SELECT *, sqrt({sql_dot("embedding", "embedding")}) AS nrm FROM bucketed
+    )
+    SELECT a.bucket,
+           a.vec_id AS vec_a, b.vec_id AS vec_b,
+           {sql_dot("a.embedding", "b.embedding")} / (a.nrm * b.nrm) AS cosine_sim
+    FROM normed a
+    JOIN normed b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+    """,
+)
+def ann_lsh_hyperplane(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Random-hyperplane LSH: 8 deterministic sign-bit projections ->
+    256 buckets -> candidate pairs only within a bucket, scored exactly.
+    One projection pass + one bucket equi-join — the 100 TB discovery
+    path for embedding near-dups (IVF's cousin, no training step)."""
+    vecs = vec_corpus(spark, sf_dir, bound=400)
+    bucketed = vecs.withColumn(
+        "bucket", hyperplane_bucket(F.col("embedding"), _PLANES)
+    ).withColumn("nrm", norm(F.col("embedding")))
+    a = bucketed.select(
+        F.col("vec_id").alias("vec_a"), F.col("embedding").alias("ea"),
+        F.col("nrm").alias("na"), "bucket",
+    )
+    b = bucketed.select(
+        F.col("vec_id").alias("vec_b"), F.col("embedding").alias("eb"),
+        F.col("nrm").alias("nb"), F.col("bucket").alias("bucket_b"),
+    )
+    pairs = a.join(
+        b, (F.col("bucket") == F.col("bucket_b")) & (F.col("vec_a") < F.col("vec_b"))
+    )
+    sim = dot(F.col("ea"), F.col("eb")) / (F.col("na") * F.col("nb"))
+    return pairs.select("bucket", "vec_a", "vec_b", sim.alias("cosine_sim"))
+
+
+# ---------------------------------------------------------------------------
 # Text analysis.
 # ---------------------------------------------------------------------------
 def _lang_counts_sql() -> dict[str, str]:
