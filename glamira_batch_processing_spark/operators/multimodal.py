@@ -23,7 +23,9 @@ from typing import TYPE_CHECKING
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
+    ArrayType,
     BinaryType,
+    FloatType,
     IntegerType,
     LongType,
     StringType,
@@ -147,6 +149,43 @@ def sample_frames(
             )
 
     return df.select(id_col, payload_col).mapInPandas(fn, FRAME_SAMPLE_SCHEMA)
+
+
+FEATURE_DIM = 8
+
+FEATURE_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("feature", ArrayType(FloatType())),
+    ]
+)
+
+
+def extract_features(df: DataFrame, payload_col: str = "payload", id_col: str = "doc_id") -> DataFrame:
+    """binary payload -> fixed-dim float feature vector via mapInPandas.
+
+    The embedding-model stand-in (audio MFCC / image CNN feature hook):
+    deterministic fake features from the payload's md5 digest bytes,
+    scaled to [-1, 1). Real extractors slot into the same Arrow-batched
+    signature; the output column is a first-class embedding usable by
+    operators/similarity.py.
+    """
+
+    def fn(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf[id_col], pdf[payload_col]):
+                digest = hashlib.md5(bytes(payload)).digest()
+                feat = [
+                    (int.from_bytes(digest[2 * i : 2 * i + 2], "big") - 32768) / 32768.0
+                    for i in range(FEATURE_DIM)
+                ]
+                rows.append((int(doc_id), feat))
+            yield pd.DataFrame(rows, columns=["doc_id", "feature"])
+
+    return df.select(id_col, payload_col).mapInPandas(fn, FEATURE_SCHEMA)
 
 
 def with_text_payload(df: DataFrame, text_col: str = "text") -> DataFrame:

@@ -151,3 +151,23 @@ def test_cosine_topk_np_matches_fold(spark):
     for key in ex:
         assert ex[key][0] == fa[key][0], (key, ex[key], fa[key])
         assert abs(ex[key][1] - fa[key][1]) <= 1e-9
+
+
+def test_extract_features_deterministic(spark):
+    """Multimodal feature-extraction stub: fixed dim, [-1,1) range,
+    deterministic across runs, consumable by the similarity operators."""
+    from glamira_batch_processing_spark.operators.multimodal import (
+        FEATURE_DIM,
+        extract_features,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "doc one text"), (2, "doc two text")], "doc_id long, text string"
+    )
+    feats1 = {r.doc_id: r.feature for r in extract_features(with_text_payload(docs)).collect()}
+    feats2 = {r.doc_id: r.feature for r in extract_features(with_text_payload(docs)).collect()}
+    assert feats1 == feats2
+    for v in feats1.values():
+        assert len(v) == FEATURE_DIM
+        assert all(-1.0 <= x < 1.0 for x in v)
+    assert feats1[1] != feats1[2]
