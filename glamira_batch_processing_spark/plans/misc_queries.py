@@ -113,6 +113,72 @@ def j5_product_enrichment(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "stats_percentiles",
+    oracle="""
+    SELECT event_type,
+           quantile_disc(value, 0.5) AS p50_value,
+           quantile_disc(value, 0.9) AS p90_value,
+           min(value) AS min_value,
+           max(value) AS max_value,
+           COUNT(*) AS n
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def stats_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact discrete percentiles per group. percentile_disc selects an
+    actual element (no interpolation), so Spark and DuckDB agree
+    bit-for-bit — unlike percentile_cont/approx, whose interpolation or
+    sketches are engine-specific."""
+    e = table(spark, sf_dir, "events")
+    return e.groupBy("event_type").agg(
+        F.expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY value)").alias("p50_value"),
+        F.expr("percentile_disc(0.9) WITHIN GROUP (ORDER BY value)").alias("p90_value"),
+        F.min("value").alias("min_value"),
+        F.max("value").alias("max_value"),
+        F.count("*").alias("n"),
+    )
+
+
+@query(
+    "dedup_edit_distance",
+    oracle="""
+    WITH c AS (
+      SELECT doc_id, text FROM documents WHERE doc_id < 120
+      UNION ALL
+      SELECT doc_id + 100000 AS doc_id, text || ' x' AS text
+      FROM documents WHERE doc_id < 120 AND doc_id % 7 = 0
+    )
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(levenshtein(a.text, b.text) AS INTEGER) AS edit_distance
+    FROM c a JOIN c b ON a.doc_id < b.doc_id
+    WHERE levenshtein(a.text, b.text) <= 5
+    """,
+)
+def dedup_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance near-dup verification (bounded pairwise; classic DP
+    gives identical integers in every engine). At scale this runs only
+    on LSH/fingerprint candidate pairs, never as a full cross join —
+    hence the hard doc_id bound here."""
+    d = table(spark, sf_dir, "documents").filter(F.col("doc_id") < 120).select(
+        "doc_id", "text"
+    )
+    near = d.filter(F.col("doc_id") % 7 == 0).select(
+        (F.col("doc_id") + 100000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" x")).alias("text"),
+    )
+    c = d.unionByName(near)
+    a = c.select(F.col("doc_id").alias("doc_a"), F.col("text").alias("ta"))
+    b = c.select(F.col("doc_id").alias("doc_b"), F.col("text").alias("tb"))
+    return (
+        a.join(b, F.col("doc_a") < F.col("doc_b"))
+        .withColumn("edit_distance", F.levenshtein("ta", "tb"))
+        .filter(F.col("edit_distance") <= 5)
+        .select("doc_a", "doc_b", "edit_distance")
+    )
+
+
+@query(
     "rollup_revenue_by_region",
     oracle="""
     SELECT
