@@ -392,6 +392,8 @@ def build_glamira_pipeline(
             "product_quantity",
             "product_price",
             "line_total_amount",
+            "cp_offset",
+            "opt_offset",
             F.when(F.col("currency_code").isNull(), F.lit(None))
             .when(F.col("usd_to_ccy").isNull(), F.lit(None))
             .otherwise(F.col("product_price") / F.col("usd_to_ccy"))

@@ -216,3 +216,129 @@ def test_stg_order_vs_duckdb(glamira, spark):
     s, d = normset(spdf), normset(duck)
     assert len(s) == len(d), f"row counts differ: spark={len(s)} duck={len(d)}"
     assert s == d
+
+
+def test_mart_fact_usd_vs_duckdb(glamira, spark):
+    """End-to-end warehouse differential: USD revenue by currency_code
+    from mart_fact_order vs a full DuckDB replication (flatten -> parse
+    -> currency map -> TLD inference -> fx join -> USD) over the same
+    raw parquet."""
+    import duckdb
+    from pyspark.sql import functions as F
+
+    from glamira_batch_processing_spark.functions.currency import FX_SEED_ROWS
+
+    p, paths = glamira
+    fx_values = ",\n      ".join(
+        f"('{code}', {rate!r})" for _, _, code, rate in FX_SEED_ROWS
+    )
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW raw_events AS SELECT * FROM '{paths['raw_events']}/*.parquet'"
+    )
+    parse = """
+      TRY_CAST(trim(replace(
+        CASE
+          WHEN strpos(replace(cp.price, '٫', '.'), ',') > 0
+               AND strpos(replace(cp.price, '٫', '.'), '.') > 0 THEN
+            CASE WHEN strpos(replace(cp.price, '٫', '.'), ',')
+                      < strpos(replace(cp.price, '٫', '.'), '.')
+                 THEN replace(replace(cp.price, '٫', '.'), ',', '')
+                 ELSE replace(replace(replace(cp.price, '٫', '.'), '.', ''), ',', '.')
+            END
+          WHEN strpos(replace(cp.price, '٫', '.'), ',') > 0
+            THEN replace(replace(cp.price, '٫', '.'), ',', '.')
+          ELSE replace(cp.price, '٫', '.')
+        END, ' ', '')) AS DECIMAL(38,9))
+    """
+    duck = con.sql(
+        f"""
+    WITH li AS (
+      SELECT current_url, unnest(cart_products) AS cp
+      FROM raw_events
+      WHERE collection = 'checkout_success' AND cart_products IS NOT NULL
+    ),
+    typed AS (
+      SELECT current_url,
+             TRY_CAST(cp.amount AS BIGINT) AS qty,
+             {parse} AS price,
+             trim(cp.currency) AS cur,
+             lower(trim(cp.currency)) AS cur_norm
+      FROM li
+    ),
+    mapped AS (
+      SELECT *,
+        CASE
+          WHEN cur IS NULL OR cur = '' THEN NULL
+          WHEN cur_norm = 'usd $' THEN 'USD'
+          WHEN cur_norm = 'zł' THEN 'PLN'
+          WHEN cur_norm = 'kč' THEN 'CZK'
+          WHEN cur_norm = 'лв.' THEN 'BGN'
+          WHEN cur_norm = 'din.' THEN 'RSD'
+          WHEN cur_norm = 'r$' THEN 'BRL'
+          WHEN cur = '€' THEN 'EUR'
+          WHEN cur = '£' THEN 'GBP'
+          WHEN cur = 'د.ك.‏' THEN 'KWD'
+          ELSE NULL
+        END AS mapped_code,
+        CASE WHEN cur = '$' OR cur_norm = 'kr' THEN TRUE ELSE FALSE END AS ambiguous,
+        regexp_extract(lower(trim(coalesce(regexp_extract(current_url, '://([^/]+)', 1), ''))), '\\.([a-z]{{2,}})$', 1) AS tld,
+        lower(trim(coalesce(regexp_extract(current_url, '://([^/]+)', 1), ''))) AS host
+      FROM typed
+    ),
+    inferred AS (
+      SELECT *,
+        coalesce(mapped_code,
+          CASE WHEN ambiguous THEN
+            CASE
+              WHEN host LIKE '%co.uk' THEN 'GBP'
+              WHEN tld = 'uk' THEN 'GBP' WHEN tld = 'de' THEN 'EUR'
+              WHEN tld = 'fr' THEN 'EUR' WHEN tld = 'it' THEN 'EUR'
+              WHEN tld = 'se' THEN 'SEK' WHEN tld = 'dk' THEN 'DKK'
+              WHEN tld = 'vn' THEN 'VND'
+              ELSE NULL
+            END
+          ELSE NULL END) AS code
+      FROM mapped
+    ),
+    fx(currency_code, usd_to_ccy) AS (VALUES
+      {fx_values}
+    )
+    SELECT i.code AS currency_code,
+           COUNT(*) AS n_lines,
+           CAST(SUM(CASE WHEN i.code IS NULL OR fx.usd_to_ccy IS NULL THEN NULL
+                    ELSE (i.qty * i.price) / CAST(fx.usd_to_ccy AS DECIMAL(38,9)) END)
+                AS DOUBLE) AS usd_total
+    FROM inferred i
+    LEFT JOIN fx ON fx.currency_code = i.code
+    GROUP BY i.code
+    """
+    ).df()
+
+    fact = p.ref("mart_fact_order")
+    # mart grain is option-level; de-duplicate back to cart-item grain
+    # (order x cp_offset) before summing so totals match the cart items.
+    item_grain = fact.select(
+        "order_id", "cp_offset", "currency_code", "line_total_amount_usd"
+    ).dropDuplicates(["order_id", "cp_offset"])
+    got = {
+        r.currency_code: (r.n_lines, r.usd_total)
+        for r in item_grain.groupBy("currency_code")
+        .agg(
+            F.count("*").alias("n_lines"),
+            F.sum("line_total_amount_usd").cast("double").alias("usd_total"),
+        )
+        .collect()
+    }
+    want = {r.currency_code if r.currency_code == r.currency_code else None: (r.n_lines, r.usd_total) for r in duck.itertuples(index=False)}
+    want = {
+        (None if (isinstance(k, float)) else k): v for k, v in want.items()
+    }
+    assert set(got) == set(want), (sorted(map(str, got)), sorted(map(str, want)))
+    for k in got:
+        assert got[k][0] == want[k][0], (k, got[k], want[k])
+        a, b = got[k][1], want[k][1]
+        if a is None or b is None or b != b:
+            assert (a is None or a != a) and (b is None or b != b), (k, a, b)
+        else:
+            assert abs(a - b) <= 1e-6 * max(1.0, abs(b)), (k, a, b)
