@@ -113,6 +113,36 @@ def j5_product_enrichment(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "unpivot_measures",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, measure, val
+    FROM (
+      SELECT l_orderkey, l_linenumber,
+             l_quantity AS quantity, l_discount AS discount, l_tax AS tax
+      FROM lineitem
+    )
+    UNPIVOT (val FOR measure IN (quantity, discount, tax))
+    """,
+)
+def unpivot_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide -> long unpivot/melt of the measure columns (values pass
+    through unchanged, so cross-engine exact)."""
+    l = table(spark, sf_dir, "lineitem")
+    return l.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.col("l_quantity").alias("quantity"),
+        F.col("l_discount").alias("discount"),
+        F.col("l_tax").alias("tax"),
+    ).unpivot(
+        ["l_orderkey", "l_linenumber"],
+        ["quantity", "discount", "tax"],
+        "measure",
+        "val",
+    )
+
+
+@query(
     "stats_percentiles",
     oracle="""
     SELECT event_type,

@@ -1,0 +1,109 @@
+"""Property-based invariants for the merge/dedupe/SCD operators.
+
+Hypothesis generates small adversarial datasets (duplicate keys, ties,
+empty sides); each property is an algebraic law the operator must obey
+regardless of data. Example counts are small because each example costs
+a Spark job — the laws, not the volume, carry the value.
+"""
+
+from __future__ import annotations
+
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from glamira_batch_processing_spark.operators.incremental import merge_upsert
+from glamira_batch_processing_spark.operators.windows import (
+    dedupe_latest,
+    scd2_from_history,
+)
+
+SPARK = None
+
+
+@pytest.fixture(scope="module", autouse=True)
+def _bind_spark(spark):
+    global SPARK
+    SPARK = spark
+    yield
+
+
+rows = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=5),   # key
+        st.integers(min_value=0, max_value=9),   # version/ts
+        st.sampled_from(["a", "b", "c"]),        # value
+    ),
+    min_size=0,
+    max_size=12,
+)
+
+_SETTINGS = settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+
+def _df(data):
+    return SPARK.createDataFrame(data, "k long, ver long, v string") if data else (
+        SPARK.createDataFrame([], "k long, ver long, v string")
+    )
+
+
+@given(tgt=rows, src=rows)
+@_SETTINGS
+def test_merge_upsert_laws(tgt, src):
+    """(1) result keys = union of input keys; (2) every key present in
+    src resolves to a src row; (3) merge is idempotent."""
+    t, s = _df(tgt), _df(src)
+    order = [F.desc("ver"), F.desc("v")]
+    merged = merge_upsert(t, s, ["k"], order_by=order)
+    out = merged.collect()
+    keys = {r.k for r in out}
+    assert keys == {r[0] for r in tgt} | {r[0] for r in src}
+    assert len(out) == len(keys)  # unique per key
+    src_keys = {r[0] for r in src}
+    src_rows = {(r[0], r[1], r[2]) for r in src}
+    for r in out:
+        if r.k in src_keys:
+            assert (r.k, r.ver, r.v) in src_rows
+    again = merge_upsert(merged, s, ["k"], order_by=order).collect()
+    assert sorted(map(tuple, again)) == sorted(map(tuple, out))
+
+
+@given(data=rows)
+@_SETTINGS
+def test_dedupe_latest_laws(data):
+    """One row per key; the kept row is the max under the order."""
+    df = _df(data)
+    out = dedupe_latest(df, ["k"], [F.desc("ver"), F.desc("v")]).collect()
+    assert len(out) == len({r[0] for r in data})
+    best = {}
+    for k, ver, v in data:
+        if k not in best or (ver, v) > best[k]:
+            best[k] = (ver, v)
+    for r in out:
+        assert (r.ver, r.v) == best[r.k]
+
+
+@given(data=rows)
+@_SETTINGS
+def test_scd2_laws(data):
+    """Validity windows chain per key: ordered by ts, each valid_to
+    equals the next valid_from; exactly one current row per key."""
+    # make (k, ver) unique so the chain order is total
+    uniq = {(k, ver): v for k, ver, v in data}
+    data = [(k, ver, v) for (k, ver), v in uniq.items()]
+    df = _df(data)
+    out = scd2_from_history(df, "k", F.col("ver"), F.col("v")).collect()
+    by_key: dict = {}
+    for r in out:
+        by_key.setdefault(r.k, []).append(r)
+    for k, rs in by_key.items():
+        rs.sort(key=lambda r: r.ver)
+        assert sum(1 for r in rs if r.is_current) == 1
+        assert rs[-1].is_current and rs[-1].valid_to is None
+        for a, b in zip(rs, rs[1:]):
+            assert a.valid_to == b.valid_from == b.ver
