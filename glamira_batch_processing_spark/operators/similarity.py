@@ -98,7 +98,6 @@ def cosine_topk_np(
     import pandas as pd
     from pyspark.sql.types import (
         DoubleType,
-        IntegerType,
         LongType,
         StructField,
         StructType,

@@ -14,10 +14,8 @@ from pyspark.sql import functions as F
 
 from ..operators import text as T
 from ..operators.dedup import (
-    doc_shingles,
     exact_dedup_stats,
     lsh_candidate_pairs,
-    minhash_signatures,
     ngram_jaccard_pairs,
     simhash_bits,
     sql_shingles_cte,

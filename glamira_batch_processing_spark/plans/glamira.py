@@ -16,7 +16,6 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions.cleaning import (
-    is_blank,
     normalize_email,
     parse_localized_number,
     user_id_status,

@@ -11,7 +11,6 @@ from ..functions.currency import (
     currency_status_expr,
     fx_rates,
     infer_currency_from_tld,
-    url_tld,
 )
 from ..functions.keys import key_input, surrogate_key
 from .registry import query, table
