@@ -98,3 +98,31 @@ def test_fx_seed_csv(spark):
     }
     usd = fx.filter(F.col("currency_code") == "USD").collect()[0]
     assert usd.usd_to_ccy == 1.0
+
+
+def test_text_predict_lang_tiebreak(spark):
+    """Equal stopword scores resolve in en>de>fr>es declaration order."""
+    from glamira_batch_processing_spark.operators.text import predict_lang
+
+    df = spark.createDataFrame(
+        [("the der le el",),    # 1 hit each -> tie -> 'en'
+         ("der die das und",),  # de wins
+         ("xyzzy qwerty",)],    # zero everywhere -> tie at 0 -> 'en'
+        "text string",
+    )
+    got = [r.p for r in df.select(predict_lang(F.col("text")).alias("p")).collect()]
+    assert got == ["en", "de", "en"]
+
+
+def test_text_fingerprint_normalization(spark):
+    """Case, punctuation, and whitespace variants share a fingerprint."""
+    from glamira_batch_processing_spark.operators.text import fingerprint
+
+    df = spark.createDataFrame(
+        [(1, "Hello,  World!"), (2, "hello world"), (3, "HELLO ... WORLD"),
+         (4, "different text")],
+        "id long, text string",
+    )
+    got = {r.id: r.fp for r in df.select("id", fingerprint(F.col("text")).alias("fp")).collect()}
+    assert got[1] == got[2] == got[3]
+    assert got[4] != got[1]
