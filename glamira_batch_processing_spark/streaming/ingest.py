@@ -81,6 +81,23 @@ def read_merged(
     )
 
 
+def streaming_dedup(
+    events: DataFrame,
+    keys: list[str],
+    ts_col: str = "ts",
+    watermark_delay: str = "1 hour",
+) -> DataFrame:
+    """Exactly-once key dedup on a stream, with bounded state.
+
+    dropDuplicatesWithinWatermark keeps only keys younger than the
+    watermark in state — the streaming analog of the batch W4 dedupe,
+    and the reason late duplicate replays (the reference's re-extract
+    overlap) collapse to one row."""
+    return events.withWatermark(ts_col, watermark_delay).dropDuplicatesWithinWatermark(
+        keys
+    )
+
+
 def windowed_event_counts(
     events: DataFrame,
     ts_col: str = "ts",

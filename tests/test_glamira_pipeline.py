@@ -342,3 +342,22 @@ def test_mart_fact_usd_vs_duckdb(glamira, spark):
             assert (a is None or a != a) and (b is None or b != b), (k, a, b)
         else:
             assert abs(a - b) <= 1e-6 * max(1.0, abs(b)), (k, a, b)
+
+
+def test_incremental_fact_run(glamira, spark, tmp_path):
+    """P7+J11 wired through the warehouse: day-1 fact + overlapping day-2
+    re-extract merge to exactly the full-history fact (source wins on
+    collision, lookback overlap deduped by item_key)."""
+    from glamira_batch_processing_spark.operators.incremental import merge_upsert
+
+    p, _ = glamira
+    full = p.ref("stg_order")
+    cutoff = 1480000000
+    lookback = cutoff - 3 * 86400  # the reference's 3-day lookback
+    day1 = full.filter(F.col("time_stamp") < cutoff)
+    day2 = full.filter(F.col("time_stamp") >= lookback)  # overlaps day1
+    merged = merge_upsert(day1, day2, ["item_key"])
+    assert merged.count() == full.count()
+    a = sorted(r.item_key for r in merged.select("item_key").collect())
+    b = sorted(r.item_key for r in full.select("item_key").collect())
+    assert a == b

@@ -171,3 +171,34 @@ def test_write_partitioned_prunes(spark, tmp_path):
     # partition pruning visible in the physical plan
     plan = one_day._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters" in plan or "partitionFilters" in plan.lower()
+
+
+def test_streaming_dedup_within_watermark(spark, tmp_path):
+    """Duplicate (order, line) keys in the stream collapse to one row."""
+    from glamira_batch_processing_spark.streaming.ingest import streaming_dedup
+
+    src = str(tmp_path / "dupsrc")
+    schema = "k long, ts string"
+    rows = [
+        (1, "2024-01-01 00:00:01"),
+        (1, "2024-01-01 00:00:02"),  # dup key within watermark
+        (2, "2024-01-01 00:10:00"),
+    ]
+    spark.createDataFrame(rows, schema).coalesce(1).write.parquet(src)
+    stream = (
+        spark.readStream.schema(schema)
+        .parquet(src)
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+    )
+    deduped = streaming_dedup(stream, ["k"], watermark_delay="1 hour")
+    q = (
+        deduped.writeStream.format("memory")
+        .queryName("dedup_stream")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "dckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = sorted(r.k for r in spark.sql("SELECT * FROM dedup_stream").collect())
+    assert got == [1, 2]
