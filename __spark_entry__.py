@@ -28,6 +28,7 @@ from glamira_batch_processing_spark.plans import (  # noqa: F401
     misc_queries,
     scalar_queries,
     session_queries,
+    window_frame_queries,
     window_queries,
 )
 from glamira_batch_processing_spark.plans.registry import ORACLE, QUERIES

@@ -1,0 +1,131 @@
+"""Window frames, grouping sets, and date/time arithmetic queries.
+
+The reference only uses ranking windows over default frames (SURVEY
+§2.5) and simple interval arithmetic (§1.2); these expose the rest of
+the family the engine gets for free — with exact-decimal running sums
+so frames stay oracle-comparable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from .registry import query, table
+
+
+@query(
+    "w5_running_totals",
+    oracle="""
+    SELECT
+      o_custkey,
+      o_orderkey,
+      strftime(CAST(o_orderdate AS DATE), '%Y-%m-%d') AS order_date,
+      CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+        PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        ROWS UNBOUNDED PRECEDING
+      ) AS DOUBLE) AS running_total,
+      CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+        PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        ROWS BETWEEN 2 PRECEDING AND CURRENT ROW
+      ) AS DOUBLE) AS moving_total_3,
+      CAST(first_value(o_orderkey) OVER (
+        PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        ROWS UNBOUNDED PRECEDING
+      ) AS BIGINT) AS first_orderkey,
+      CAST(COUNT(*) OVER (
+        PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        ROWS UNBOUNDED PRECEDING
+      ) AS BIGINT) AS order_seq
+    FROM orders
+    """,
+)
+def w5_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running/moving aggregates over explicit row frames (beyond the
+    reference's ranking-only windows). Sums are exact decimal inside the
+    frame, cast to double at the edge."""
+    o = table(spark, sf_dir, "orders")
+    order = [F.col("o_orderdate"), F.col("o_orderkey")]
+    w_run = Window.partitionBy("o_custkey").orderBy(*order).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    w_mov = Window.partitionBy("o_custkey").orderBy(*order).rowsBetween(-2, 0)
+    price_dec = F.col("o_totalprice").cast("decimal(18,2)")
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("order_date"),
+        F.sum(price_dec).over(w_run).cast("double").alias("running_total"),
+        F.sum(price_dec).over(w_mov).cast("double").alias("moving_total_3"),
+        F.first("o_orderkey").over(w_run).alias("first_orderkey"),
+        F.count("*").over(w_run).alias("order_seq"),
+    )
+
+
+@query(
+    "grouping_sets_priority_status",
+    oracle="""
+    SELECT
+      coalesce(o_orderpriority, 'ALL') AS priority,
+      coalesce(o_orderstatus, 'ALL') AS status,
+      COUNT(*) AS n_orders,
+      CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderpriority), (o_orderstatus), ())
+    """,
+)
+def grouping_sets_priority_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS (by priority, by status, grand total) —
+    one pass, Catalyst expands the sets."""
+    o = table(spark, sf_dir, "orders")
+    o.createOrReplaceTempView("__orders_gs")
+    return spark.sql(
+        """
+        SELECT
+          coalesce(o_orderpriority, 'ALL') AS priority,
+          coalesce(o_orderstatus, 'ALL') AS status,
+          COUNT(*) AS n_orders,
+          CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+        FROM __orders_gs
+        GROUP BY GROUPING SETS ((o_orderpriority), (o_orderstatus), ())
+        """
+    )
+
+
+@query(
+    "f6_time_arithmetic",
+    oracle="""
+    SELECT
+      event_id,
+      epoch_us(ts) AS ts_us,
+      epoch_us(ts + INTERVAL 1 DAY) AS ts_plus_day_us,
+      epoch_us(date_trunc('hour', ts)) AS ts_hour_us,
+      strftime(CAST(date_trunc('month', ts) AS DATE), '%Y-%m-%d') AS month_start,
+      CAST(year(ts) AS INTEGER) AS y,
+      CAST(dayofweek(ts) AS INTEGER) AS dow,
+      (ts BETWEEN TIMESTAMP '2024-01-10 00:00:00' AND TIMESTAMP '2024-01-20 00:00:00') AS in_window
+    FROM events
+    """,
+)
+def f6_time_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval arithmetic, truncation, field extraction, BETWEEN range
+    checks (ref: int_order_qa.sql:59-60 TIMESTAMP_ADD/BETWEEN,
+    mart_fact_order.sql:164-168, mart_dim_date.sql:10-11 — F6).
+    DuckDB dayofweek is 0=Sunday; Spark's dayofweek is 1=Sunday, so we
+    emit Spark's value minus 1."""
+    e = table(spark, sf_dir, "events")
+    return e.select(
+        "event_id",
+        F.unix_micros("ts").alias("ts_us"),
+        F.unix_micros(F.col("ts") + F.expr("INTERVAL 1 DAY")).alias("ts_plus_day_us"),
+        F.unix_micros(F.date_trunc("hour", "ts")).alias("ts_hour_us"),
+        F.date_format(F.date_trunc("month", "ts"), "yyyy-MM-dd").alias("month_start"),
+        F.year("ts").alias("y"),
+        (F.dayofweek("ts") - 1).alias("dow"),
+        F.col("ts")
+        .between(
+            F.lit("2024-01-10 00:00:00").cast("timestamp"),
+            F.lit("2024-01-20 00:00:00").cast("timestamp"),
+        )
+        .alias("in_window"),
+    )
