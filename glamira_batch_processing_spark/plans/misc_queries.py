@@ -113,6 +113,39 @@ def j5_product_enrichment(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "j13_semi_anti_join",
+    oracle="""
+    SELECT c.c_custkey, 'with_orders' AS segment
+    FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
+                  AND o.o_orderpriority = '1-URGENT')
+    UNION ALL
+    SELECT c.c_custkey, 'no_urgent_orders' AS segment
+    FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
+                      AND o.o_orderpriority = '1-URGENT')
+    """,
+)
+def j13_semi_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit left-semi / left-anti joins (the reference formulates
+    orphan checks as LEFT JOIN + NULL count — SURVEY §2.3 notes the
+    anti-join equivalence; here it is first-class). One scan each side,
+    no row duplication from the many-side."""
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") == "1-URGENT"
+    )
+    cond = c.c_custkey == o.o_custkey
+    semi = c.join(o, cond, "left_semi").select(
+        "c_custkey", F.lit("with_orders").alias("segment")
+    )
+    anti = c.join(o, cond, "left_anti").select(
+        "c_custkey", F.lit("no_urgent_orders").alias("segment")
+    )
+    return semi.unionByName(anti)
+
+
+@query(
     "unpivot_measures",
     oracle="""
     SELECT l_orderkey, l_linenumber, measure, val
