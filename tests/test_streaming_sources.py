@@ -202,3 +202,25 @@ def test_streaming_dedup_within_watermark(spark, tmp_path):
     q.awaitTermination()
     got = sorted(r.k for r in spark.sql("SELECT * FROM dedup_stream").collect())
     assert got == [1, 2]
+
+
+def test_csv_and_manifest_writers(spark, tmp_path):
+    """S8 CSV sink (header, round-trip) and S10 manifest JSON."""
+    import json
+
+    from glamira_batch_processing_spark.sources.writers import (
+        write_csv,
+        write_manifest,
+    )
+
+    df = spark.createDataFrame([(1, "a"), (2, "b")], "k long, v string")
+    csv_path = str(tmp_path / "out_csv")
+    write_csv(df, csv_path)
+    back = spark.read.csv(csv_path, header=True, inferSchema=True)
+    assert sorted(map(tuple, back.collect())) == [(1, "a"), (2, "b")]
+
+    mpath = str(tmp_path / "manifest.json")
+    write_manifest(mpath, {"rows": 2, "source": "test", "when": "2026-08-13"})
+    with open(mpath) as fh:
+        m = json.load(fh)
+    assert m["rows"] == 2 and m["source"] == "test"
