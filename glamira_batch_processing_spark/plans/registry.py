@@ -35,6 +35,11 @@ TABLES = (
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 ORACLE: dict[str, str] = {}
 
+# DataFrame handles per (session, path): skips re-listing parquet
+# footers when the driver runs all ~60 queries back-to-back. Plans are
+# immutable, so sharing the lazy handle is safe.
+_TABLE_CACHE: dict[tuple[int, str], DataFrame] = {}
+
 
 def query(name: str, oracle: str | None = None):
     """Register a contract query (and optionally its DuckDB oracle SQL)."""
@@ -58,12 +63,18 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     the identical instant.
     """
     spark.conf.set("spark.sql.session.timeZone", "UTC")
+    key = (id(spark), f"{sf_dir}/{name}")
+    cached = _TABLE_CACHE.get(key)
+    if cached is not None:
+        return cached
     if name == "events":
         from pyspark.sql import functions as F
 
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-        return df.withColumn(
+        df = spark.read.parquet(f"{sf_dir}/{name}.parquet").withColumn(
             "ts", F.timestamp_micros(F.expr("ts div 1000"))
         )
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    else:
+        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    _TABLE_CACHE[key] = df
+    return df
