@@ -171,3 +171,35 @@ def test_extract_features_deterministic(spark):
         assert len(v) == FEATURE_DIM
         assert all(-1.0 <= x < 1.0 for x in v)
     assert feats1[1] != feats1[2]
+
+
+def test_ivf_multiprobe_recall(spark):
+    """Recall@5 vs exact improves with nprobe and reaches 1.0 when all
+    buckets are probed (exhaustive == exact)."""
+    from glamira_batch_processing_spark.operators.similarity import ivf_search
+    import __spark_entry__ as contract
+
+    sf = "/root/testdata/sf0.001"
+    exact = contract.queries()["ann_cosine_topk"](spark, sf)
+    truth = {}
+    for r in exact.filter("rank <= 5").collect():
+        truth.setdefault(r.query_id, set()).add(r.neighbor_id)
+
+    vecs = spark.read.parquet(f"{sf}/embeddings.parquet")
+    cents = vecs.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("centroid_id"), F.col("embedding").alias("cvec")
+    )
+    pred = F.col("vec_id") % 100 == 0
+
+    def recall(nprobe):
+        got = {}
+        res = ivf_search(vecs, cents, pred, k=5, nprobe=nprobe)
+        for r in res.collect():
+            got.setdefault(r.query_id, set()).add(r.neighbor_id)
+        rs = [len(truth[q] & got.get(q, set())) / len(truth[q]) for q in truth]
+        return sum(rs) / len(rs)
+
+    r1, r2, r8 = recall(1), recall(2), recall(8)
+    assert r1 >= 0.3       # measured 0.36 on this deterministic data
+    assert r2 >= r1
+    assert r8 == 1.0       # probing every bucket == brute force
