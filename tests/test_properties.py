@@ -107,3 +107,40 @@ def test_scd2_laws(data):
         assert rs[-1].is_current and rs[-1].valid_to is None
         for a, b in zip(rs, rs[1:]):
             assert a.valid_to == b.valid_from == b.ver
+
+
+@given(
+    left=st.lists(st.tuples(st.integers(0, 3), st.integers(0, 20)), max_size=10),
+    right=st.lists(
+        st.tuples(st.integers(0, 3), st.integers(0, 20), st.sampled_from(["x", "y"])),
+        max_size=10,
+    ),
+)
+@_SETTINGS
+def test_asof_join_law(left, right):
+    """For every left row, the joined value is the right row with the
+    greatest ts <= left ts for that key (None if no such row)."""
+    from glamira_batch_processing_spark.operators.asof import asof_join
+
+    # right must be unique per (key, ts): keep the max value as tiebreak
+    rmap = {}
+    for k, ts, v in right:
+        rmap[(k, ts)] = max(v, rmap.get((k, ts), ""))
+    right_rows = [(k, ts, v) for (k, ts), v in rmap.items()]
+    ldf = SPARK.createDataFrame(
+        [(i, k, ts) for i, (k, ts) in enumerate(left)], "rid long, k long, lts long"
+    ) if left else SPARK.createDataFrame([], "rid long, k long, lts long")
+    rdf = SPARK.createDataFrame(
+        right_rows, "k long, rts long, v string"
+    ) if right_rows else SPARK.createDataFrame([], "k long, rts long, v string")
+
+    out = asof_join(
+        ldf, rdf, key="k", left_ts="lts", right_ts="rts",
+        value_cols=["v"], left_tiebreak="rid",
+    )
+    got = {r.rid: r.v for r in out.collect()}
+    assert set(got) == set(range(len(left)))
+    for i, (k, ts) in enumerate(left):
+        cands = [(rts, v) for (kk, rts, v) in right_rows if kk == k and rts <= ts]
+        expect = max(cands)[1] if cands else None
+        assert got[i] == expect, (i, k, ts, got[i], expect)
