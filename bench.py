@@ -4,8 +4,10 @@ Prints ONE JSON line:
   {"metric": "...", "value": <total sec>, "unit": "sec",
    "queries": {"q1": sec, ...}, "sf": <sf>}
 
-Each query is timed end-to-end (plan + execute + collect-count) after a
-warm-up pass of the session. Run: python bench.py
+Each query is timed end-to-end (plan + execute + full materialization
+via a noop-format write, so Catalyst cannot prune projected expressions
+the way it can under ``count()``) after a warm-up pass of the session.
+Run: python bench.py
 """
 
 from __future__ import annotations
@@ -35,9 +37,20 @@ HEADLINE = [
     "asof_join_last_purchase",
     "dedup_exact",
     "dedup_minhash_lsh",
-    "ann_cosine_topk",
+    "ann_cosine_topk_np",
+    "ann_ivf_bucketed",
     "text_quality_score",
 ]
+
+
+def force(df) -> None:
+    """Execute every operator in the plan and materialize all columns.
+
+    ``count()`` lets Catalyst drop unreferenced projections (a
+    projection-only query would time the bare scan); the noop sink
+    consumes every row and column without writing bytes anywhere.
+    """
+    df.write.format("noop").mode("overwrite").save()
 
 
 def main() -> None:
@@ -53,7 +66,7 @@ def main() -> None:
     for name in HEADLINE:
         if name in qs:
             try:
-                qs[name](spark, warm_sf).count()
+                force(qs[name](spark, warm_sf))
             except Exception:
                 pass
 
@@ -62,8 +75,7 @@ def main() -> None:
         if name not in qs:
             continue
         t0 = time.perf_counter()
-        # count() forces full execution of every operator in the plan
-        qs[name](spark, SF_DIR).count()
+        force(qs[name](spark, SF_DIR))
         timings[name] = round(time.perf_counter() - t0, 4)
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]

@@ -5,16 +5,30 @@ extension the engine needs for time-series enrichment at scale.
 
 Spark-first design: NOT a range join (which explodes to |L| x |R| per
 key before filtering). Instead union both sides tagged, sort once per
-key by (ts, right-before-left), and carry the last seen right value
+key by (ts, right-before-left), and carry the last seen right row
 forward with last(ignorenulls) over a running frame. One shuffle on the
 key, linear scan within each key group — survives 100 TB where a
 windowed range join would not.
+
+Memory shape: only (key, ts, row-id) from the left participates in the
+union+window — wide left schemas never pad onto right rows and never
+shuffle twice. Left payload columns are re-attached afterwards by an
+equi-join on a synthetic row id.
+
+Null correctness: the right side's value columns travel as ONE struct
+through last(ignorenulls), so every value column comes from the same
+(most recent) right row and a legitimately-NULL value column inside
+that row stays NULL instead of leaking an older row's value.
 """
 
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+
+# Unit separator: cannot appear in numeric/timestamp key renderings,
+# so the synthetic row id is collision-free for the documented contract.
+_SEP = chr(31)
 
 
 def asof_join(
@@ -32,39 +46,52 @@ def asof_join(
     ``right`` must be unique per (key, right_ts) — pre-aggregate if not;
     ``left_tiebreak`` makes the within-key order total.
     """
-    l_tagged = left.withColumn("__side", F.lit(0)).withColumn(
-        "__ts", F.col(left_ts)
+    # Narrow left projection: the window stage shuffles only
+    # (key, ts, tiebreak, row_id), not the full left schema.
+    lid = F.concat_ws(
+        _SEP, F.col(key).cast("string"), F.col(left_ts).cast("string"),
+        F.col(left_tiebreak).cast("string"),
     )
-    pad = [F.lit(None).alias(c) for c in value_cols]
-    l_tagged = l_tagged.select("*", *pad)
-    r_tagged = (
-        right.select(
-            key,
-            F.col(right_ts).alias("__ts"),
-            *[F.col(c) for c in value_cols],
-        )
-        .withColumn("__side", F.lit(1))
+    # One struct per right row: all value columns stay together, so the
+    # filled values all come from the SAME most-recent right row.
+    r_tagged = right.select(
+        F.col(key),
+        F.col(right_ts).alias("__ts"),
+        F.lit(None).cast("string").alias("__tb"),
+        F.lit(None).cast("string").alias("__row_id"),
+        F.lit(1).alias("__side"),
+        F.struct(*[F.col(c) for c in value_cols]).alias("__rv"),
     )
-    l_cols = [c for c in l_tagged.columns if c not in r_tagged.columns]
-    for c in l_cols:
-        r_tagged = r_tagged.withColumn(c, F.lit(None))
+    l_tagged = left.select(
+        F.col(key),
+        F.col(left_ts).alias("__ts"),
+        F.col(left_tiebreak).cast("string").alias("__tb"),
+        lid.alias("__row_id"),
+        F.lit(0).alias("__side"),
+        F.lit(None).cast(r_tagged.schema["__rv"].dataType).alias("__rv"),
+    )
     u = l_tagged.unionByName(r_tagged)
     # Right rows sort BEFORE left rows at equal ts (asof is <=).
     w = (
         Window.partitionBy(key)
-        .orderBy(F.col("__ts"), F.desc("__side"), F.col(left_tiebreak))
+        .orderBy(F.col("__ts"), F.desc("__side"), F.col("__tb"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    filled = u.select(
-        "*",
-        *[
-            F.last(F.when(F.col("__side") == 1, F.col(c)), ignorenulls=True)
-            .over(w)
-            .alias(f"__asof_{c}")
-            for c in value_cols
-        ],
+    filled = u.withColumn(
+        "__asof_rv",
+        F.last(F.when(F.col("__side") == 1, F.col("__rv")), ignorenulls=True).over(w),
     )
-    out = filled.filter(F.col("__side") == 0).drop("__side", "__ts", *value_cols)
-    for c in value_cols:
-        out = out.withColumnRenamed(f"__asof_{c}", c)
-    return out
+    matched = filled.filter(F.col("__side") == 0).select(
+        "__row_id",
+        *[F.col("__asof_rv").getField(c).alias(c) for c in value_cols],
+    )
+    # Re-attach the full left payload by row id (equi-join, same key
+    # distribution — AQE/bucketing co-locates it with the window output).
+    l_keyed = left.withColumn(
+        "__row_id",
+        F.concat_ws(
+            _SEP, F.col(key).cast("string"), F.col(left_ts).cast("string"),
+            F.col(left_tiebreak).cast("string"),
+        ),
+    )
+    return l_keyed.join(matched, "__row_id").drop("__row_id")

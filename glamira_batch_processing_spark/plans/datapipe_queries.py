@@ -21,8 +21,28 @@ from ..operators.dedup import (
     sql_shingles_cte,
 )
 from ..operators.multimodal import decode_images, sample_frames, with_text_payload
-from ..operators.similarity import dot, norm, sql_dot
+from ..operators.similarity import (
+    dot,
+    hyperplane_bucket,
+    hyperplane_lsh_planes,
+    norm,
+    sql_dot,
+    sql_hyperplane_bucket,
+)
 from .registry import query, table
+
+# Deterministic hyperplane constants (md5-derived — embeddable as SQL
+# literals, so Spark and DuckDB compute identical sign-bit buckets).
+_PLANES = hyperplane_lsh_planes(dim=64, n_planes=8)
+# 16 planes split into 4 bands of 4 bits for banded near-dup discovery
+# (the embedding analog of minhash banding: candidates = pairs sharing
+# ANY band signature).
+_BAND_PLANES = hyperplane_lsh_planes(dim=64, n_planes=16)
+_BAND_SIZE = 4
+_BANDS = [
+    _BAND_PLANES[i : i + _BAND_SIZE]
+    for i in range(0, len(_BAND_PLANES), _BAND_SIZE)
+]
 
 # ---------------------------------------------------------------------------
 # Shared corpora (Spark + SQL twins).
@@ -207,41 +227,86 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 # Dedup: embedding-cosine near-duplicate pairs.
 # ---------------------------------------------------------------------------
+def _band_sigs_sql(vec_sql: str) -> str:
+    """UNION ALL of one (band, sig) projection per LSH band — DuckDB
+    twin of the Spark posexplode over band signatures."""
+    return "\n      UNION ALL\n".join(
+        f"      SELECT vec_id, {b} AS band, "
+        f"{sql_hyperplane_bucket(vec_sql, planes)} AS sig FROM vecs"
+        for b, planes in enumerate(_BANDS)
+    )
+
+
 @query(
     "dedup_embedding_cosine",
     oracle=f"""
     WITH {vec_corpus_cte(bound=400)},
+    bands AS (
+{_band_sigs_sql("embedding")}
+    ),
+    cand AS (
+      SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+      FROM bands a JOIN bands b ON a.band = b.band AND a.sig = b.sig
+      WHERE a.vec_id < b.vec_id
+    ),
     normed AS (
       SELECT vec_id, embedding, sqrt({sql_dot("embedding", "embedding")}) AS nrm
       FROM vecs
     )
-    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+    SELECT vec_a, vec_b,
            {sql_dot("a.embedding", "b.embedding")} / (a.nrm * b.nrm) AS cosine_sim
-    FROM normed a JOIN normed b ON a.vec_id < b.vec_id
+    FROM cand
+    JOIN normed a ON a.vec_id = vec_a
+    JOIN normed b ON b.vec_id = vec_b
     WHERE {sql_dot("a.embedding", "b.embedding")} / (a.nrm * b.nrm) >= 0.95
     """,
 )
 def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding near-dup pairs: cosine >= 0.95 over a bounded corpus
-    with injected duplicate vectors. Norms are precomputed once per
-    vector; the pairwise stage is the verification path (IVF/LSH bucket
-    first at scale)."""
+    """Embedding near-dup pairs at cosine >= 0.95, composed the way it
+    runs at 100 TB: banded hyperplane-LSH bucketing (4 bands x 4
+    sign-bits; candidates = pairs sharing ANY band signature) followed
+    by exact cosine verification only on candidate pairs. Every join is
+    an equi-join on (band, sig) or vec_id — no BroadcastNestedLoopJoin
+    anywhere in the plan; pairwise work is confined to bucket
+    co-occupants. The DuckDB oracle computes the identical composition
+    (same md5-derived plane literals, same fold order), so the recall
+    bounds of the banding are shared by both engines."""
     vecs = vec_corpus(spark, sf_dir, bound=400)
+    bands = vecs.select(
+        "vec_id",
+        F.posexplode(
+            F.array(*[hyperplane_bucket(F.col("embedding"), p) for p in _BANDS])
+        ).alias("band", "sig"),
+    )
+    cand = (
+        bands.alias("a")
+        .join(
+            bands.alias("b"),
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.sig") == F.col("b.sig"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(
+            F.col("a.vec_id").alias("vec_a"), F.col("b.vec_id").alias("vec_b")
+        )
+        .distinct()
+    )
     normed = vecs.withColumn("nrm", norm(F.col("embedding")))
-    a = normed.select(
+    na = normed.select(
         F.col("vec_id").alias("vec_a"),
         F.col("embedding").alias("ea"),
         F.col("nrm").alias("na"),
     )
-    b = normed.select(
+    nb = normed.select(
         F.col("vec_id").alias("vec_b"),
         F.col("embedding").alias("eb"),
         F.col("nrm").alias("nb"),
     )
-    pairs = a.join(b, F.col("vec_a") < F.col("vec_b"))
     sim = dot(F.col("ea"), F.col("eb")) / (F.col("na") * F.col("nb"))
     return (
-        pairs.withColumn("cosine_sim", sim)
+        cand.join(na, "vec_a")
+        .join(nb, "vec_b")
+        .withColumn("cosine_sim", sim)
         .filter(F.col("cosine_sim") >= 0.95)
         .select("vec_a", "vec_b", "cosine_sim")
     )
@@ -303,6 +368,29 @@ def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= 10)
         .select("query_id", "neighbor_id", "rank", "cosine_sim")
     )
+
+
+@query("ann_cosine_topk_np")
+def ann_cosine_topk_np(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vectorized exact cosine top-10 (Arrow + numpy BLAS matmul via
+    mapInPandas) for every 100th vector as query — the production
+    scorer ``cosine_topk`` fold variant exists only for bit-exact
+    oracle parity. No DuckDB oracle here: numpy's pairwise/SIMD
+    summation differs from the sequential fold in the last ~ulp, so
+    parity with the fold path is asserted in pytest with tolerance
+    (tests/test_similarity.py) and the driver records a rows-only
+    check. The query set is collected to pandas by design: ANN query
+    workloads are small and ship in the task closure (broadcast
+    analog); the corpus side stays fully distributed."""
+    from ..operators.similarity import cosine_topk_np
+
+    e = table(spark, sf_dir, "embeddings")
+    queries_pdf = (
+        e.filter(F.col("vec_id") % 100 == 0)
+        .select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec"))
+        .toPandas()
+    )
+    return cosine_topk_np(queries_pdf, e, k=10)
 
 
 # ---------------------------------------------------------------------------
@@ -398,14 +486,6 @@ def ann_ivf_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Similarity search: random-hyperplane LSH bucketing (embedding analog
 # of minhash banding).
 # ---------------------------------------------------------------------------
-from ..operators.similarity import (  # noqa: E402
-    hyperplane_bucket,
-    hyperplane_lsh_planes,
-    sql_hyperplane_bucket,
-)
-
-_PLANES = hyperplane_lsh_planes(dim=64, n_planes=8)
-
 @query(
     "ann_lsh_hyperplane",
     oracle=f"""

@@ -333,7 +333,18 @@ def build_glamira_pipeline(
     def mart_fact_order(p: Pipeline) -> DataFrame:
         """ref: models/marts/mart_fact_order.sql — currency clean/map,
         TLD inference for ambiguous labels, latest-fx join, USD measures,
-        customer + product key swaps."""
+        customer + product key swaps.
+
+        DELIBERATE DIVERGENCE from the reference: USD measures here gate
+        on the POST-inference currency_code, so rows whose currency was
+        recovered via TLD inference get real product_price_usd /
+        line_total_amount_usd values. The reference
+        (mart_fact_order.sql:191-201) gates on the pre-inference code and
+        leaves USD amounts NULL for INFERRED rows — inferring a currency
+        and then refusing to use it. We treat that as a reference bug;
+        the divergence is pinned by tests/test_glamira_pipeline.py
+        (INFERRED rows must have non-NULL USD amounts). Rows with no
+        mapped or inferred currency keep NULL USD amounts in both."""
         s = p.ref("stg_order")
         cur = s.withColumn("product_currency_raw", F.trim("product_currency")).withColumn(
             "mapped_code", currency_code_expr(F.col("product_currency"))
@@ -426,9 +437,26 @@ def build_glamira_pipeline(
         from ..operators.audit import qa_flags
 
         o = p.ref("stg_order")
-        cust = p.ref("stg_customer").select(
-            "user_db_id", normalize_email(F.col("email_address")).alias("cust_email_norm")
-        ).dropDuplicates(["user_db_id"])
+        # Deliberate divergence from the reference (int_order_qa.sql:12-17
+        # + line 70): the reference left-joins EVERY stg_customer row per
+        # user_db_id, fanning each order row out once per customer email.
+        # We keep one QA row per order row and treat the rule as "email
+        # matches ANY of that user's customer emails" — deterministic
+        # (no unordered dropDuplicates pick) and stable across runs.
+        # cust_email_norm is kept as the MIN email, a deterministic
+        # representative for downstream inspection.
+        cust = (
+            p.ref("stg_customer")
+            .select(
+                "user_db_id",
+                normalize_email(F.col("email_address")).alias("cust_email_norm"),
+            )
+            .groupBy("user_db_id")
+            .agg(
+                F.min("cust_email_norm").alias("cust_email_norm"),
+                F.collect_set("cust_email_norm").alias("cust_emails"),
+            )
+        )
         joined = o.join(cust, "user_db_id", "left")
         flagged = qa_flags(
             joined,
@@ -448,15 +476,21 @@ def build_glamira_pipeline(
         )
         email_match = (
             F.when(F.col("user_db_id").isNull() | email_norm.isNull(), F.lit(True))
-            .when(F.col("cust_email_norm").isNull(), F.lit(True))
-            .otherwise(email_norm == F.col("cust_email_norm"))
+            .when(
+                # no customer row, or customer rows with only NULL emails
+                # (collect_set drops NULLs) -> rule passes vacuously
+                F.col("cust_emails").isNull()
+                | (F.size(F.col("cust_emails")) == 0),
+                F.lit(True),
+            )
+            .otherwise(F.array_contains(F.col("cust_emails"), email_norm))
         )
         return flagged.withColumn("is_event_ts_in_range", in_range).withColumn(
             "is_email_matches_customer", email_match
         ).withColumn(
             "is_row_valid",
             F.col("is_row_valid") & in_range & email_match,
-        )
+        ).drop("cust_emails")
 
     @p.model("int_customer_email_qa")
     def int_customer_email_qa(p: Pipeline) -> DataFrame:

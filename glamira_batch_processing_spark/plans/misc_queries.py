@@ -207,34 +207,52 @@ def stats_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     "dedup_edit_distance",
     oracle="""
     WITH c AS (
-      SELECT doc_id, text FROM documents WHERE doc_id < 120
+      SELECT doc_id, text FROM documents
       UNION ALL
       SELECT doc_id + 100000 AS doc_id, text || ' x' AS text
-      FROM documents WHERE doc_id < 120 AND doc_id % 7 = 0
+      FROM documents WHERE doc_id % 7 = 0
+    ),
+    blocked AS (
+      SELECT doc_id, text, md5(substr(text, 1, 32)) AS block_key FROM c
     )
     SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
            CAST(levenshtein(a.text, b.text) AS INTEGER) AS edit_distance
-    FROM c a JOIN c b ON a.doc_id < b.doc_id
+    FROM blocked a JOIN blocked b
+      ON a.block_key = b.block_key AND a.doc_id < b.doc_id
     WHERE levenshtein(a.text, b.text) <= 5
     """,
 )
 def dedup_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Edit-distance near-dup verification (bounded pairwise; classic DP
-    gives identical integers in every engine). At scale this runs only
-    on LSH/fingerprint candidate pairs, never as a full cross join —
-    hence the hard doc_id bound here."""
-    d = table(spark, sf_dir, "documents").filter(F.col("doc_id") < 120).select(
-        "doc_id", "text"
-    )
+    """Edit-distance near-dup pairs, composed block -> verify: a
+    prefix-fingerprint blocking key (md5 of the first 32 chars; every
+    synthetic doc is >= 48 chars) makes candidate generation an
+    EQUI-join, and the quadratic levenshtein DP runs only within a
+    block — never as a cross join, so the whole table participates
+    with no doc_id bound. The trade-off (an edit inside the first 32
+    chars moves a doc to a different block, like any blocking scheme)
+    is computed identically by the DuckDB oracle. Classic DP gives
+    identical integers in every engine."""
+    d = table(spark, sf_dir, "documents").select("doc_id", "text")
     near = d.filter(F.col("doc_id") % 7 == 0).select(
         (F.col("doc_id") + 100000).alias("doc_id"),
         F.concat(F.col("text"), F.lit(" x")).alias("text"),
     )
-    c = d.unionByName(near)
-    a = c.select(F.col("doc_id").alias("doc_a"), F.col("text").alias("ta"))
-    b = c.select(F.col("doc_id").alias("doc_b"), F.col("text").alias("tb"))
+    c = d.unionByName(near).withColumn(
+        "block_key", F.md5(F.substring("text", 1, 32))
+    )
+    a = c.select(
+        F.col("doc_id").alias("doc_a"), F.col("text").alias("ta"), "block_key"
+    )
+    b = c.select(
+        F.col("doc_id").alias("doc_b"), F.col("text").alias("tb"),
+        F.col("block_key").alias("block_key_b"),
+    )
     return (
-        a.join(b, F.col("doc_a") < F.col("doc_b"))
+        a.join(
+            b,
+            (F.col("block_key") == F.col("block_key_b"))
+            & (F.col("doc_a") < F.col("doc_b")),
+        )
         .withColumn("edit_distance", F.levenshtein("ta", "tb"))
         .filter(F.col("edit_distance") <= 5)
         .select("doc_a", "doc_b", "edit_distance")

@@ -37,8 +37,11 @@ ORACLE: dict[str, str] = {}
 
 # DataFrame handles per (session, path): skips re-listing parquet
 # footers when the driver runs all ~60 queries back-to-back. Plans are
-# immutable, so sharing the lazy handle is safe.
-_TABLE_CACHE: dict[tuple[int, str], DataFrame] = {}
+# immutable, so sharing the lazy handle is safe. Keyed on the Spark
+# applicationId (stable and unique per session, unlike id(spark) which
+# the allocator can reuse after a stopped session is collected) and
+# bounded: a new applicationId evicts every dead session's entries.
+_TABLE_CACHE: dict[tuple[str, str], DataFrame] = {}
 
 
 def query(name: str, oracle: str | None = None):
@@ -63,10 +66,18 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     the identical instant.
     """
     spark.conf.set("spark.sql.session.timeZone", "UTC")
-    key = (id(spark), f"{sf_dir}/{name}")
+    app_id = spark.sparkContext.applicationId
+    key = (app_id, f"{sf_dir}/{name}")
     cached = _TABLE_CACHE.get(key)
     if cached is not None:
         return cached
+    if any(k[0] != app_id for k in _TABLE_CACHE):
+        # A different (necessarily dead — local mode is one-at-a-time)
+        # session's handles are unusable; drop them so the cache stays
+        # bounded across session restarts and sf_dirs.
+        stale = [k for k in _TABLE_CACHE if k[0] != app_id]
+        for k in stale:
+            del _TABLE_CACHE[k]
     if name == "events":
         from pyspark.sql import functions as F
 

@@ -136,6 +136,44 @@ def test_windowed_event_counts_streaming(spark, tmp_path):
     assert got[("2024-01-01 01:00:00", "click")] == 1
 
 
+def test_reconcile_read_scans_per_schema_group_not_per_file(spark, tmp_path):
+    """120 drifting part files with 3 distinct schemas must produce a
+    plan with exactly 3 parquet scans (one multi-path scan per schema
+    group), never a 120-way per-file union (VERDICT r1 finding #1)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    paths = []
+    for i in range(120):
+        p = str(tmp_path / f"part-{i:05d}.parquet")
+        if i % 3 == 0:  # schema A: price is int64
+            tbl = pa.table({"id": pa.array([i], pa.int64()), "price": pa.array([i * 10], pa.int64())})
+        elif i % 3 == 1:  # schema B: price drifted to string
+            tbl = pa.table({"id": pa.array([i], pa.int64()), "price": pa.array([f"{i * 10}"], pa.string())})
+        else:  # schema C: extra column, price absent
+            tbl = pa.table({"id": pa.array([i], pa.int64()), "note": pa.array([f"n{i}"], pa.string())})
+        pq.write_table(tbl, p)
+        paths.append(p)
+
+    df = reconcile_read(spark, paths)
+    plan = df._jdf.queryExecution().optimizedPlan().toString()
+    n_scans = plan.count("Relation")
+    assert n_scans == 3, f"expected 3 schema-group scans, saw {n_scans}"
+
+    assert dict(df.dtypes)["price"] == "string"
+    assert dict(df.dtypes)["note"] == "string"
+    rows = {r.id: (r.price, r.note) for r in df.collect()}
+    assert len(rows) == 120
+    assert rows[0] == ("0", None)
+    assert rows[1] == ("10", None)
+    assert rows[2] == (None, "n2")
+
+    # Drift detection consults every footer, not a 300-file sample.
+    drift = detect_drift(spark, paths)
+    assert drift["price"] == {"bigint", "string"}
+    assert drift["note"] == {"string"}
+
+
 def test_schema_drift_reconcile(spark, tmp_path):
     """A column that drifts int -> string across parts is unified as
     string; parts missing a column get NULLs (ref normalize_parquet_run)."""
