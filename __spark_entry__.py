@@ -26,6 +26,7 @@ from glamira_batch_processing_spark.plans import (  # noqa: F401
     datapipe_queries,
     e2e_queries,
     misc_queries,
+    pipeline_e2e,
     scalar_queries,
     session_queries,
     window_frame_queries,
@@ -35,8 +36,13 @@ from glamira_batch_processing_spark.plans.registry import ORACLE, QUERIES
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    return QUERIES["glamira_e2e_revenue_rollup"](spark, "/root/testdata/sf0.001")
+    """Flagship query on /root/testdata/sf0.001; driver checks rows>0.
+
+    The flagship is the whole-warehouse run: the full Glamira DAG
+    (staging -> SCD -> marts) executing over constructed raw inputs,
+    rolled up to USD revenue by resolved currency.
+    """
+    return QUERIES["glamira_pipeline_e2e"](spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
