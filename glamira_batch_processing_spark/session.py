@@ -22,7 +22,13 @@ _DEFAULTS = {
     "spark.sql.adaptive.skewJoin.enabled": "true",
     "spark.sql.session.timeZone": "UTC",
     "spark.sql.execution.arrow.pyspark.enabled": "true",
-    "spark.sql.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),
+    # Spark's stock 10 MB. 64 MB looked tempting for dim joins, but it
+    # lets mid-sized nested relations (e.g. a carts rollup) broadcast:
+    # the hash relation builds single-threaded and its humongous
+    # allocations stall G1 — measured 2x slower and 3x noisier than the
+    # shuffle join on the warehouse e2e. Genuinely small dims still
+    # broadcast; anything near the limit is better shuffled.
+    "spark.sql.autoBroadcastJoinThreshold": str(10 * 1024 * 1024),
     "spark.sql.files.maxPartitionBytes": str(128 * 1024 * 1024),
     "spark.sql.parquet.filterPushdown": "true",
     "spark.sql.shuffle.partitions": "32",
