@@ -26,6 +26,7 @@ from glamira_batch_processing_spark.plans import (  # noqa: F401
     datapipe_queries,
     e2e_queries,
     misc_queries,
+    mlprep_queries,
     pipeline_e2e,
     scalar_queries,
     session_queries,

@@ -1,0 +1,81 @@
+"""Connected components over a candidate-pair edge list.
+
+The missing last step of distributed dedup: LSH/minhash produce
+PAIRS (a~b, b~c), but "keep one document per duplicate group" needs the
+transitive closure — the connected component — so that {a,b,c} collapse
+to ONE canonical survivor, not two.
+
+Algorithm: iterative min-label propagation (each node repeatedly takes
+the minimum label among itself and its neighbors) with a driver-side
+convergence check. Rounds needed = graph diameter; duplicate clusters
+are near-cliques (LSH hits most pairs directly), so 2-4 rounds close
+them in practice. Each round is one shuffle (groupBy node) over the
+edge list — at 100 TB the edge list is the small output of bucketed
+LSH, orders of magnitude below the corpus itself. For adversarially
+long path graphs, the classic large-star/small-star transformation
+(Kiveris et al., "Connected Components in MapReduce and Beyond") drops
+rounds to O(log n); with dedup-shaped graphs the plain propagation's
+per-round cost is lower and the round count is already tiny.
+
+The fixpoint loop lives in the DRIVER as control flow only — per round
+it launches distributed jobs and reads back a single boolean (did any
+label change), never row data.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def connected_components(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_iter: int = 20,
+) -> DataFrame:
+    """(node, component) for every node in ``edges``; component = the
+    minimum node id reachable. Node/id columns must be orderable and
+    hash-joinable (int/long/string).
+
+    Raises ``RuntimeError`` if the fixpoint is not reached within
+    ``max_iter`` rounds (diameter > max_iter — not a dedup-shaped graph).
+    """
+    # localCheckpoint: iterative algorithms MUST truncate lineage each
+    # round — without it the logical plan doubles per iteration and
+    # planning cost/driver memory blow up long before the data does. On
+    # a production cluster swap for checkpoint() on reliable storage so
+    # executor loss cannot orphan a round.
+    bidir = (
+        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .unionByName(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
+        .distinct()
+        .localCheckpoint()
+    )
+    labels = (
+        bidir.select(F.col("a").alias("node"))
+        .distinct()
+        .withColumn("component", F.col("node"))
+        .localCheckpoint()
+    )
+    for _ in range(max_iter):
+        # neighbor labels: for each edge a->b, b's current label offered to a
+        offers = bidir.join(
+            labels.withColumnRenamed("node", "b"), "b"
+        ).select(F.col("a").alias("node"), "component")
+        new_labels = (
+            labels.unionByName(offers)
+            .groupBy("node")
+            .agg(F.min("component").alias("component"))
+            .localCheckpoint()  # eager: materialized once, lineage cut
+        )
+        changed = (
+            new_labels.join(labels.withColumnRenamed("component", "old"), "node")
+            .filter(F.col("component") != F.col("old"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            return labels
+    raise RuntimeError(f"connected_components did not converge in {max_iter} rounds")

@@ -1,0 +1,322 @@
+"""Contract queries for the training-data preparation operators
+(`operators/mlprep.py`, `operators/components.py`).
+
+Each query runs over the synthetic ``documents`` table and has a DuckDB
+oracle computing the identical result — the deterministic-md5 design of
+the operators exists precisely so these are value-checkable across
+engines (see `operators/mlprep.py` module docstring).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.components import connected_components
+from ..operators.dedup import lsh_candidate_pairs, sql_shingles_cte
+from ..operators.mlprep import (
+    PII_PATTERNS,
+    chunk_token_windows,
+    hash_bucket_sql,
+    hash_split,
+    pack_sequences,
+    redact_pii,
+    stratified_sample,
+)
+from .datapipe_queries import corpus, corpus_cte
+from .registry import query, table
+
+# ---------------------------------------------------------------------------
+# Deterministic train/val/test split.
+# ---------------------------------------------------------------------------
+
+_SPLITS = {"train": 90, "val": 5, "test": 5}
+_SPLIT_BUCKET = hash_bucket_sql("doc_id", 100, salt="split-v1")
+
+
+@query(
+    "split_train_val_test",
+    oracle=f"""
+    WITH b AS (SELECT doc_id, n_chars, {_SPLIT_BUCKET} AS bucket FROM documents)
+    SELECT
+      CASE WHEN bucket < 90 THEN 'train'
+           WHEN bucket < 95 THEN 'val'
+           ELSE 'test' END AS split,
+      COUNT(*) AS n_docs,
+      CAST(SUM(n_chars) AS BIGINT) AS n_chars_total,
+      MIN(doc_id) AS min_doc,
+      MAX(doc_id) AS max_doc
+    FROM b GROUP BY 1
+    """,
+)
+def split_train_val_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """90/5/5 deterministic hash split of the corpus.
+
+    The assignment is a stateless per-row md5 bucket (no shuffle, no
+    count pass, no global sort): documents keep their split forever as
+    the corpus grows — the no-leakage property a training split needs.
+    """
+    d = table(spark, sf_dir, "documents")
+    s = hash_split(d, F.col("doc_id"), _SPLITS, salt="split-v1")
+    return s.groupBy("split").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_chars").alias("n_chars_total"),
+        F.min("doc_id").alias("min_doc"),
+        F.max("doc_id").alias("max_doc"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# PII redaction.
+# ---------------------------------------------------------------------------
+
+# The synthetic docs carry no PII, so the contract query plants a
+# deterministic specimen of each kind per doc_id — the redactor then has
+# real work to do and the counts/hashes pin its behavior exactly.
+_PII_SUFFIX_SQL = (
+    "' contact user' || CAST(doc_id % 997 AS VARCHAR) || '@mail.example.com"
+    " from 10.' || CAST(doc_id % 200 AS VARCHAR) || '.3.7"
+    " call 555-123-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')"
+)
+
+
+def _pii_text(doc_id) -> F.Column:
+    return F.concat(
+        F.col("text"),
+        F.lit(" contact user"), (doc_id % 997).cast("string"),
+        F.lit("@mail.example.com from 10."), (doc_id % 200).cast("string"),
+        F.lit(".3.7 call 555-123-"),
+        F.lpad((doc_id % 10000).cast("string"), 4, "0"),
+    )
+
+
+@query(
+    "pii_redact",
+    oracle=f"""
+    WITH planted AS (
+      SELECT doc_id, text || {_PII_SUFFIX_SQL} AS text FROM documents
+    ),
+    counted AS (
+      SELECT doc_id, text,
+        len(regexp_extract_all(text, '{PII_PATTERNS["email"]}')) AS n_email,
+        len(regexp_extract_all(text, '{PII_PATTERNS["ipv4"]}')) AS n_ipv4,
+        len(regexp_extract_all(text, '{PII_PATTERNS["phone"]}')) AS n_phone
+      FROM planted
+    )
+    SELECT doc_id, CAST(n_email AS INTEGER) AS n_email,
+           CAST(n_ipv4 AS INTEGER) AS n_ipv4,
+           CAST(n_phone AS INTEGER) AS n_phone,
+           md5(regexp_replace(
+                 regexp_replace(
+                   regexp_replace(text, '{PII_PATTERNS["email"]}', '<EMAIL>', 'g'),
+                   '{PII_PATTERNS["ipv4"]}', '<IPV4>', 'g'),
+                 '{PII_PATTERNS["phone"]}', '<PHONE>', 'g')) AS redacted_md5
+    FROM counted
+    """,
+)
+def pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Email/IPv4/phone redaction with per-kind counts.
+
+    Patterns are chosen to parse identically under Java regex and RE2;
+    the whole operator is a regexp chain fused into the scan projection
+    (one stage, no shuffle, no UDF)."""
+    d = table(spark, sf_dir, "documents").select(
+        "doc_id", _pii_text(F.col("doc_id")).alias("text")
+    )
+    r = redact_pii(d, "text")
+    return r.select(
+        "doc_id",
+        F.col("n_email").cast("int").alias("n_email"),
+        F.col("n_ipv4").cast("int").alias("n_ipv4"),
+        F.col("n_phone").cast("int").alias("n_phone"),
+        F.md5("text_redacted").alias("redacted_md5"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Token-window chunking.
+# ---------------------------------------------------------------------------
+
+_WIN, _STRIDE = 32, 24
+
+
+@query(
+    "chunk_token_windows",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, string_split(text, ' ') AS toks,
+             len(string_split(text, ' ')) AS n
+      FROM documents
+    ),
+    idx AS (
+      SELECT doc_id, toks, n,
+             unnest(generate_series(
+               0, CAST(ceil(greatest(n - {_WIN}, 0) / {_STRIDE}.0) AS BIGINT)
+             )) AS chunk_idx
+      FROM t
+    )
+    SELECT doc_id, CAST(chunk_idx AS INTEGER) AS chunk_idx,
+           md5(array_to_string(
+             list_slice(toks, chunk_idx * {_STRIDE} + 1, chunk_idx * {_STRIDE} + {_WIN}),
+             ' ')) AS chunk_md5,
+           CAST(least({_WIN}, n - chunk_idx * {_STRIDE}) AS INTEGER) AS n_tokens
+    FROM idx
+    """,
+)
+def chunk_token_windows_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping 32-token windows advancing 24 tokens — the
+    context-window preparation step. Explode over sequence(); pipelines
+    with the scan, no shuffle."""
+    d = table(spark, sf_dir, "documents")
+    ch = chunk_token_windows(d, "text", ["doc_id"], window=_WIN, stride=_STRIDE)
+    return ch.select(
+        "doc_id",
+        F.col("chunk_idx").cast("int").alias("chunk_idx"),
+        F.md5("chunk_text").alias("chunk_md5"),
+        "n_tokens",
+    )
+
+
+# ---------------------------------------------------------------------------
+# Sequence packing.
+# ---------------------------------------------------------------------------
+
+_BUDGET = 512
+
+
+@query(
+    "pack_sequences",
+    oracle=f"""
+    WITH t AS (
+      SELECT lang, doc_id, len(string_split(text, ' ')) AS n_tokens
+      FROM documents
+    ),
+    packed AS (
+      SELECT lang, n_tokens,
+        CAST(floor((SUM(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    - n_tokens) / {_BUDGET}) AS BIGINT) AS pack_id
+      FROM t
+    )
+    SELECT lang, pack_id, COUNT(*) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS sum_tokens
+    FROM packed GROUP BY lang, pack_id
+    """,
+)
+def pack_sequences_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-token-budget sequence packing per language stream: pack_id
+    is a running-sum formula (one window shuffle), not a sequential
+    first-fit pass — the parallelizable packing a 100 TB corpus needs."""
+    d = table(spark, sf_dir, "documents").select(
+        "lang", "doc_id", F.size(F.split("text", " ")).alias("n_tokens")
+    )
+    p = pack_sequences(d, "lang", "doc_id", "n_tokens", budget=_BUDGET)
+    return p.groupBy("lang", "pack_id").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tokens").alias("sum_tokens"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Stratified deterministic sampling.
+# ---------------------------------------------------------------------------
+
+_FRACTIONS = {"en": 0.5, "zh": 0.25}
+_DEFAULT_FRACTION = 0.8
+_SAMPLE_BUCKET = hash_bucket_sql("doc_id", 10000, salt="sample-v1")
+
+
+@query(
+    "sample_stratified_lang",
+    oracle=f"""
+    WITH b AS (
+      SELECT lang, doc_id, n_chars, {_SAMPLE_BUCKET} AS bucket FROM documents
+    )
+    SELECT lang, COUNT(*) AS n_sampled,
+           CAST(SUM(n_chars) AS BIGINT) AS n_chars_total,
+           MIN(doc_id) AS min_doc, MAX(doc_id) AS max_doc
+    FROM b
+    WHERE bucket < CASE lang WHEN 'en' THEN 5000 WHEN 'zh' THEN 2500
+                   ELSE 8000 END
+    GROUP BY lang
+    """,
+)
+def sample_stratified_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rebalance the corpus: keep 50% of English, 25% of Chinese, 80%
+    of everything else — per-row md5 decision, zero shuffles, stable
+    under corpus growth (a kept doc stays kept)."""
+    d = table(spark, sf_dir, "documents")
+    s = stratified_sample(
+        d, F.col("doc_id"), F.col("lang"), _FRACTIONS, _DEFAULT_FRACTION,
+        salt="sample-v1",
+    )
+    return s.groupBy("lang").agg(
+        F.count("*").alias("n_sampled"),
+        F.sum("n_chars").alias("n_chars_total"),
+        F.min("doc_id").alias("min_doc"),
+        F.max("doc_id").alias("max_doc"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Near-dup clusters: LSH pairs -> connected components.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "dedup_cluster_components",
+    oracle=f"""
+    WITH RECURSIVE {corpus_cte()},
+    shingles AS ({sql_shingles_cte("corpus")}),
+    mh AS (
+      SELECT doc_id, seed, MIN(md5(CAST(seed AS VARCHAR) || '#' || shingle)) AS minhash
+      FROM shingles, (SELECT unnest(range(0, 12)) AS seed)
+      GROUP BY doc_id, seed
+    ),
+    sigs AS (
+      SELECT doc_id, seed // 3 AS band,
+             string_agg(minhash, '|' ORDER BY seed) AS band_sig
+      FROM mh GROUP BY doc_id, seed // 3
+    ),
+    pairs AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM sigs a JOIN sigs b ON a.band = b.band AND a.band_sig = b.band_sig
+      WHERE a.doc_id < b.doc_id
+    ),
+    edges AS (
+      SELECT doc_a AS a, doc_b AS b FROM pairs
+      UNION
+      SELECT doc_b AS a, doc_a AS b FROM pairs
+    ),
+    r(node, lab) AS (
+      SELECT a, a FROM edges
+      UNION
+      SELECT e.b, r.lab FROM r JOIN edges e ON e.a = r.node
+    ),
+    comp AS (
+      SELECT node, MIN(lab) AS component FROM r GROUP BY node
+    )
+    SELECT component, COUNT(*) AS cluster_size,
+           MIN(node) AS canonical_doc
+    FROM comp GROUP BY component
+    """,
+)
+def dedup_cluster_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full distributed dedup composition: minhash-LSH candidate
+    pairs -> connected components -> one canonical survivor (the min
+    doc_id) per duplicate cluster. Pairs alone under-dedupe: a~b and
+    b~c must collapse {a,b,c} into ONE cluster, which needs the
+    transitive closure (`operators/components.py`).
+
+    Only documents appearing in >=1 candidate pair are listed (clusters
+    of size >= 2); singletons are by definition already unique."""
+    c = corpus(spark, sf_dir).repartition(
+        spark.sparkContext.defaultParallelism, F.col("doc_id")
+    )
+    pairs = lsh_candidate_pairs(c, num_hashes=12, band_rows=3).persist()
+    comp = connected_components(pairs, "doc_a", "doc_b")
+    out = comp.groupBy("component").agg(
+        F.count("*").alias("cluster_size"),
+        F.min("node").alias("canonical_doc"),
+    )
+    return out

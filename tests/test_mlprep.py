@@ -1,0 +1,222 @@
+"""Unit/property tests for the training-data prep operators
+(`operators/mlprep.py`, `operators/components.py`)."""
+
+from __future__ import annotations
+
+import re
+
+import pytest
+from pyspark.sql import functions as F
+
+from glamira_batch_processing_spark.operators.components import connected_components
+from glamira_batch_processing_spark.operators.mlprep import (
+    PII_PATTERNS,
+    chunk_token_windows,
+    hash_split,
+    pack_sequences,
+    redact_pii,
+    stratified_sample,
+)
+
+# ---------------------------------------------------------------------------
+# hash_split
+# ---------------------------------------------------------------------------
+
+
+def test_hash_split_partition_invariant(spark):
+    """The assignment must not depend on physical layout."""
+    d = spark.range(0, 2000).select(F.col("id"))
+    a = hash_split(d, F.col("id"), {"train": 90, "val": 5, "test": 5})
+    b = hash_split(
+        d.repartition(7), F.col("id"), {"train": 90, "val": 5, "test": 5}
+    )
+    am = {r["id"]: r["split"] for r in a.collect()}
+    bm = {r["id"]: r["split"] for r in b.collect()}
+    assert am == bm
+
+
+def test_hash_split_subset_invariant(spark):
+    """Growing/shrinking the corpus never moves an existing row's split."""
+    d = spark.range(0, 2000)
+    full = {
+        r["id"]: r["split"]
+        for r in hash_split(d, F.col("id"), {"train": 80, "test": 20}).collect()
+    }
+    sub = {
+        r["id"]: r["split"]
+        for r in hash_split(
+            d.filter(F.col("id") % 3 == 0), F.col("id"), {"train": 80, "test": 20}
+        ).collect()
+    }
+    for k, v in sub.items():
+        assert full[k] == v
+
+
+def test_hash_split_proportions_and_totality(spark):
+    d = spark.range(0, 20000)
+    counts = dict(
+        hash_split(d, F.col("id"), {"train": 90, "val": 5, "test": 5})
+        .groupBy("split")
+        .count()
+        .collect()
+    )
+    assert sum(counts.values()) == 20000  # every row assigned
+    assert 0.85 < counts["train"] / 20000 < 0.95
+    assert 0.02 < counts["val"] / 20000 < 0.08
+
+
+def test_hash_split_rejects_bad_percentages(spark):
+    with pytest.raises(ValueError):
+        hash_split(spark.range(1), F.col("id"), {"a": 50, "b": 40})
+
+
+# ---------------------------------------------------------------------------
+# stratified_sample
+# ---------------------------------------------------------------------------
+
+
+def test_stratified_sample_rates_and_determinism(spark):
+    d = spark.range(0, 10000).select(
+        "id", (F.when(F.col("id") % 2 == 0, "en").otherwise("de")).alias("lang")
+    )
+    s1 = stratified_sample(d, F.col("id"), F.col("lang"), {"en": 0.5}, 0.1)
+    s2 = stratified_sample(d, F.col("id"), F.col("lang"), {"en": 0.5}, 0.1)
+    assert sorted(r["id"] for r in s1.collect()) == sorted(
+        r["id"] for r in s2.collect()
+    )
+    rates = {r["lang"]: r["n"] for r in s1.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    assert 0.45 < rates["en"] / 5000 < 0.55
+    assert 0.07 < rates["de"] / 5000 < 0.13
+
+
+# ---------------------------------------------------------------------------
+# redact_pii
+# ---------------------------------------------------------------------------
+
+
+def test_redact_pii_removes_all_matches(spark):
+    rows = [
+        (1, "mail a.b-c_d@sub.example.org and 192.168.0.1 call 415-555-0199 end"),
+        (2, "no pii here at all"),
+        (3, "two mails x@y.io z@w.ai one ip 8.8.8.8"),
+    ]
+    df = spark.createDataFrame(rows, ["id", "text"])
+    out = {r["id"]: r for r in redact_pii(df, "text").collect()}
+    assert out[1]["n_email"] == 1 and out[1]["n_ipv4"] == 1 and out[1]["n_phone"] == 1
+    assert out[2]["n_email"] == out[2]["n_ipv4"] == out[2]["n_phone"] == 0
+    assert out[2]["text_redacted"] == "no pii here at all"
+    assert out[3]["n_email"] == 2 and out[3]["n_ipv4"] == 1
+    for r in out.values():
+        for pat in PII_PATTERNS.values():
+            assert not re.search(pat, r["text_redacted"])
+    assert "<EMAIL>" in out[1]["text_redacted"]
+    assert "<IPV4>" in out[1]["text_redacted"]
+    assert "<PHONE>" in out[1]["text_redacted"]
+
+
+# ---------------------------------------------------------------------------
+# chunk_token_windows
+# ---------------------------------------------------------------------------
+
+
+def test_chunks_cover_document_exactly(spark):
+    text = " ".join(f"t{i}" for i in range(100))
+    df = spark.createDataFrame([(1, text)], ["id", "text"])
+    ch = chunk_token_windows(df, "text", ["id"], window=32, stride=24).collect()
+    # stride coverage: chunk i holds tokens [24i, 24i+32)
+    assert [c["chunk_idx"] for c in ch] == list(range(4))
+    toks = text.split(" ")
+    for c in ch:
+        start = c["chunk_idx"] * 24
+        assert c["chunk_text"] == " ".join(toks[start : start + 32])
+        assert c["n_tokens"] == len(toks[start : start + 32])
+    # every token index covered by at least one chunk
+    covered = set()
+    for c in ch:
+        covered.update(range(c["chunk_idx"] * 24, c["chunk_idx"] * 24 + c["n_tokens"]))
+    assert covered == set(range(100))
+
+
+def test_short_doc_single_chunk(spark):
+    df = spark.createDataFrame([(1, "a b c")], ["id", "text"])
+    ch = chunk_token_windows(df, "text", ["id"], window=32, stride=24).collect()
+    assert len(ch) == 1
+    assert ch[0]["chunk_text"] == "a b c" and ch[0]["n_tokens"] == 3
+
+
+# ---------------------------------------------------------------------------
+# pack_sequences
+# ---------------------------------------------------------------------------
+
+
+def test_pack_budget_overflow_bound(spark):
+    d = spark.range(0, 500).select(
+        "id",
+        F.lit("s").alias("stream"),
+        ((F.col("id") * 37) % 100 + 1).alias("n_tokens"),
+    )
+    packed = pack_sequences(d, "stream", "id", "n_tokens", budget=256)
+    agg = packed.groupBy("pack_id").agg(
+        F.sum("n_tokens").alias("tot"), F.max("n_tokens").alias("mx")
+    )
+    for r in agg.collect():
+        # a pack exceeds the budget only by (part of) its straddler doc
+        assert r["tot"] - r["mx"] < 256
+    # pack ids are dense from 0
+    ids = sorted(r["pack_id"] for r in agg.collect())
+    assert ids[0] == 0 and ids == list(range(len(ids)))
+
+
+# ---------------------------------------------------------------------------
+# connected_components
+# ---------------------------------------------------------------------------
+
+
+def _cc_reference(edges):
+    """Driver-side union-find for verification."""
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    # min-label canonical form
+    out = {}
+    for n in list(parent):
+        r = find(n)
+        out.setdefault(r, set()).add(n)
+    labels = {}
+    for members in out.values():
+        m = min(members)
+        for n in members:
+            labels[n] = m
+    return labels
+
+
+def test_cc_chain_and_islands(spark):
+    # chain 1-2-3-4, island 10-11, self-contained pair 20-21
+    edges = [(1, 2), (2, 3), (3, 4), (10, 11), (20, 21)]
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    got = {r["node"]: r["component"] for r in connected_components(df).collect()}
+    assert got == _cc_reference(edges)
+
+
+def test_cc_pseudorandom_graph_matches_union_find(spark):
+    # deterministic pseudo-random graph: 120 nodes, multiplicative hops
+    edges = [((i * 7) % 120, (i * 13 + 5) % 120) for i in range(80) if (i * 7) % 120 != (i * 13 + 5) % 120]
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    got = {r["node"]: r["component"] for r in connected_components(df).collect()}
+    assert got == _cc_reference(edges)
+
+
+def test_cc_nonconvergence_raises(spark):
+    df = spark.createDataFrame([(1, 2), (2, 3), (3, 4)], ["src", "dst"])
+    with pytest.raises(RuntimeError):
+        connected_components(df, max_iter=1)
