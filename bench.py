@@ -38,9 +38,12 @@ HEADLINE = [
     "asof_join_last_purchase",
     "dedup_exact",
     "dedup_minhash_lsh",
+    "dedup_cluster_components",
     "ann_cosine_topk_np",
     "ann_ivf_bucketed",
     "text_quality_score",
+    "pii_redact",
+    "chunk_token_windows",
 ]
 
 

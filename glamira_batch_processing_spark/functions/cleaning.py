@@ -73,21 +73,25 @@ def parse_localized_number(c: Column, precision: int = 38, scale: int = 9) -> Co
     (STRPOS), so pathological strings like ``1,2.3,4`` resolve the same
     way here.
     """
-    p = F.regexp_replace(c.cast("string"), "٫", ".")
+    # All replacements are literal, so use replace() (plain substring
+    # scan) rather than regexp_replace() — keeps the regex engine out
+    # of the hot path (same measured time on short price strings, but
+    # no pattern-compilation or regex-state cost as strings grow).
+    p = F.replace(c.cast("string"), F.lit("٫"), F.lit("."))
     has_comma = F.instr(p, ",") > 0
     has_period = F.instr(p, ".") > 0
     comma_first = F.instr(p, ",") < F.instr(p, ".")
     normalized = (
         F.when(
             has_comma & has_period,
-            F.when(comma_first, F.regexp_replace(p, ",", "")).otherwise(
-                F.regexp_replace(F.regexp_replace(p, "\\.", ""), ",", ".")
+            F.when(comma_first, F.replace(p, F.lit(","), F.lit(""))).otherwise(
+                F.replace(F.replace(p, F.lit("."), F.lit("")), F.lit(","), F.lit("."))
             ),
         )
-        .when(has_comma, F.regexp_replace(p, ",", "."))
+        .when(has_comma, F.replace(p, F.lit(","), F.lit(".")))
         .otherwise(p)
     )
-    cleaned = F.trim(F.regexp_replace(normalized, " ", ""))
+    cleaned = F.trim(F.replace(normalized, F.lit(" "), F.lit("")))
     return cleaned.try_cast(f"decimal({precision},{scale})")
 
 

@@ -115,8 +115,8 @@ def glamira_e2e_order_flatten(spark: SparkSession, sf_dir: str) -> DataFrame:
     ok, ln, pk = F.col("l_orderkey"), F.col("l_linenumber"), F.col("l_partkey")
     base = F.col("l_extendedprice").cast("decimal(12,2)").cast("string")
     price = (
-        F.when((ok + ln) % 4 == 0, F.regexp_replace(base, "\\.", ","))
-        .when((ok + ln) % 4 == 1, F.concat(F.lit("1."), F.regexp_replace(base, "\\.", ",")))
+        F.when((ok + ln) % 4 == 0, F.replace(base, F.lit("."), F.lit(",")))
+        .when((ok + ln) % 4 == 1, F.concat(F.lit("1."), F.replace(base, F.lit("."), F.lit(","))))
         .when((ok + ln) % 4 == 2, F.concat(F.lit("1,"), base))
         .otherwise(base)
     )
@@ -195,20 +195,24 @@ def glamira_e2e_order_flatten(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM lineitem
     ),
     parsed AS (
+      -- line total in exact 1e-4-dollar units on BIGINT (the parse is
+      -- exact at 4dp, so the scale-shift is lossless); the decimal
+      -- multiply/sum is replaced by integer math, same bit-exact result
       SELECT l_orderkey,
-             amount * {parse_localized_number_sql(_PRICE_SQL.strip(), 18, 4)} AS line_total
+             amount * CAST({parse_localized_number_sql(_PRICE_SQL.strip(), 18, 4)} * 10000 AS BIGINT)
+               AS line_units
       FROM li
     ),
     joined AS (
       SELECT n.n_name, strftime(CAST(o.o_orderdate AS DATE), '%Y-%m') AS order_month,
-             p.line_total
+             p.line_units
       FROM parsed p
       JOIN orders o ON p.l_orderkey = o.o_orderkey
       JOIN customer c ON o.o_custkey = c.c_custkey
       JOIN nation n ON c.c_nationkey = n.n_nationkey
     )
     SELECT n_name AS nation_name, order_month,
-           CAST(SUM(line_total) AS DOUBLE) AS revenue,
+           CAST(SUM(line_units) AS DOUBLE) / 10000 AS revenue,
            COUNT(*) AS n_items
     FROM joined
     GROUP BY 1, 2
@@ -222,16 +226,20 @@ def glamira_e2e_revenue_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     ok, ln = F.col("l_orderkey"), F.col("l_linenumber")
     base = F.col("l_extendedprice").cast("decimal(12,2)").cast("string")
     price_raw = (
-        F.when((ok + ln) % 4 == 0, F.regexp_replace(base, "\\.", ","))
-        .when((ok + ln) % 4 == 1, F.concat(F.lit("1."), F.regexp_replace(base, "\\.", ",")))
+        F.when((ok + ln) % 4 == 0, F.replace(base, F.lit("."), F.lit(",")))
+        .when((ok + ln) % 4 == 1, F.concat(F.lit("1."), F.replace(base, F.lit("."), F.lit(","))))
         .when((ok + ln) % 4 == 2, F.concat(F.lit("1,"), base))
         .otherwise(base)
     )
+    # exact 1e-4-dollar units on longs (the 4dp parse is exact, so the
+    # scale shift is lossless); integer multiply/sum replaces per-row
+    # decimal math with the same bit-exact result
     parsed = li.select(
         "l_orderkey",
         (
-            F.col("l_quantity").cast("long") * parse_localized_number(price_raw, 18, 4)
-        ).alias("line_total"),
+            F.col("l_quantity").cast("long")
+            * (parse_localized_number(price_raw, 18, 4) * 10000).cast("long")
+        ).alias("line_units"),
     )
     o = table(spark, sf_dir, "orders")
     c = table(spark, sf_dir, "customer")
@@ -245,7 +253,8 @@ def glamira_e2e_revenue_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.date_format("o_orderdate", "yyyy-MM").alias("order_month"),
         )
         .agg(
-            F.sum("line_total").cast("double").alias("revenue"),
+            (F.sum(F.col("line_units").cast("decimal(38,0)")).cast("double") / 10000)
+            .alias("revenue"),
             F.count("*").alias("n_items"),
         )
     )

@@ -205,8 +205,8 @@ def _raw_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     ok, ln, pk = F.col("l_orderkey"), F.col("l_linenumber"), F.col("l_partkey")
     base = F.col("l_extendedprice").cast("decimal(12,2)").cast("string")
     price = (
-        F.when((ok + ln) % 4 == 0, F.regexp_replace(base, "\\.", ","))
-        .when((ok + ln) % 4 == 1, F.concat(F.lit("1."), F.regexp_replace(base, "\\.", ",")))
+        F.when((ok + ln) % 4 == 0, F.replace(base, F.lit("."), F.lit(",")))
+        .when((ok + ln) % 4 == 1, F.concat(F.lit("1."), F.replace(base, F.lit("."), F.lit(","))))
         .when((ok + ln) % 4 == 2, F.concat(F.lit("1,"), base))
         .otherwise(base)
     )
