@@ -25,11 +25,13 @@ from glamira_batch_processing_spark.plans import (  # noqa: F401
     core_queries,
     datapipe_queries,
     e2e_queries,
+    event_window_queries,
     misc_queries,
     mlprep_queries,
     pipeline_e2e,
     scalar_queries,
     session_queries,
+    text_stats_queries,
     window_frame_queries,
     window_queries,
 )

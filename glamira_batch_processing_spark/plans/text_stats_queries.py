@@ -1,0 +1,111 @@
+"""Corpus-statistics contract queries: benchmark decontamination and
+per-language heavy hitters — training-data hygiene beyond the
+reference's own surface (same family as ``datapipe_queries``).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..operators.decontaminate import contamination_stats
+from ..operators.dedup import sql_shingles_cte
+from ..operators.text import words
+from .registry import query, table
+
+# Deterministic synthetic leak: docs with doc_id % 19 == 0 form the
+# "benchmark" (eval) set; the training corpus is the rest PLUS exact
+# copies of the benchmark (+300000) and tail-padded near-copies
+# (+400000) — the contamination the operator must catch.
+_DECON_SQL = """
+    bench AS (SELECT doc_id, text FROM documents WHERE doc_id % 19 = 0),
+    train AS (
+      SELECT doc_id, text FROM documents WHERE doc_id % 19 <> 0
+      UNION ALL
+      SELECT doc_id + 300000 AS doc_id, text FROM bench
+      UNION ALL
+      SELECT doc_id + 400000 AS doc_id,
+             text || ' wholly unrelated closing sentence appended' AS text
+      FROM bench WHERE doc_id % 2 = 0
+    )
+"""
+
+
+@query(
+    "decontaminate_benchmark_overlap",
+    oracle=f"""
+    WITH {_DECON_SQL},
+    tsh AS ({sql_shingles_cte("train")}),
+    bsh AS (SELECT DISTINCT shingle FROM ({sql_shingles_cte("bench")})),
+    sizes AS (SELECT doc_id, COUNT(*) AS n_shingles FROM tsh GROUP BY doc_id),
+    overlap AS (
+      SELECT doc_id, COUNT(*) AS n_overlap
+      FROM tsh JOIN bsh USING (shingle)
+      GROUP BY doc_id
+    )
+    SELECT s.doc_id,
+           s.n_shingles,
+           COALESCE(o.n_overlap, 0) AS n_overlap,
+           COALESCE(o.n_overlap, 0) / s.n_shingles AS contamination_ratio,
+           COALESCE(o.n_overlap, 0) / s.n_shingles >= 0.5 AS is_contaminated
+    FROM sizes s LEFT JOIN overlap o ON s.doc_id = o.doc_id
+    """,
+)
+def decontaminate_benchmark_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination (``operators/decontaminate.py``): flag
+    training docs whose word-3-gram shingles overlap the eval set by
+    >= 50%. The benchmark shingle set is broadcast, so the probe is
+    map-side against the training shingles; only narrow per-doc counts
+    shuffle — the 100 TB shape (eval suites are MBs)."""
+    d = table(spark, sf_dir, "documents").select("doc_id", "text")
+    bench = d.filter(F.col("doc_id") % 19 == 0)
+    leaked_exact = bench.select((F.col("doc_id") + 300000).alias("doc_id"), "text")
+    leaked_near = bench.filter(F.col("doc_id") % 2 == 0).select(
+        (F.col("doc_id") + 400000).alias("doc_id"),
+        F.concat(
+            F.col("text"), F.lit(" wholly unrelated closing sentence appended")
+        ).alias("text"),
+    )
+    train = (
+        d.filter(F.col("doc_id") % 19 != 0)
+        .unionByName(leaked_exact)
+        .unionByName(leaked_near)
+    )
+    return contamination_stats(train, bench, n=3, threshold=0.5)
+
+
+@query(
+    "heavy_hitters_by_lang",
+    oracle="""
+    WITH tok AS (
+      SELECT lang, unnest(str_split(lower(text), ' ')) AS token FROM documents
+    ),
+    counts AS (
+      SELECT lang, token, COUNT(*) AS cnt
+      FROM tok WHERE token <> ''
+      GROUP BY lang, token
+    ),
+    ranked AS (
+      SELECT lang, token, cnt,
+             row_number() OVER (PARTITION BY lang ORDER BY cnt DESC, token ASC) AS rnk
+      FROM counts
+    )
+    SELECT lang, token, cnt, rnk FROM ranked WHERE rnk <= 10
+    """,
+)
+def heavy_hitters_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact top-10 tokens per language: explode -> map-side-combinable
+    count on (lang, token) -> per-lang window top-k, where Spark pushes
+    a WindowGroupLimit so only each partition's running top-10 survives
+    to the final sort — the exact-heavy-hitters plan that scales (the
+    approximate alternative at extreme cardinality is countmin/freqItems,
+    but token vocabularies fit the exact path comfortably)."""
+    d = table(spark, sf_dir, "documents")
+    tok = d.select(
+        "lang", F.explode(words(F.col("text"))).alias("token")
+    ).filter(F.col("token") != "")
+    counts = tok.groupBy("lang", "token").agg(F.count("*").alias("cnt"))
+    w = Window.partitionBy("lang").orderBy(F.desc("cnt"), F.asc("token"))
+    return counts.withColumn("rnk", F.row_number().over(w)).filter(
+        F.col("rnk") <= 10
+    )

@@ -108,6 +108,25 @@ def test_bucketed_join_avoids_shuffle(spark, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
 
 
+def test_heavy_hitters_window_group_limit(spark):
+    """Per-lang top-k must carry a WindowGroupLimit (partial top-k before
+    the window sort), not rank every token globally."""
+    df = QUERIES["heavy_hitters_by_lang"](spark, SF_SMALL)
+    assert "WindowGroupLimit" in plan_of(df)
+
+
+def test_interval_join_is_hash_join(spark):
+    """The interval join must plan as an equi-join on user_id with the
+    time bounds as join filters — one exchange per side, no
+    nested-loop."""
+    df = QUERIES["interval_join_attribution"](spark, SF_SMALL)
+    plan = plan_of(df)
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert ("SortMergeJoin" in plan) or ("BroadcastHashJoin" in plan) or (
+        "ShuffledHashJoin" in plan
+    )
+
+
 def test_fact_write_partition_prunes(spark, tmp_path):
     """partitionBy(date) tables must prune partitions on a date filter."""
     from glamira_batch_processing_spark.sources.writers import write_partitioned
