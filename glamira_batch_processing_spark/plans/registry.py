@@ -59,11 +59,14 @@ def query(name: str, oracle: str | None = None):
 def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one synthetic table; column pruning/pushdown flow to the scan.
 
-    ``events.ts`` is stored as parquet INT64 TIMESTAMP(NANOS), which
-    Spark's vectorized reader rejects. We read nanos as long (legacy
-    conf, runtime-settable) and floor-divide to micros — exactly how
-    DuckDB coerces ns -> its microsecond TIMESTAMP, so both engines see
-    the identical instant.
+    ``events.ts`` has shipped in two physical encodings across driver
+    testdata generations: parquet INT64 TIMESTAMP(NANOS) (which Spark's
+    vectorized reader rejects — read nanos as long and floor-divide to
+    micros, exactly how DuckDB coerces ns -> its microsecond TIMESTAMP)
+    and plain ``timestamp[us]`` without timezone (which Spark reads as
+    TIMESTAMP_NTZ — cast to session-TZ TIMESTAMP under UTC so epoch
+    arithmetic matches DuckDB's tz-less TIMESTAMP). Both normalize to
+    the identical instant; every query sees one ``ts: timestamp``.
     """
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     app_id = spark.sparkContext.applicationId
@@ -80,11 +83,15 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
             del _TABLE_CACHE[k]
     if name == "events":
         from pyspark.sql import functions as F
+        from pyspark.sql import types as T
 
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        df = spark.read.parquet(f"{sf_dir}/{name}.parquet").withColumn(
-            "ts", F.timestamp_micros(F.expr("ts div 1000"))
-        )
+        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        ts_type = df.schema["ts"].dataType
+        if isinstance(ts_type, T.LongType):
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        elif not isinstance(ts_type, T.TimestampType):
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     else:
         df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     _TABLE_CACHE[key] = df
