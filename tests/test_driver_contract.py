@@ -30,6 +30,45 @@ def test_every_query_has_callable():
         assert callable(fn), name
 
 
+def test_priority_order_covers_gate_window():
+    """The driver's CORRECTNESS gate samples the first 50 queries() entries.
+
+    Guard the curated order: exactly 50 priority names, all registered, all
+    oracle-checked, emitted first; every registered query still present.
+    """
+    names = list(QUERIES)
+    prio = contract._PRIORITY
+    assert len(prio) == 50
+    assert len(set(prio)) == 50
+    assert names[:50] == prio
+    missing_oracle = [n for n in prio if n not in ORACLES]
+    assert not missing_oracle, f"priority queries without oracle: {missing_oracle}"
+    from glamira_batch_processing_spark.plans.registry import QUERIES as REG
+
+    assert set(names) == set(REG)
+    # Flagship + every never-previously-rowed operator family must be inside
+    # the gate window (see VERDICT.md round 2, finding #1).
+    for required in (
+        "glamira_pipeline_e2e",
+        "w2_canonical_per_group",
+        "w3_scd2_history",
+        "o4_topk_composite_order",
+        "j11_incremental_merge",
+        "f1_string_normalize",
+        "f4_currency_resolution",
+        "f5_surrogate_key_inputs",
+        "f6_date_dimension",
+        "f8_json_extract",
+        "dedup_cluster_components",
+        "decontaminate_benchmark_overlap",
+        "heavy_hitters_by_lang",
+        "asof_join_last_purchase",
+        "sample_stratified_lang",
+        "sketch_kmv_distinct",
+    ):
+        assert required in prio, required
+
+
 @pytest.mark.parametrize("name", sorted(QUERIES))
 def test_query_vs_oracle(spark, duck_small, name):
     fn = QUERIES[name]
