@@ -90,8 +90,17 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         ts_type = df.schema["ts"].dataType
         if isinstance(ts_type, T.LongType):
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        elif isinstance(ts_type, T.TimestampNTZType):
+            # Wall-clock micros; under the UTC session TZ pinned above the
+            # cast re-labels the same instant. Explicit type object so a
+            # spark.sql.timestampType=TIMESTAMP_NTZ session conf can't turn
+            # this into a no-op.
+            df = df.withColumn("ts", F.col("ts").cast(T.TimestampType()))
         elif not isinstance(ts_type, T.TimestampType):
-            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
+            raise TypeError(
+                f"events.ts: unexpected parquet encoding {ts_type}; "
+                "expected TIMESTAMP(NANOS)-as-long, timestamp_ntz, or timestamp"
+            )
     else:
         df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     _TABLE_CACHE[key] = df
