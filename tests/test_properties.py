@@ -144,3 +144,31 @@ def test_asof_join_law(left, right):
         cands = [(rts, v) for (kk, rts, v) in right_rows if kk == k and rts <= ts]
         expect = max(cands)[1] if cands else None
         assert got[i] == expect, (i, k, ts, got[i], expect)
+
+
+def test_asof_join_duplicate_left_rows_preserve_multiplicity():
+    """Round-2 verdict finding #2: left rows agreeing on (key, ts,
+    tiebreak) — even bit-identical rows — must each appear exactly once
+    in the output with the correct as-of value, not fan out."""
+    from glamira_batch_processing_spark.operators.asof import asof_join
+
+    ldf = SPARK.createDataFrame(
+        [(1, 10, "a"), (1, 10, "a"), (1, 5, "b"), (2, 10, "c"), (None, 10, "d")],
+        "k long, lts long, payload string",
+    )
+    rdf = SPARK.createDataFrame([(1, 7, "seven"), (1, 9, "nine")], "k long, rts long, v string")
+    out = asof_join(
+        ldf, rdf, key="k", left_ts="lts", right_ts="rts",
+        value_cols=["v"], left_tiebreak="payload",
+    )
+    rows = sorted(
+        ((r.k, r.lts, r.payload, r.v) for r in out.collect()),
+        key=lambda t: (t[0] if t[0] is not None else -1, t[1], t[2]),
+    )
+    assert rows == [
+        (None, 10, "d", None),  # null key survives, no match
+        (1, 5, "b", None),      # before any right row
+        (1, 10, "a", "nine"),   # duplicate row 1 of 2 — no fan-out
+        (1, 10, "a", "nine"),   # duplicate row 2 of 2
+        (2, 10, "c", None),     # key with no right rows
+    ]
