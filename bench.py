@@ -41,6 +41,7 @@ HEADLINE = [
     "dedup_cluster_components",
     "ann_cosine_topk_np",
     "ann_ivf_bucketed",
+    "ann_ivf_bucketed_np",
     "text_quality_score",
     "pii_redact",
     "chunk_token_windows",

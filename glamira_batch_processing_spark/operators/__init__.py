@@ -17,7 +17,16 @@ from .dedup import (
     simhash_bits,
 )
 from .incremental import merge_upsert
-from .similarity import cosine, cosine_topk, dot, ivf_assign, norm
+from .similarity import (
+    cosine,
+    cosine_topk,
+    cosine_topk_np,
+    dot,
+    ivf_assign,
+    ivf_search,
+    ivf_search_np,
+    norm,
+)
 from .sketches import kmv_estimate, kmv_sketch
 from .skew import salted_agg, with_salt
 from .windows import dedupe_latest, rank_dedupe, scd2_apply, scd2_from_history
@@ -38,6 +47,9 @@ __all__ = [
     "cosine_topk",
     "dot",
     "ivf_assign",
+    "ivf_search",
+    "ivf_search_np",
+    "cosine_topk_np",
     "norm",
     "kmv_estimate",
     "kmv_sketch",

@@ -247,6 +247,157 @@ def ivf_search(
     )
 
 
+def ivf_search_np(
+    vectors: DataFrame,
+    centroids_pdf,
+    query_pred,
+    k: int = 10,
+    nprobe: int = 1,
+    vec_id: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Arrow/numpy IVF ANN: the production twin of :func:`ivf_search`.
+
+    Both kernels — centroid assignment and within-bucket scoring — run
+    as vectorized mapInPandas (Arrow batch -> BLAS matmul / einsum), so
+    nothing per-element is interpreted. The only shuffles are the
+    bucket equi-join and the final per-query top-k window: identical
+    plan shape to the fold variant, ~10x the scoring throughput.
+
+    Float caveat (same as :func:`cosine_topk_np`): numpy's summation
+    order differs from the sequential fold in the last ~ulp, so this
+    variant backs benchmarks/production while the fold variant backs
+    the bit-exact oracle row.
+
+    ``centroids_pdf``: small pandas DataFrame (centroid_id, cvec),
+    shipped in the task closure (broadcast analog). ``query_pred`` is a
+    Column predicate over ``vectors`` selecting the query rows.
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.types import (
+        ArrayType,
+        BooleanType,
+        DoubleType,
+        IntegerType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    cent = centroids_pdf.sort_values("centroid_id")
+    c_ids = np.asarray(cent["centroid_id"], dtype=np.int64)
+    C = np.vstack([np.asarray(v, dtype=np.float64) for v in cent["cvec"]])
+    Cn = C / np.linalg.norm(C, axis=1, keepdims=True)
+    n_probe = min(nprobe, len(c_ids))
+
+    assign_schema = StructType(
+        [
+            StructField("__vid", LongType()),
+            StructField("__is_q", BooleanType()),
+            StructField("__probe_rank", IntegerType()),
+            StructField("__bucket", LongType()),
+            StructField("__nvec", ArrayType(DoubleType())),
+        ]
+    )
+
+    def assign(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            ids = np.asarray(pdf["__vid"], dtype=np.int64)
+            is_q = np.asarray(pdf["__is_q"], dtype=bool)
+            V = np.vstack([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
+            Vn = V / np.linalg.norm(V, axis=1, keepdims=True)
+            sims = Vn @ Cn.T  # (batch, K)
+            # stable argsort on -sims: ties break toward the lower
+            # centroid id (Cn rows are id-sorted), matching ivf_search.
+            order = np.argsort(-sims, axis=1, kind="stable")
+            nvec_list = list(Vn)
+            out_vid, out_isq, out_rank, out_bucket, out_vec = [], [], [], [], []
+            for rank in range(n_probe):
+                sel = is_q if rank > 0 else np.ones(len(ids), dtype=bool)
+                idx = np.nonzero(sel)[0]
+                if not len(idx):
+                    continue
+                out_vid.append(ids[idx])
+                out_isq.append(is_q[idx])
+                out_rank.append(np.full(len(idx), rank + 1, dtype=np.int32))
+                out_bucket.append(c_ids[order[idx, rank]])
+                out_vec.extend(nvec_list[i] for i in idx)
+            yield pd.DataFrame(
+                {
+                    "__vid": np.concatenate(out_vid),
+                    "__is_q": np.concatenate(out_isq),
+                    "__probe_rank": np.concatenate(out_rank),
+                    "__bucket": np.concatenate(out_bucket),
+                    "__nvec": out_vec,
+                }
+            )
+
+    tagged = vectors.select(
+        F.col(vec_id).alias("__vid"),
+        query_pred.alias("__is_q"),
+        F.col(vec_col),
+    )
+    placed = tagged.mapInPandas(assign, assign_schema)
+    probes = placed.filter(F.col("__is_q")).select(
+        F.col("__vid").alias("query_id"),
+        F.col("__nvec").alias("__qn"),
+        "__bucket",
+    )
+    cands = placed.filter(F.col("__probe_rank") == 1).select(
+        F.col("__vid").alias("neighbor_id"),
+        F.col("__nvec").alias("__cn"),
+        "__bucket",
+    )
+    # ANN query sets are small: broadcast the probe side so candidate
+    # rows never shuffle for the join; the only remaining exchange is
+    # the final top-k window over already-pruned (id, id, sim) rows.
+    pairs = F.broadcast(probes).join(cands, "__bucket").filter(
+        F.col("query_id") != F.col("neighbor_id")
+    )
+
+    score_schema = StructType(
+        [
+            StructField("query_id", LongType()),
+            StructField("neighbor_id", LongType()),
+            StructField("cosine_sim", DoubleType()),
+        ]
+    )
+
+    def score(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            Q = np.vstack([np.asarray(v, dtype=np.float64) for v in pdf["__qn"]])
+            N = np.vstack([np.asarray(v, dtype=np.float64) for v in pdf["__cn"]])
+            out = pd.DataFrame(
+                {
+                    "query_id": np.asarray(pdf["query_id"], dtype=np.int64),
+                    "neighbor_id": np.asarray(pdf["neighbor_id"], dtype=np.int64),
+                    "cosine_sim": np.einsum("ij,ij->i", Q, N),
+                }
+            )
+            # partial top-k per query within the batch: the global
+            # window only merges <= k rows per (query, batch).
+            out = (
+                out.sort_values(["query_id", "cosine_sim", "neighbor_id"],
+                                ascending=[True, False, True])
+                .groupby("query_id", sort=False)
+                .head(k)
+            )
+            yield out
+
+    scored = pairs.mapInPandas(score, score_schema)
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine_sim"), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "cosine_sim")
+    )
+
+
 def ivf_assign(
     vectors: DataFrame,
     centroids: DataFrame,

@@ -482,6 +482,29 @@ def ann_ivf_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("ann_ivf_bucketed_np")
+def ann_ivf_bucketed_np(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow/numpy IVF ANN — the production scorer for the IVF path
+    (round-2 verdict ask #4). Same bucketed plan shape as the fold
+    variant ``ann_ivf_bucketed`` (broadcast-analog centroids, bucket
+    equi-join, top-k window) but assignment and scoring run as
+    vectorized mapInPandas kernels. No DuckDB oracle: numpy summation
+    order differs from the sequential fold in the last ~ulp (rows-only
+    driver check; tolerance parity vs the fold variant is asserted in
+    tests/test_operators.py)."""
+    from ..operators.similarity import ivf_search_np
+
+    e = table(spark, sf_dir, "embeddings")
+    centroids_pdf = (
+        e.filter(F.col("vec_id") < 8)
+        .select(F.col("vec_id").alias("centroid_id"), F.col("embedding").alias("cvec"))
+        .toPandas()
+    )
+    return ivf_search_np(
+        e, centroids_pdf, F.col("vec_id") % 100 == 0, k=5, nprobe=1
+    )
+
+
 # ---------------------------------------------------------------------------
 # Similarity search: random-hyperplane LSH bucketing (embedding analog
 # of minhash banding).

@@ -173,6 +173,31 @@ def test_extract_features_deterministic(spark):
     assert feats1[1] != feats1[2]
 
 
+def test_ivf_search_np_matches_fold(spark):
+    """Arrow/numpy IVF agrees with the fold-based ivf_search: identical
+    (query, rank) -> neighbor assignments, similarities to ~1e-9."""
+    from glamira_batch_processing_spark.operators.similarity import (
+        ivf_search,
+        ivf_search_np,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    vecs = spark.read.parquet(f"{sf}/embeddings.parquet")
+    cents = vecs.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("centroid_id"), F.col("embedding").alias("cvec")
+    )
+    pred = F.col("vec_id") % 100 == 0
+    for nprobe in (1, 2):
+        fold = ivf_search(vecs, cents, pred, k=5, nprobe=nprobe)
+        fast = ivf_search_np(vecs, cents.toPandas(), pred, k=5, nprobe=nprobe)
+        fo = {(r.query_id, r.rank): (r.neighbor_id, r.cosine_sim) for r in fold.collect()}
+        fa = {(r.query_id, r.rank): (r.neighbor_id, r.cosine_sim) for r in fast.collect()}
+        assert set(fo) == set(fa)
+        for key in fo:
+            assert fo[key][0] == fa[key][0], (nprobe, key, fo[key], fa[key])
+            assert abs(fo[key][1] - fa[key][1]) <= 1e-9
+
+
 def test_ivf_multiprobe_recall(spark):
     """Recall@5 vs exact improves with nprobe and reaches 1.0 when all
     buckets are probed (exhaustive == exact)."""
