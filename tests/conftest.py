@@ -13,6 +13,13 @@ sys.path.insert(0, str(REPO))
 
 SF_SMALL = "/root/testdata/sf0.001"
 SF_MEDIUM = "/root/testdata/sf0.01"
+SF_BENCH = "/root/testdata/sf0.1"
+
+
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers", "slow: bench-scale (sf0.1) regression tests"
+    )
 
 from glamira_batch_processing_spark.plans.registry import TABLES
 
@@ -43,3 +50,8 @@ def duck_small():
 @pytest.fixture(scope="session")
 def duck_medium():
     return make_duck(SF_MEDIUM)
+
+
+@pytest.fixture(scope="session")
+def duck_bench():
+    return make_duck(SF_BENCH)

@@ -220,3 +220,15 @@ def test_cc_nonconvergence_raises(spark):
     df = spark.createDataFrame([(1, 2), (2, 3), (3, 4)], ["src", "dst"])
     with pytest.raises(RuntimeError):
         connected_components(df, max_iter=1)
+
+
+def test_cc_pathological_path_graph_converges_logarithmically(spark):
+    """Round-2 verdict ask #6: a path graph is the adversarial-diameter
+    case for plain min-label propagation (rounds = diameter). The
+    pointer-jump makes remaining chain length halve per round, so a
+    300-edge path must close well within the default 20-round budget."""
+    n = 300
+    edges = [(i, i + 1) for i in range(n)]
+    df = spark.createDataFrame(edges, ["src", "dst"]).repartition(8)
+    got = {r["node"]: r["component"] for r in connected_components(df).collect()}
+    assert got == {i: 0 for i in range(n + 1)}
