@@ -688,11 +688,91 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def multimodal_decode_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Binary payload -> typed image metadata through REAL mapInPandas
-    plumbing (Arrow batches, fixed schema); the codec itself is a
-    deterministic fake (see operators.multimodal — real decode stubs
-    NotImplementedError since no image libs ship in this env)."""
+    plumbing (Arrow batches, fixed schema). The decoder header-parses
+    PNG/GIF/BMP/JPEG containers for real (operators.multimodal); these
+    text-derived payloads match no container, so they exercise the
+    deterministic fake-fallback path (format='fake'), which the oracle
+    reproduces. Real-container decode is oracle-checked by
+    multimodal_image_meta below."""
     d = with_text_payload(table(spark, sf_dir, "documents"))
     return decode_images(d)
+
+
+@query(
+    "multimodal_image_meta",
+    oracle="""
+    SELECT doc_id,
+      CAST(CASE WHEN doc_id % 3 = 0 THEN 'png' WHEN doc_id % 3 = 1 THEN 'gif'
+                ELSE 'bmp' END AS VARCHAR) AS format,
+      CAST(16 + doc_id % 48 AS INTEGER) AS width,
+      CAST(16 + (doc_id * 7) % 48 AS INTEGER) AS height
+    FROM documents WHERE doc_id % 10 = 0
+    """,
+)
+def multimodal_image_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL image codec round-trip, in-engine: render genuine PNG/GIF/
+    BMP containers (stdlib struct/zlib) with dimensions derived from
+    doc_id, then header-decode them back with the real parser. The
+    oracle recomputes the dimensions arithmetically — matching proves
+    the decoder inverts the encoder on actual container bytes."""
+    from ..operators.multimodal import decode_images, image_bytes
+
+    d = table(spark, sf_dir, "documents").filter(F.col("doc_id") % 10 == 0).select("doc_id")
+
+    def gen(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            fmts = ["png", "gif", "bmp"]
+            payloads = [
+                image_bytes(
+                    fmts[int(i) % 3], 16 + int(i) % 48, 16 + (int(i) * 7) % 48
+                )
+                for i in pdf["doc_id"]
+            ]
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+    payloads = d.mapInPandas(gen, "doc_id long, payload binary")
+    meta = decode_images(payloads, strict=True)
+    return meta.select("doc_id", "format", "width", "height")
+
+
+@query(
+    "multimodal_audio_meta",
+    oracle="""
+    SELECT doc_id,
+      CAST(44 + (100 + doc_id % 400) * 2 * (1 + doc_id % 2) AS INTEGER) AS n_bytes,
+      CAST(1 + doc_id % 2 AS INTEGER) AS n_channels,
+      8000 AS sample_rate,
+      CAST(100 + doc_id % 400 AS BIGINT) AS n_frames,
+      CAST((100 + doc_id % 400) * 1000 // 8000 AS BIGINT) AS duration_ms,
+      'wav' AS format
+    FROM documents WHERE doc_id % 10 = 0
+    """,
+)
+def multimodal_audio_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL audio codec round-trip, in-engine: render genuine PCM16 WAV
+    containers (stdlib wave) with frame/channel counts derived from
+    doc_id, then decode them back with the real WAV parser. The oracle
+    recomputes every field arithmetically (44-byte canonical PCM header
+    + 2 bytes x frames x channels), so a decoder that misreads any
+    header field fails the value hash."""
+    from ..operators.multimodal import decode_audio, wav_bytes
+
+    d = table(spark, sf_dir, "documents").filter(F.col("doc_id") % 10 == 0).select("doc_id")
+
+    def gen(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            payloads = [
+                wav_bytes(100 + int(i) % 400, 8000, 1 + int(i) % 2, seed=int(i))
+                for i in pdf["doc_id"]
+            ]
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+    payloads = d.mapInPandas(gen, "doc_id long, payload binary")
+    return decode_audio(payloads)
 
 
 @query(

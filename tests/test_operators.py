@@ -111,6 +111,68 @@ def test_multimodal_plumbing(spark):
     assert len(f2) == 1 and bytes(f2[0].frame_bytes) == b"tiny"
 
 
+def test_image_header_codec_real():
+    """Pure-stdlib container codecs: render -> decode is the identity
+    on (width, height, format); malformed inputs raise."""
+    import pytest as _pytest
+
+    from glamira_batch_processing_spark.operators.multimodal import (
+        _decode_image_real,
+        image_bytes,
+    )
+
+    for fmt in ("png", "gif", "bmp"):
+        assert _decode_image_real(image_bytes(fmt, 123, 45)) == (123, 45, fmt)
+    # negative BMP height (top-down pixel order) normalizes to abs()
+    import struct as _struct
+
+    bmp = bytearray(image_bytes("bmp", 10, 7))
+    bmp[22:26] = _struct.pack("<i", -7)
+    assert _decode_image_real(bytes(bmp)) == (10, 7, "bmp")
+    # minimal JPEG: SOI + APP0 skip + SOF0
+    jpeg = (
+        b"\xff\xd8"
+        + b"\xff\xe0" + _struct.pack(">H", 4) + b"\x00\x00"  # APP0, len 4
+        + b"\xff\xc0" + _struct.pack(">H", 11) + b"\x08" + _struct.pack(">HH", 33, 44)
+        + b"\x03\x00\x00\x00"
+    )
+    assert _decode_image_real(jpeg) == (44, 33, "jpeg")
+    for bad in (b"", b"\x89PNG\r\n\x1a\n\x00\x00", b"GIF89a\x01", b"not an image"):
+        with _pytest.raises(ValueError):
+            _decode_image_real(bad)
+
+
+def test_decode_images_strict_and_audio(spark):
+    """strict decode surfaces unknown payloads as format='error' with
+    NULL dims; decode_audio REAL-decodes WAV and error-flags the rest."""
+    from glamira_batch_processing_spark.operators.multimodal import (
+        decode_audio,
+        image_bytes,
+        wav_bytes,
+    )
+
+    rows = [
+        (1, bytearray(image_bytes("png", 20, 30))),
+        (2, bytearray(b"not a container")),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    got = {r.doc_id: r for r in decode_images(df, strict=True).collect()}
+    assert (got[1].width, got[1].height, got[1].format) == (20, 30, "png")
+    assert got[2].format == "error" and got[2].width is None
+
+    arows = [
+        (1, bytearray(wav_bytes(250, sample_rate=16000, n_channels=2, seed=9))),
+        (2, bytearray(b"oops")),
+    ]
+    adf = spark.createDataFrame(arows, "doc_id long, payload binary")
+    agot = {r.doc_id: r for r in decode_audio(adf).collect()}
+    a1 = agot[1]
+    assert (a1.n_channels, a1.sample_rate, a1.n_frames, a1.format) == (2, 16000, 250, "wav")
+    assert a1.duration_ms == 250 * 1000 // 16000
+    assert a1.n_bytes == 44 + 250 * 2 * 2
+    assert agot[2].format == "error" and agot[2].sample_rate is None
+
+
 def test_cosine_topk_np_matches_fold(spark):
     """numpy matmul path agrees with the exact-fold path: same neighbor
     sets and ranks; similarities equal to ~1e-12 relative."""
