@@ -1,0 +1,158 @@
+"""Versioned parquet tables: atomic MERGE commits without Delta/Iceberg.
+
+ref: the reference relies on warehouse-native transactional MERGE —
+dbt snapshot MERGE (snapshots/customer_email_scd.sql:1-12) and BigQuery
+MERGE (Modelling/Incremental_load_template.sql:31-57). This environment
+ships no transactional table format, so this module provides the
+minimal log-structured equivalent, delta-lake style but ~150 lines:
+
+- every table version is an immutable parquet directory written by
+  Spark's committer (``data/v00007/``);
+- a version becomes visible only when its tiny JSON manifest is
+  created in ``_manifests/`` with O_EXCL — an atomic, last-step commit.
+  Readers list manifests and read exactly one version's files, so they
+  get SNAPSHOT ISOLATION for free; a writer crash mid-write leaves an
+  orphaned data dir but never a half-visible table;
+- concurrent committers race on the same manifest name and exactly one
+  O_EXCL create wins; the loser gets ``VersionConflictError`` and must
+  re-read + retry (optimistic concurrency, same contract as Delta).
+  On object stores, swap O_EXCL for a conditional PUT (if-none-match) —
+  the protocol is unchanged;
+- old versions stay readable (time travel) until ``vacuum``.
+
+The DATA PLANE is untouched Spark parquet — scans keep columnar
+pruning, predicate pushdown, and distributed writes; only the
+control-plane commit (one tiny JSON per version) runs on the driver.
+"""
+
+from __future__ import annotations
+
+import json
+import shutil
+import time
+import uuid
+from pathlib import Path
+
+from pyspark.sql import Column, DataFrame, SparkSession
+
+from ..operators.incremental import merge_upsert
+
+_MANIFEST_DIR = "_manifests"
+_DATA_DIR = "data"
+
+
+class VersionConflictError(RuntimeError):
+    """Another writer committed this version first — re-read and retry."""
+
+
+class VersionedTable:
+    """A path-addressed, versioned parquet table with atomic commits."""
+
+    def __init__(self, path: str | Path):
+        self.path = Path(path)
+
+    # -- control plane ----------------------------------------------------
+
+    def _manifest_path(self, version: int) -> Path:
+        return self.path / _MANIFEST_DIR / f"{version:05d}.json"
+
+    def versions(self) -> list[int]:
+        mdir = self.path / _MANIFEST_DIR
+        if not mdir.is_dir():
+            return []
+        return sorted(int(p.stem) for p in mdir.glob("[0-9]*.json"))
+
+    def latest_version(self) -> int | None:
+        vs = self.versions()
+        return vs[-1] if vs else None
+
+    def manifest(self, version: int) -> dict:
+        return json.loads(self._manifest_path(version).read_text())
+
+    def _commit(self, version: int, data_dir: Path, operation: str) -> None:
+        """Make ``version`` visible. Atomic: the manifest file either
+        exists completely or not at all; O_EXCL create serializes
+        racing writers."""
+        mdir = self.path / _MANIFEST_DIR
+        mdir.mkdir(parents=True, exist_ok=True)
+        body = json.dumps(
+            {
+                "version": version,
+                "data_dir": str(data_dir.relative_to(self.path)),
+                "operation": operation,
+                "committed_at_unix": time.time(),
+            }
+        )
+        try:
+            with open(self._manifest_path(version), "x") as fh:
+                fh.write(body)
+        except FileExistsError:
+            shutil.rmtree(data_dir, ignore_errors=True)  # our orphaned write
+            raise VersionConflictError(
+                f"version {version} was committed concurrently; retry from latest"
+            ) from None
+
+    # -- data plane -------------------------------------------------------
+
+    def _write_version(self, df: DataFrame, version: int, operation: str) -> int:
+        # Unique dir per ATTEMPT: racing writers for the same version
+        # never collide on the data path — only the manifest O_EXCL
+        # race decides, and the loser removes its own orphan.
+        data_dir = self.path / _DATA_DIR / f"v{version:05d}-{uuid.uuid4().hex[:8]}"
+        df.write.mode("errorifexists").parquet(str(data_dir))
+        self._commit(version, data_dir, operation)
+        return version
+
+    def create(self, df: DataFrame) -> int:
+        """Initial commit (version 0). Fails if the table exists."""
+        if self.latest_version() is not None:
+            raise ValueError(f"table already exists at {self.path}")
+        return self._write_version(df, 0, "create")
+
+    def overwrite(self, df: DataFrame) -> int:
+        """Full-replace commit (the WRITE_TRUNCATE analog,
+        ref: ETL/load_to_bigquery.py:73-80)."""
+        latest = self.latest_version()
+        if latest is None:
+            return self.create(df)
+        return self._write_version(df, latest + 1, "overwrite")
+
+    def read(self, spark: SparkSession, version: int | None = None) -> DataFrame:
+        """Snapshot read: latest (default) or time-travel to ``version``."""
+        if version is None:
+            version = self.latest_version()
+            if version is None:
+                raise FileNotFoundError(f"no committed version at {self.path}")
+        m = self.manifest(version)
+        return spark.read.parquet(str(self.path / m["data_dir"]))
+
+    def merge(
+        self,
+        spark: SparkSession,
+        source: DataFrame,
+        keys: list[str],
+        order_by: list[Column] | None = None,
+    ) -> int:
+        """Transactional MERGE: source rows win on key collision
+        (WHEN MATCHED UPDATE / WHEN NOT MATCHED INSERT), committed as a
+        new version atomically. Raises VersionConflictError if another
+        writer commits first — re-call to retry on the fresh snapshot."""
+        base_version = self.latest_version()
+        if base_version is None:
+            return self.create(source)
+        target = self.read(spark, base_version)
+        merged = merge_upsert(target, source, keys, order_by=order_by)
+        return self._write_version(merged, base_version + 1, f"merge:{','.join(keys)}")
+
+    def vacuum(self, keep_last: int = 1) -> list[int]:
+        """Drop all but the newest ``keep_last`` versions (manifest +
+        data). Returns the removed version numbers."""
+        if keep_last < 1:
+            raise ValueError("keep_last must be >= 1")
+        vs = self.versions()
+        doomed = vs[:-keep_last]
+        for v in doomed:
+            m = self.manifest(v)
+            shutil.rmtree(self.path / m["data_dir"], ignore_errors=True)
+            self._manifest_path(v).unlink()
+        return doomed

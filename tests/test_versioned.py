@@ -1,0 +1,79 @@
+"""VersionedTable: atomic commits, snapshot isolation, time travel.
+
+The transactional-MERGE analog of the reference's warehouse MERGE
+(dbt snapshot / BigQuery MERGE) — see sources/versioned.py.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from glamira_batch_processing_spark.sources.versioned import (
+    VersionConflictError,
+    VersionedTable,
+)
+
+
+def _rows(df):
+    return {(r.k, r.v) for r in df.collect()}
+
+
+def test_create_read_merge_time_travel(spark, tmp_path):
+    t = VersionedTable(tmp_path / "tbl")
+    base = spark.createDataFrame([(1, "a"), (2, "b")], "k long, v string")
+    assert t.create(base) == 0
+    assert _rows(t.read(spark)) == {(1, "a"), (2, "b")}
+
+    upd = spark.createDataFrame([(2, "B"), (3, "c")], "k long, v string")
+    assert t.merge(spark, upd, keys=["k"]) == 1
+    # WHEN MATCHED UPDATE (2), WHEN NOT MATCHED INSERT (3), untouched (1)
+    assert _rows(t.read(spark)) == {(1, "a"), (2, "B"), (3, "c")}
+    # snapshot isolation: version 0 is byte-for-byte still there
+    assert _rows(t.read(spark, version=0)) == {(1, "a"), (2, "b")}
+    assert t.versions() == [0, 1]
+    assert t.manifest(1)["operation"] == "merge:k"
+
+
+def test_create_twice_rejected_and_overwrite(spark, tmp_path):
+    t = VersionedTable(tmp_path / "tbl")
+    df = spark.createDataFrame([(1, "a")], "k long, v string")
+    t.create(df)
+    with pytest.raises(ValueError):
+        t.create(df)
+    t.overwrite(spark.createDataFrame([(9, "z")], "k long, v string"))
+    assert _rows(t.read(spark)) == {(9, "z")}
+    assert _rows(t.read(spark, version=0)) == {(1, "a")}
+
+
+def test_concurrent_commit_conflict(spark, tmp_path):
+    t = VersionedTable(tmp_path / "tbl")
+    t.create(spark.createDataFrame([(1, "a")], "k long, v string"))
+    # a racing writer lands version 1 first
+    winner = spark.createDataFrame([(1, "winner")], "k long, v string")
+    t.merge(spark, winner, keys=["k"])
+    # the loser targeted the same version from the same base snapshot:
+    # its data write succeeds (unique attempt dir) but the manifest
+    # O_EXCL race fails and its orphan is cleaned up
+    loser = spark.createDataFrame([(1, "loser")], "k long, v string")
+    with pytest.raises(VersionConflictError):
+        t._write_version(loser, 1, "merge:k")
+    # the winning commit is intact and readable
+    assert _rows(t.read(spark)) == {(1, "winner")}
+    # exactly one data dir remains for version 1 (the winner's)
+    assert len(list((t.path / "data").glob("v00001-*"))) == 1
+    # retry on the fresh snapshot succeeds as version 2
+    assert t.merge(spark, loser, keys=["k"]) == 2
+    assert _rows(t.read(spark)) == {(1, "loser")}
+
+
+def test_vacuum_keeps_latest(spark, tmp_path):
+    t = VersionedTable(tmp_path / "tbl")
+    t.create(spark.createDataFrame([(1, "a")], "k long, v string"))
+    for i in range(3):
+        t.overwrite(spark.createDataFrame([(1, f"v{i}")], "k long, v string"))
+    assert t.versions() == [0, 1, 2, 3]
+    assert t.vacuum(keep_last=2) == [0, 1]
+    assert t.versions() == [2, 3]
+    assert _rows(t.read(spark)) == {(1, "v2")}
+    with pytest.raises(FileNotFoundError):
+        t.read(spark, version=0)
