@@ -69,6 +69,24 @@ def test_priority_order_covers_gate_window():
         assert required in prio, required
 
 
+def test_bench_compare_not_stale():
+    """BENCH_COMPARE.json must reflect the CURRENT bench headline set
+    (round-2 verdict: the committed file had gone stale after HEADLINE
+    changed). Regenerate with scripts/bench_compare.py when this fails."""
+    import json
+    from pathlib import Path
+
+    import bench
+
+    path = Path(__file__).resolve().parent.parent / "BENCH_COMPARE.json"
+    report = json.loads(path.read_text())
+    expected = {n for n in bench.HEADLINE if n in ORACLES}
+    assert set(report["queries"]) == expected, (
+        "BENCH_COMPARE.json is stale — rerun: "
+        "python scripts/bench_compare.py > BENCH_COMPARE.json"
+    )
+
+
 @pytest.mark.parametrize("name", sorted(QUERIES))
 def test_query_vs_oracle(spark, duck_small, name):
     fn = QUERIES[name]
