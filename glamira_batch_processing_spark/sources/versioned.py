@@ -139,10 +139,14 @@ class VersionedTable:
         writer commits first — re-call to retry on the fresh snapshot."""
         base_version = self.latest_version()
         if base_version is None:
-            return self.create(source)
-        target = self.read(spark, base_version)
+            # first commit: still dedupe the source by key priority
+            target = source.filter("1 = 0")
+            next_version, op = 0, "create"
+        else:
+            target = self.read(spark, base_version)
+            next_version, op = base_version + 1, f"merge:{','.join(keys)}"
         merged = merge_upsert(target, source, keys, order_by=order_by)
-        return self._write_version(merged, base_version + 1, f"merge:{','.join(keys)}")
+        return self._write_version(merged, next_version, op)
 
     def vacuum(self, keep_last: int = 1) -> list[int]:
         """Drop all but the newest ``keep_last`` versions (manifest +

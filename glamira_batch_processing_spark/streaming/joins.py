@@ -74,6 +74,54 @@ def streaming_merge(
     return n_batches["n"]
 
 
+def streaming_merge_versioned(
+    spark: SparkSession,
+    source_dir: str,
+    table_path: str,
+    checkpoint_dir: str,
+    schema,
+    keys: list[str],
+    order_col: str,
+) -> int:
+    """``streaming_merge`` with a transactional target: each micro-batch
+    MERGE commits one atomic :class:`VersionedTable` version.
+
+    Properties the plain-parquet form can't give:
+    - readers never observe a half-written target (the version flips
+      atomically with the manifest commit);
+    - no staging-dir double write — the merge reads snapshot N while
+      writing N+1, so it cannot clobber its own input;
+    - per-micro-batch time travel: version history IS the batch
+      history, so a bad upstream batch can be diffed or rolled back;
+    - a batch retried after a crash-between-write-and-checkpoint
+      re-merges the same rows with the same key priority — idempotent
+      on the final state (extra version, identical contents).
+    """
+    from ..sources.versioned import VersionedTable
+
+    stream = spark.readStream.schema(schema).parquet(source_dir)
+    n_batches = {"n": 0}
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        table = VersionedTable(table_path)
+        table.merge(
+            batch_df.sparkSession,
+            batch_df,
+            keys,
+            order_by=[F.desc(order_col)] if order_col else None,
+        )
+        n_batches["n"] += 1
+
+    q = (
+        stream.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return n_batches["n"]
+
+
 def interval_join(
     left: DataFrame,
     right: DataFrame,

@@ -172,3 +172,47 @@ def test_asof_join_duplicate_left_rows_preserve_multiplicity():
         (1, 10, "a", "nine"),   # duplicate row 2 of 2
         (2, 10, "c", None),     # key with no right rows
     ]
+
+
+# ---------------------------------------------------------------------------
+# Codec round-trip laws (pure driver-side — no Spark job per example).
+# ---------------------------------------------------------------------------
+@given(
+    fmt=st.sampled_from(["png", "gif", "bmp"]),
+    w=st.integers(min_value=1, max_value=200),
+    h=st.integers(min_value=1, max_value=200),
+)
+@settings(max_examples=60, deadline=None)
+def test_image_codec_roundtrip_law(fmt, w, h):
+    """decode(render(fmt, w, h)) == (w, h, fmt) for every dimension."""
+    from glamira_batch_processing_spark.operators.multimodal import (
+        _decode_image_real,
+        image_bytes,
+    )
+
+    assert _decode_image_real(image_bytes(fmt, w, h)) == (w, h, fmt)
+
+
+@given(
+    n_frames=st.integers(min_value=0, max_value=3000),
+    rate=st.sampled_from([8000, 16000, 44100]),
+    n_channels=st.integers(min_value=1, max_value=2),
+    seed=st.integers(min_value=0, max_value=2**31),
+)
+@settings(max_examples=40, deadline=None)
+def test_wav_codec_roundtrip_law(n_frames, rate, n_channels, seed):
+    """WAV render -> stdlib wave decode recovers every header field, and
+    the container size is exactly 44 + 2*frames*channels bytes."""
+    import io
+    import wave
+
+    from glamira_batch_processing_spark.operators.multimodal import wav_bytes
+
+    b = wav_bytes(n_frames, sample_rate=rate, n_channels=n_channels, seed=seed)
+    assert len(b) == 44 + 2 * n_frames * n_channels
+    with wave.open(io.BytesIO(b)) as f:
+        assert (f.getnchannels(), f.getframerate(), f.getnframes()) == (
+            n_channels,
+            rate,
+            n_frames,
+        )

@@ -16,6 +16,7 @@ from pyspark.sql.types import (
 from glamira_batch_processing_spark.streaming.joins import (
     interval_join,
     streaming_merge,
+    streaming_merge_versioned,
 )
 
 SCHEMA = StructType(
@@ -51,6 +52,32 @@ def test_streaming_merge_upserts_across_batches(spark, tmp_path):
     # no new files: merge is a no-op, target unchanged
     streaming_merge(spark, src, tgt, ckpt, SCHEMA, ["k"], "version")
     assert spark.read.parquet(tgt).count() == 3
+
+
+def test_streaming_merge_versioned_atomic_history(spark, tmp_path):
+    """foreachBatch -> VersionedTable: same upsert semantics, plus an
+    atomic version per micro-batch and per-batch time travel."""
+    from glamira_batch_processing_spark.sources.versioned import VersionedTable
+
+    src = str(tmp_path / "src")
+    tbl = str(tmp_path / "tbl")
+    ckpt = str(tmp_path / "ckpt")
+
+    _write(spark, src, [(1, 1, "a1"), (2, 1, "b1"), (2, 2, "b2")])
+    assert streaming_merge_versioned(spark, src, tbl, ckpt, SCHEMA, ["k"], "version") >= 1
+    t = VersionedTable(tbl)
+    read = lambda **kw: {
+        r["k"]: (r["version"], r["payload"]) for r in t.read(spark, **kw).collect()
+    }
+    # within-batch W4 dedupe on the very first commit: key 2 keeps version 2
+    assert read() == {1: (1, "a1"), 2: (2, "b2")}
+    v0 = t.latest_version()
+
+    _write(spark, src, [(1, 5, "a5"), (3, 1, "c1")])
+    streaming_merge_versioned(spark, src, tbl, ckpt, SCHEMA, ["k"], "version")
+    assert read() == {1: (5, "a5"), 2: (2, "b2"), 3: (1, "c1")}
+    # the pre-batch snapshot is still readable (per-batch time travel)
+    assert read(version=v0) == {1: (1, "a1"), 2: (2, "b2")}
 
 
 TS_SCHEMA = StructType(
