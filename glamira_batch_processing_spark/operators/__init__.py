@@ -16,6 +16,7 @@ from .dedup import (
     ngram_jaccard_pairs,
     simhash_bits,
 )
+from .clustering import kmeans_fit, lloyd_step_quantized, seed_centroids
 from .incremental import merge_upsert
 from .similarity import (
     cosine,
@@ -43,6 +44,9 @@ __all__ = [
     "ngram_jaccard_pairs",
     "simhash_bits",
     "merge_upsert",
+    "kmeans_fit",
+    "lloyd_step_quantized",
+    "seed_centroids",
     "cosine",
     "cosine_topk",
     "dot",

@@ -482,6 +482,31 @@ def ann_ivf_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+from ..operators.clustering import (  # noqa: E402
+    lloyd_step_quantized,
+    seed_centroids,
+    sql_lloyd_step,
+)
+
+_KMEANS_CENTS = seed_centroids(dim=64, k=8)
+
+
+@query(
+    "kmeans_lloyd_step",
+    oracle=sql_lloyd_step("embeddings", _KMEANS_CENTS),
+)
+def kmeans_lloyd_step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One oracle-exact Lloyd (k-means) step over the embeddings: assign
+    every vector to its nearest of 8 literal md5-seeded centroids via
+    ordered-fold squared L2 (bit-identical in DuckDB), then per-cluster
+    count + integer-quantized component sums (the floor(x*1e6+0.5)
+    money-math trick — order-independent, engine-exact). The production
+    trainer is operators/clustering.py::kmeans_fit (Arrow/numpy
+    partials, zero-shuffle rounds); this query pins its semantics."""
+    e = table(spark, sf_dir, "embeddings")
+    return lloyd_step_quantized(e, _KMEANS_CENTS)
+
+
 @query("ann_ivf_bucketed_np")
 def ann_ivf_bucketed_np(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Arrow/numpy IVF ANN — the production scorer for the IVF path
