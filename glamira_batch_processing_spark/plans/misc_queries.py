@@ -6,6 +6,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..functions.cleaning import safe_divide
+from ..sources.writers import sql_zorder_key
 from .registry import query, table
 
 
@@ -355,3 +356,26 @@ def f7_math_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.abs(-F.col("l_quantity")).alias("qty_abs"),
         safe_divide(F.col("l_quantity"), F.col("l_linenumber") % 3).alias("safe_ratio"),
     )
+
+
+@query(
+    "zorder_key_orders",
+    oracle=(
+        "SELECT o_orderkey, "
+        + sql_zorder_key("orders", ["o_custkey", "o_orderkey"], bits=16)
+        + " AS zkey FROM orders"
+    ),
+)
+def zorder_key_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Morton (Z-order) clustering key over (o_custkey, o_orderkey) —
+    the multi-dimensional data-skipping sort key behind
+    sources/writers.py::write_zordered. The DuckDB oracle reproduces the
+    identical min/max scaling, quantization, and bit interleave, so the
+    clustering layout is engine-portable bit-for-bit; the actual
+    row-group skipping it buys is measured against real parquet
+    statistics in tests/test_zorder.py."""
+    from ..sources.writers import zorder_key
+
+    o = table(spark, sf_dir, "orders")
+    _, z = zorder_key(o, ["o_custkey", "o_orderkey"], bits=16)
+    return o.select("o_orderkey", z.alias("zkey"))

@@ -34,6 +34,110 @@ def write_partitioned(
     out.write.mode(mode).partitionBy(partition_col).parquet(path)
 
 
+def zorder_key(
+    df: DataFrame, cols: list[str], bits: int = 16
+) -> tuple[DataFrame, F.Column]:
+    """Morton (Z-order) interleave of the given numeric columns.
+
+    Each column is min/max-scaled to a ``bits``-bit integer (one tiny
+    agg job computes the ranges), then the bits are interleaved with
+    pure Column expressions (shiftleft/or — JVM-side, codegen'd). Rows
+    sorted by the returned key cluster MULTI-dimensionally: a parquet
+    row group then has tight min/max stats on EVERY interleaved column,
+    so conjunctive filters on any subset of them skip row groups — the
+    property a single-column sort only gives its leading column.
+
+    Returns (df with ranges applied, zkey Column). NULLs map to bucket 0.
+    """
+    ranges = df.agg(
+        *[F.min(F.col(c).cast("double")).alias(f"__min_{c}") for c in cols],
+        *[F.max(F.col(c).cast("double")).alias(f"__max_{c}") for c in cols],
+    ).collect()[0]
+    max_bucket = (1 << bits) - 1
+    quantized = []
+    for c in cols:
+        lo, hi = ranges[f"__min_{c}"], ranges[f"__max_{c}"]
+        span = (hi - lo) if (hi is not None and lo is not None and hi > lo) else 1.0
+        q = F.floor(
+            (F.coalesce(F.col(c).cast("double"), F.lit(lo or 0.0)) - F.lit(lo or 0.0))
+            / F.lit(span)
+            * F.lit(max_bucket)
+        ).cast("long")
+        quantized.append(F.least(F.greatest(q, F.lit(0)), F.lit(max_bucket)))
+    one = F.lit(1).cast("long")
+    z = F.lit(0).cast("long")
+    for bit in range(bits - 1, -1, -1):
+        for qcol in quantized:
+            z = (
+                F.shiftleft(z, 1)
+                .cast("long")
+                .bitwiseOR(F.shiftright(qcol, bit).bitwiseAND(one))
+            )
+    return df, z
+
+
+def write_zordered(
+    df: DataFrame,
+    path: str,
+    zorder_cols: list[str],
+    bits: int = 16,
+    n_files: int | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Z-order-clustered parquet write (the OPTIMIZE ZORDER analog).
+
+    repartitionByRange on the Morton key places z-adjacent rows in the
+    same file AND the same row groups, so point/box filters on any of
+    ``zorder_cols`` prune files and row groups via parquet min/max
+    stats. Use for the 2+ filter-column case where
+    ``write_partitioned``'s single sort key can't serve all predicates.
+
+    ``n_files`` pins the output file count (an explicit count keeps AQE
+    from coalescing a small table into one file, which would leave a
+    single stats range and nothing to skip); default = the session's
+    shuffle parallelism.
+    """
+    out, z = zorder_key(df, zorder_cols, bits=bits)
+    n = n_files or int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    (
+        out.withColumn("__z", z)
+        .repartitionByRange(n, F.col("__z"))
+        .sortWithinPartitions("__z")
+        .drop("__z")
+        .write.mode(mode)
+        .parquet(path)
+    )
+
+
+def sql_zorder_key(table: str, cols: list[str], bits: int = 16) -> str:
+    """DuckDB twin of :func:`zorder_key` as a SQL select-list expression.
+
+    Same min/max scaling (scalar subqueries), same quantization
+    arithmetic (double ops are bit-identical across engines), same bit
+    layout: the bit ``b`` of column ``i`` lands at final position
+    ``b * ncols + (ncols - 1 - i)`` — the closed form of the Spark
+    implementation's append loop.
+    """
+    n = len(cols)
+    max_bucket = (1 << bits) - 1
+    qs = []
+    for c in cols:
+        lo = f"(SELECT MIN(CAST({c} AS DOUBLE)) FROM {table})"
+        hi = f"(SELECT MAX(CAST({c} AS DOUBLE)) FROM {table})"
+        span = f"(CASE WHEN {hi} > {lo} THEN {hi} - {lo} ELSE 1.0 END)"
+        q = (
+            f"LEAST(GREATEST(CAST(FLOOR((COALESCE(CAST({c} AS DOUBLE), {lo}) - {lo})"
+            f" / {span} * {max_bucket}) AS BIGINT), 0), {max_bucket})"
+        )
+        qs.append(q)
+    terms = []
+    for i, q in enumerate(qs):
+        for b in range(bits):
+            pos = b * n + (n - 1 - i)
+            terms.append(f"((({q} >> {b}) & 1) << {pos})")
+    return " + ".join(terms)
+
+
 def write_csv(df: DataFrame, path: str, mode: str = "overwrite") -> None:
     """Header-once CSV sink (S8). Task-level atomicity replaces the
     reference's append+fsync crash-safety."""

@@ -1,0 +1,73 @@
+"""Z-order clustered writes: multi-dimensional row-group skipping.
+
+Measures REAL parquet min/max statistics: after a z-ordered write, a
+narrow band predicate on the SECOND dimension intersects only a small
+fraction of row groups, where a layout sorted by the first dimension
+alone leaves the second dimension unclustered (every row group
+intersects). This is the property that makes conjunctive filters cheap
+at 100 TB.
+"""
+
+from __future__ import annotations
+
+from pathlib import Path
+
+import pyarrow.parquet as pq
+from pyspark.sql import functions as F
+
+from glamira_batch_processing_spark.sources.writers import write_zordered
+
+
+def _row_groups_intersecting(path: str, col: str, lo: float, hi: float):
+    """(intersecting, total) row groups whose [min,max] overlaps [lo,hi]."""
+    hits = total = 0
+    for f in Path(path).glob("*.parquet"):
+        pf = pq.ParquetFile(str(f))
+        idx = pf.schema_arrow.get_field_index(col)
+        for rg in range(pf.metadata.num_row_groups):
+            stats = pf.metadata.row_group(rg).column(idx).statistics
+            total += 1
+            if stats is None or not stats.has_min_max:
+                hits += 1  # no stats -> cannot skip
+            elif not (stats.max < lo or stats.min > hi):
+                hits += 1
+    return hits, total
+
+
+def test_zorder_skips_row_groups_on_second_dimension(spark, tmp_path):
+    # two independent uniform dimensions (deterministic)
+    df = (
+        spark.range(100_000)
+        .withColumn("x", (F.col("id") * 7919) % 10_000)
+        .withColumn("y", (F.col("id") * 104729) % 10_000)
+    )
+    plain = str(tmp_path / "plain_x_sorted")
+    zord = str(tmp_path / "zordered")
+    # baseline: single-column clustering on x (what write_partitioned's
+    # cluster_cols would give a non-partitioned table)
+    df.repartitionByRange(32, F.col("x")).sortWithinPartitions("x").write.parquet(plain)
+    write_zordered(df, zord, ["x", "y"], n_files=32)
+
+    # same total rows in both layouts
+    assert spark.read.parquet(zord).count() == 100_000
+
+    # 2%-tall band on y
+    band_lo, band_hi = 5_000, 5_200
+    p_hits, p_total = _row_groups_intersecting(plain, "y", band_lo, band_hi)
+    z_hits, z_total = _row_groups_intersecting(zord, "y", band_lo, band_hi)
+    # x-sorted layout cannot skip on y: (almost) every row group overlaps
+    assert p_hits >= p_total * 0.9
+    # z-ordered layout skips the majority of row groups on y
+    assert z_hits <= z_total * 0.5, (z_hits, z_total)
+    # ... while still skipping on x too (z-order serves both dimensions)
+    zx_hits, zx_total = _row_groups_intersecting(zord, "x", band_lo, band_hi)
+    assert zx_hits <= zx_total * 0.5, (zx_hits, zx_total)
+
+    # correctness: the z-ordered table returns the same band rows
+    expect = df.filter(F.col("y").between(band_lo, band_hi)).count()
+    got = (
+        spark.read.parquet(zord)
+        .filter(F.col("y").between(band_lo, band_hi))
+        .count()
+    )
+    assert got == expect
