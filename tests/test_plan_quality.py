@@ -140,3 +140,33 @@ def test_fact_write_partition_prunes(spark, tmp_path):
     plan = plan_of(back)
     m = plan.split("PartitionFilters:")[1].splitlines()[0]
     assert "date" in m
+
+
+def test_asof_join_shuffle_budget(spark):
+    """asof: the ordering stage must window over DISTINCT (key, ts)
+    pairs and the re-attach must be an equi-join (broadcast or hash) —
+    never a nested-loop, and within the documented exchange budget."""
+    df = QUERIES["asof_join_last_purchase"](spark, SF_SMALL)
+    plan = plan_of(df)
+    assert "NestedLoop" not in plan and "CartesianProduct" not in plan
+    n_exchanges = plan.count("Exchange ")
+    assert n_exchanges <= 5, f"too many shuffles in asof plan: {n_exchanges}\n{plan}"
+
+
+def test_ivf_np_candidates_never_shuffle_for_join(spark):
+    """ivf_search_np: the probe side is broadcast, so the candidate
+    stream must meet it in a BroadcastHashJoin — a SortMergeJoin would
+    mean the whole corpus shuffles for the bucket join."""
+    df = QUERIES["ann_ivf_bucketed_np"](spark, SF_SMALL)
+    plan = plan_of(df)
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_kmeans_lloyd_step_single_exchange(spark):
+    """One Lloyd step = assignment fused into the scan projection + one
+    aggregation exchange. Anything more means the assignment shuffled."""
+    df = QUERIES["kmeans_lloyd_step"](spark, SF_SMALL)
+    plan = plan_of(df)
+    n_exchanges = plan.count("Exchange ")
+    assert n_exchanges <= 1, f"lloyd step must be one shuffle: {n_exchanges}\n{plan}"
