@@ -7,7 +7,7 @@ the reference lacks.
 """
 
 from .asof import asof_join
-from .audit import null_rates, orphan_rates, qa_flags
+from .audit import column_profile, null_rates, orphan_rates, qa_flags
 from .dedup import (
     doc_shingles,
     exact_dedup_stats,
@@ -35,6 +35,7 @@ from .windows import dedupe_latest, rank_dedupe, scd2_apply, scd2_from_history
 __all__ = [
     "asof_join",
     "null_rates",
+    "column_profile",
     "orphan_rates",
     "qa_flags",
     "doc_shingles",

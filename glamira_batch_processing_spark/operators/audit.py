@@ -111,3 +111,42 @@ def qa_flags(
     for name in flags:
         valid = F.col(name) if valid is None else (valid & F.col(name))
     return out.withColumn("is_row_valid", valid)
+
+
+def column_profile(df: DataFrame, cols: list[str]) -> DataFrame:
+    """Per-column data profile: (column, n_rows, n_null, n_distinct,
+    min_str, max_str) — the ANALYZE/profiling pass a training-data
+    pipeline runs before trusting a new source drop.
+
+    One distributed pass: a single wide aggregate computes every
+    column's stats (count-distincts expand to one partial per column,
+    all map-side combinable), then the 1-row result unpivots to one row
+    per column via stack() — no per-column jobs, no collect of row
+    data. min/max are emitted as strings so heterogeneous column types
+    share one schema (callers profiling float columns should quantize
+    first; string renderings of floats are engine-specific).
+    """
+    aggs = []
+    for c in cols:
+        aggs += [
+            F.sum(F.when(F.col(c).isNull(), 1).otherwise(0)).alias(f"__nn_{c}"),
+            F.countDistinct(F.col(c)).alias(f"__nd_{c}"),
+            F.min(F.col(c)).cast("string").alias(f"__mn_{c}"),
+            F.max(F.col(c)).cast("string").alias(f"__mx_{c}"),
+        ]
+    one = df.agg(F.count(F.lit(1)).alias("__n"), *aggs)
+    stack_args = ", ".join(
+        f"'{c}', __nn_{c}, __nd_{c}, __mn_{c}, __mx_{c}" for c in cols
+    )
+    return one.selectExpr(
+        "__n",
+        f"stack({len(cols)}, {stack_args}) AS "
+        "(column_name, n_null, n_distinct, min_str, max_str)",
+    ).select(
+        "column_name",
+        F.col("__n").alias("n_rows"),
+        "n_null",
+        "n_distinct",
+        "min_str",
+        "max_str",
+    )

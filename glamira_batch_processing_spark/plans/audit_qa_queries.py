@@ -314,3 +314,32 @@ def f2_qa_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     return flagged.drop(
         "event_type", "email", "ip", "current_url", "referrer_url", "quantity", "price"
     )
+
+
+_PROFILE_COLS = ["o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority", "o_orderdate"]
+
+_PROFILE_ORACLE = "\nUNION ALL\n".join(
+    f"""
+    SELECT '{c}' AS column_name,
+      COUNT(*) AS n_rows,
+      CAST(COUNT(*) FILTER ({c} IS NULL) AS BIGINT) AS n_null,
+      CAST(COUNT(DISTINCT {c}) AS BIGINT) AS n_distinct,
+      CAST(MIN({c}) AS VARCHAR) AS min_str,
+      CAST(MAX({c}) AS VARCHAR) AS max_str
+    FROM orders
+    """
+    for c in _PROFILE_COLS
+)
+
+
+@query("stats_column_profile", oracle=_PROFILE_ORACLE)
+def stats_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-column profile of the orders table (count / nulls / exact
+    ndv / min / max) in ONE distributed aggregate + stack() unpivot —
+    the ANALYZE pass of a data-quality gate (extends the reference's
+    audit_null_rates beyond null counting). Columns chosen are int /
+    string / date so min/max string renderings are engine-identical."""
+    from ..operators.audit import column_profile
+
+    o = table(spark, sf_dir, "orders")
+    return column_profile(o, _PROFILE_COLS)

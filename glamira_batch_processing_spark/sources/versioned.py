@@ -148,6 +148,52 @@ class VersionedTable:
         merged = merge_upsert(target, source, keys, order_by=order_by)
         return self._write_version(merged, next_version, op)
 
+    def diff(
+        self,
+        spark: SparkSession,
+        v_from: int,
+        v_to: int,
+        keys: list[str],
+    ) -> DataFrame:
+        """Change-data-feed between two snapshots: one row per changed
+        key with ``change_type`` in {insert, update, delete}.
+
+        Computed as a key-outer join of the two immutable snapshots —
+        no change log needs to be written on the ingest path, and the
+        join shuffles only the two snapshots on their merge keys (the
+        same partitioning MERGE itself used). Values are the new row's
+        for insert/update and the old row's for delete.
+        """
+        from pyspark.sql import functions as F
+
+        old = self.read(spark, v_from)
+        new = self.read(spark, v_to)
+        value_cols = [c for c in new.columns if c not in keys]
+        o = old.select(
+            *[F.col(k).alias(f"__k_{k}") for k in keys],
+            F.struct(*value_cols).alias("__old"),
+        )
+        n = new.select(
+            *[F.col(k).alias(f"__k_{k}") for k in keys],
+            F.struct(*value_cols).alias("__new"),
+        )
+        j = o.join(n, [f"__k_{k}" for k in keys], "full_outer")
+        change = (
+            F.when(F.col("__old").isNull(), F.lit("insert"))
+            .when(F.col("__new").isNull(), F.lit("delete"))
+            .when(~F.col("__new").eqNullSafe(F.col("__old")), F.lit("update"))
+        )
+        picked = F.coalesce(F.col("__new"), F.col("__old"))
+        return (
+            j.withColumn("change_type", change)
+            .filter(F.col("change_type").isNotNull())
+            .select(
+                *[F.col(f"__k_{k}").alias(k) for k in keys],
+                "change_type",
+                *[picked.getField(c).alias(c) for c in value_cols],
+            )
+        )
+
     def vacuum(self, keep_last: int = 1) -> list[int]:
         """Drop all but the newest ``keep_last`` versions (manifest +
         data). Returns the removed version numbers."""

@@ -66,6 +66,24 @@ def test_concurrent_commit_conflict(spark, tmp_path):
     assert _rows(t.read(spark)) == {(1, "loser")}
 
 
+def test_diff_change_data_feed(spark, tmp_path):
+    t = VersionedTable(tmp_path / "tbl")
+    t.create(spark.createDataFrame([(1, "a"), (2, "b"), (4, "d")], "k long, v string"))
+    t.overwrite(spark.createDataFrame([(1, "a"), (2, "B"), (3, "c")], "k long, v string"))
+    got = {
+        r.k: (r.change_type, r.v)
+        for r in t.diff(spark, 0, 1, keys=["k"]).collect()
+    }
+    # unchanged key 1 is absent; 2 updated, 3 inserted, 4 deleted
+    assert got == {2: ("update", "B"), 3: ("insert", "c"), 4: ("delete", "d")}
+    # reverse diff swaps insert/delete and restores old values
+    rev = {
+        r.k: (r.change_type, r.v)
+        for r in t.diff(spark, 1, 0, keys=["k"]).collect()
+    }
+    assert rev == {2: ("update", "b"), 3: ("delete", "c"), 4: ("insert", "d")}
+
+
 def test_vacuum_keeps_latest(spark, tmp_path):
     t = VersionedTable(tmp_path / "tbl")
     t.create(spark.createDataFrame([(1, "a")], "k long, v string"))
