@@ -343,3 +343,27 @@ def stats_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     o = table(spark, sf_dir, "orders")
     return column_profile(o, _PROFILE_COLS)
+
+
+@query(
+    "stats_histogram",
+    oracle="""
+    SELECT LEAST(GREATEST(CAST(FLOOR(o_totalprice / 25000.0) AS BIGINT), 0), 19)
+             AS bucket,
+           COUNT(*) AS n
+    FROM orders
+    GROUP BY 1
+    """,
+)
+def stats_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width histogram of order totals (20 buckets of 25k,
+    clamped): bucketing is floor-division + clamp (engine-exact double
+    ops, integer outputs), aggregation is one map-side-combinable
+    groupBy — the distribution-profiling pass beside
+    stats_column_profile."""
+    o = table(spark, sf_dir, "orders")
+    bucket = F.least(
+        F.greatest(F.floor(F.col("o_totalprice") / 25000.0).cast("long"), F.lit(0)),
+        F.lit(19),
+    )
+    return o.groupBy(bucket.alias("bucket")).agg(F.count("*").alias("n"))
