@@ -1,2 +1,23 @@
 """Sources & sinks: synthetic raw generation, schema-reconciling readers,
-partitioned writers."""
+partitioned / z-ordered writers, versioned (transactional) tables."""
+
+from .versioned import VersionConflictError, VersionedTable
+from .writers import (
+    sql_zorder_key,
+    write_csv,
+    write_manifest,
+    write_partitioned,
+    write_zordered,
+    zorder_key,
+)
+
+__all__ = [
+    "VersionConflictError",
+    "VersionedTable",
+    "sql_zorder_key",
+    "write_csv",
+    "write_manifest",
+    "write_partitioned",
+    "write_zordered",
+    "zorder_key",
+]

@@ -194,6 +194,22 @@ class VersionedTable:
             )
         )
 
+    def compact(self, spark: SparkSession, target_files: int) -> int:
+        """Rewrite the latest snapshot into ``target_files`` files as a
+        new version (the small-files OPTIMIZE pass).
+
+        Ingest (especially streaming MERGE) accretes many small files;
+        scans then pay per-file open/footer costs. Compaction uses
+        coalesce() — a NARROW rewrite, no shuffle — and commits through
+        the same atomic manifest path, so readers flip from the
+        fragmented snapshot to the compacted one atomically and old
+        versions stay time-travelable until vacuum."""
+        latest = self.latest_version()
+        if latest is None:
+            raise FileNotFoundError(f"no committed version at {self.path}")
+        df = self.read(spark, latest).coalesce(target_files)
+        return self._write_version(df, latest + 1, f"compact:{target_files}")
+
     def vacuum(self, keep_last: int = 1) -> list[int]:
         """Drop all but the newest ``keep_last`` versions (manifest +
         data). Returns the removed version numbers."""

@@ -84,6 +84,23 @@ def test_diff_change_data_feed(spark, tmp_path):
     assert rev == {2: ("update", "b"), 3: ("delete", "c"), 4: ("insert", "d")}
 
 
+def test_compact_reduces_files_atomically(spark, tmp_path):
+    t = VersionedTable(tmp_path / "tbl")
+    frag = spark.createDataFrame(
+        [(i, f"v{i}") for i in range(64)], "k long, v string"
+    ).repartition(16)
+    t.create(frag)
+    m0 = t.manifest(0)
+    n_files_before = len(list((t.path / m0["data_dir"]).glob("*.parquet")))
+    assert n_files_before >= 8
+    v = t.compact(spark, target_files=2)
+    m1 = t.manifest(v)
+    n_files_after = len(list((t.path / m1["data_dir"]).glob("*.parquet")))
+    assert n_files_after <= 2
+    assert _rows(t.read(spark)) == _rows(t.read(spark, version=0))
+    assert t.manifest(v)["operation"] == "compact:2"
+
+
 def test_vacuum_keeps_latest(spark, tmp_path):
     t = VersionedTable(tmp_path / "tbl")
     t.create(spark.createDataFrame([(1, "a")], "k long, v string"))
