@@ -379,3 +379,47 @@ def zorder_key_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = table(spark, sf_dir, "orders")
     _, z = zorder_key(o, ["o_custkey", "o_orderkey"], bits=16)
     return o.select("o_orderkey", z.alias("zkey"))
+
+
+@query(
+    "range_lookup_ip_geo",
+    oracle="""
+    WITH ranges AS (
+      SELECT s_suppkey AS range_key, s_nationkey AS geo_key,
+             (s_suppkey - 1) * 128 AS range_start,
+             (s_suppkey - 1) * 128 + 127 AS range_end
+      FROM supplier
+    ),
+    points AS (
+      SELECT c_custkey,
+             (c_custkey * 7919) % (SELECT COUNT(*) * 128 FROM supplier) AS ip
+      FROM customer
+    )
+    SELECT p.c_custkey, p.ip, r.range_key, r.geo_key
+    FROM points p
+    JOIN ranges r ON p.ip BETWEEN r.range_start AND r.range_end
+    """,
+)
+def range_lookup_ip_geo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IP->geo range lookup (ref: connection_to_mongodb.py:87-121
+    IP2Location BIN scan) as a bucket-exploded EQUI-join: synthetic
+    128-wide 'IP ranges' from supplier, synthetic point 'IPs' from
+    customer, matched via operators/rangejoin.py — no nested-loop range
+    join anywhere in the plan. The DuckDB oracle is the naive BETWEEN
+    join, proving the bucketed rewrite is semantics-preserving."""
+    from ..operators.rangejoin import range_lookup_join
+
+    s = table(spark, sf_dir, "supplier")
+    c = table(spark, sf_dir, "customer")
+    span = s.agg((F.count("*") * 128).alias("__total"))
+    points = c.crossJoin(F.broadcast(span)).select(
+        "c_custkey", (F.col("c_custkey") * 7919 % F.col("__total")).alias("ip")
+    )
+    ranges = s.select(
+        F.col("s_suppkey").alias("range_key"),
+        F.col("s_nationkey").alias("geo_key"),
+        ((F.col("s_suppkey") - 1) * 128).alias("range_start"),
+        ((F.col("s_suppkey") - 1) * 128 + 127).alias("range_end"),
+    )
+    j = range_lookup_join(points, ranges, "ip", "range_start", "range_end", bucket_width=256)
+    return j.select("c_custkey", "ip", "range_key", "geo_key")

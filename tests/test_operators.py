@@ -387,3 +387,32 @@ def test_rasterize_resize_operator(spark):
     assert (r2.target_width, r2.target_height) == (40, 30)
     assert len(bytes(r2.pixels)) == 40 * 30 * 3
     assert got[3].format == "error" and got[3].pixels is None
+
+
+def test_range_lookup_join_semantics(spark):
+    """Bucketed range join == naive BETWEEN join: inclusive bounds,
+    overlapping ranges fan out, bucket-straddling ranges still match,
+    null points never match."""
+    from glamira_batch_processing_spark.operators.rangejoin import range_lookup_join
+
+    ranges = spark.createDataFrame(
+        [
+            (1, 0, 99),      # within one bucket (width 64: buckets 0-1)
+            (2, 50, 200),    # straddles buckets, overlaps range 1
+            (3, 1000, 1000), # degenerate single-point range
+        ],
+        "rid long, range_start long, range_end long",
+    )
+    points = spark.createDataFrame(
+        [(10, 0), (11, 99), (12, 100), (13, 150), (14, 1000), (15, 999), (16, None)],
+        "pid long, p long",
+    )
+    out = range_lookup_join(points, ranges, "p", "range_start", "range_end", bucket_width=64)
+    got = sorted((r.pid, r.rid) for r in out.collect())
+    assert got == [
+        (10, 1),          # start boundary inclusive
+        (11, 1), (11, 2), # overlap: both ranges match
+        (12, 2),
+        (13, 2),
+        (14, 3),          # single-point range, end boundary inclusive
+    ]

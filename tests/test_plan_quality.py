@@ -170,3 +170,14 @@ def test_kmeans_lloyd_step_single_exchange(spark):
     plan = plan_of(df)
     n_exchanges = plan.count("Exchange ")
     assert n_exchanges <= 1, f"lloyd step must be one shuffle: {n_exchanges}\n{plan}"
+
+
+def test_range_lookup_is_equi_join(spark):
+    """The IP range lookup must plan the points-ranges match as a hash
+    EQUI-join on the bucket key — the naive BETWEEN formulation would
+    be a BroadcastNestedLoopJoin over every (point, range) pair. (The
+    single trivial NestedLoop allowed is the 1-row span scalar attach.)"""
+    df = QUERIES["range_lookup_ip_geo"](spark, SF_SMALL)
+    plan = plan_of(df)
+    assert "BroadcastHashJoin" in plan or "SortMergeJoin" in plan
+    assert plan.count("NestedLoopJoin") <= 1
