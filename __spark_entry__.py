@@ -45,9 +45,11 @@ from glamira_batch_processing_spark.plans.registry import ORACLE, QUERIES
 # rounds' CORRECTNESS files) sit past the cutoff and stay covered by pytest +
 # driver_sim.
 _PRIORITY: list[str] = [
-    # Flagship: whole-warehouse DAG (staging -> SCD -> marts -> rollup).
+    # Flagships: whole-warehouse DAG (staging -> SCD -> marts -> rollup)
+    # and whole-training-data pipeline (quality -> dedup+components ->
+    # decontaminate -> split).
     "glamira_pipeline_e2e",
-    "glamira_e2e_order_flatten",
+    "datapipe_e2e",
     "q1_pricing_summary",
     # §2 projections / filters.
     "p1_typed_projection",
@@ -93,7 +95,7 @@ _PRIORITY: list[str] = [
     "ann_ivf_bucketed",
     "text_langid",
     "text_quality_score",
-    "multimodal_decode_meta",
+    "multimodal_image_meta",
     "asof_join_last_purchase",
     "split_train_val_test",
     "sample_stratified_lang",

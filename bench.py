@@ -34,6 +34,7 @@ HEADLINE = [
     "glamira_e2e_order_flatten",
     "glamira_e2e_revenue_rollup",
     "glamira_pipeline_e2e",
+    "datapipe_e2e",
     "sessionize_gap30m",
     "asof_join_last_purchase",
     "dedup_exact",

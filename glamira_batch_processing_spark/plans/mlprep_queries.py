@@ -320,3 +320,169 @@ def dedup_cluster_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("node").alias("canonical_doc"),
     )
     return out
+
+
+@query(
+    "sample_exact_k",
+    oracle="""
+    SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS tag
+    FROM documents
+    ORDER BY tag, doc_id
+    LIMIT 64
+    """,
+)
+def sample_exact_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly-k deterministic uniform sample: the k smallest md5 tags
+    (KMV-style). Unlike fraction sampling (row count varies) this
+    returns precisely k rows, is reproducible, and stays stable as the
+    corpus grows (a doc leaves the sample only when displaced by a
+    smaller tag). Plans as TakeOrderedAndProject — per-partition heap +
+    k-row merge, never a global sort."""
+    d = table(spark, sf_dir, "documents")
+    tagged = d.select(
+        "doc_id", F.md5(F.col("doc_id").cast("string")).alias("tag")
+    )
+    return tagged.orderBy("tag", "doc_id").limit(64)
+
+
+# ---------------------------------------------------------------------------
+# Whole training-data pipeline, end-to-end (the datapipe flagship).
+# ---------------------------------------------------------------------------
+
+from ..operators import text as _T  # noqa: E402
+from ..operators.decontaminate import contamination_stats  # noqa: E402
+
+
+def _sql_quality(col: str = "text") -> str:
+    stop = (
+        f"{_T.sql_stopword_count(col, _T.LANG_STOPWORDS['en'])}"
+        f" / len(str_split(lower({col}), ' '))"
+    )
+    alpha = f"length(regexp_replace(lower({col}), '[^a-z]', '', 'g')) / length({col})"
+    mwl = f"length(replace({col}, ' ', '')) / len(str_split(lower({col}), ' '))"
+    return (
+        f"0.4 * ({stop}) + 0.4 * ({alpha})"
+        f" + 0.2 * (CASE WHEN {mwl} >= 2.0 AND {mwl} <= 12.0 THEN 1.0 ELSE 0.0 END)"
+    )
+
+
+def _sql_lang(col: str = "text") -> str:
+    lc = {
+        lang: _T.sql_stopword_count(col, sws)
+        for lang, sws in _T.LANG_STOPWORDS.items()
+    }
+    g = f"greatest({lc['en']}, {lc['de']}, {lc['fr']}, {lc['es']})"
+    return (
+        f"CASE WHEN {lc['en']} = {g} THEN 'en' WHEN {lc['de']} = {g} THEN 'de'"
+        f" WHEN {lc['fr']} = {g} THEN 'fr' WHEN {lc['es']} = {g} THEN 'es'"
+        f" ELSE 'unknown' END"
+    )
+
+
+_DATAPIPE_ORACLE = f"""
+    WITH RECURSIVE {corpus_cte()},
+    q AS (SELECT doc_id, text FROM corpus WHERE {_sql_quality("text")} >= 0.55),
+    shingles AS ({sql_shingles_cte("q")}),
+    mh AS (
+      SELECT doc_id, seed, MIN(md5(CAST(seed AS VARCHAR) || '#' || shingle)) AS minhash
+      FROM shingles, (SELECT unnest(range(0, 12)) AS seed)
+      GROUP BY doc_id, seed
+    ),
+    sigs AS (
+      SELECT doc_id, seed // 3 AS band,
+             string_agg(minhash, '|' ORDER BY seed) AS band_sig
+      FROM mh GROUP BY doc_id, seed // 3
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM sigs a JOIN sigs b ON a.band = b.band AND a.band_sig = b.band_sig
+      WHERE a.doc_id < b.doc_id
+    ),
+    edges AS (
+      SELECT doc_a AS a, doc_b AS b FROM cand
+      UNION
+      SELECT doc_b AS a, doc_a AS b FROM cand
+    ),
+    r(node, lab) AS (
+      SELECT a, a FROM edges
+      UNION
+      SELECT e.b, r.lab FROM r JOIN edges e ON e.a = r.node
+    ),
+    comp AS (SELECT node, MIN(lab) AS component FROM r GROUP BY node),
+    dedup AS (
+      SELECT doc_id, text FROM q
+      WHERE doc_id NOT IN (SELECT node FROM comp WHERE node <> component)
+    ),
+    bench AS (SELECT doc_id, text FROM documents WHERE doc_id % 19 = 0),
+    bsh AS (SELECT DISTINCT shingle FROM ({sql_shingles_cte("bench")})),
+    tsh AS ({sql_shingles_cte("dedup")}),
+    sizes AS (SELECT doc_id, COUNT(*) AS n_shingles FROM tsh GROUP BY doc_id),
+    overlap AS (
+      SELECT doc_id, COUNT(*) AS n_overlap FROM tsh JOIN bsh USING (shingle)
+      GROUP BY doc_id
+    ),
+    contaminated AS (
+      SELECT s.doc_id FROM sizes s LEFT JOIN overlap o USING (doc_id)
+      WHERE COALESCE(o.n_overlap, 0) / s.n_shingles >= 0.5
+    ),
+    clean AS (
+      SELECT doc_id, text FROM dedup
+      WHERE doc_id NOT IN (SELECT doc_id FROM contaminated)
+    )
+    SELECT
+      CASE WHEN {_SPLIT_BUCKET} < 90 THEN 'train'
+           WHEN {_SPLIT_BUCKET} < 95 THEN 'val'
+           ELSE 'test' END AS split,
+      {_sql_lang("text")} AS lang,
+      COUNT(*) AS n_docs,
+      CAST(SUM(len(str_split_regex(trim(text), '\\s+'))) AS BIGINT) AS n_tokens,
+      CAST(SUM(length(text)) AS BIGINT) AS n_chars
+    FROM clean
+    GROUP BY 1, 2
+"""
+
+
+@query("datapipe_e2e", oracle=_DATAPIPE_ORACLE)
+def datapipe_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The training-data flagship: the WHOLE prep pipeline as one lazy
+    DAG, value-checked end-to-end against a complete DuckDB replication
+    (the datapipe twin of glamira_pipeline_e2e).
+
+    corpus (with injected near/exact dups)
+      -> quality gate (composite heuristic >= 0.55)
+      -> minhash-LSH candidate pairs -> connected components
+         -> drop every non-canonical cluster member
+      -> benchmark decontamination (broadcast eval shingles, >= 50%
+         overlap dropped)
+      -> deterministic 90/5/5 hash split
+      -> per (split, language) corpus stats.
+
+    Every stage is the production operator, not a reformulation:
+    lsh_candidate_pairs, connected_components (pointer-jump rounds),
+    contamination_stats, hash_split, predict_lang — chained exactly as
+    a real 100 TB prep run would chain them."""
+    c = corpus(spark, sf_dir).repartition(
+        spark.sparkContext.defaultParallelism, F.col("doc_id")
+    )
+    q = c.filter(_T.quality_score(F.col("text")) >= 0.55)
+    pairs = lsh_candidate_pairs(q, num_hashes=12, band_rows=3).persist()
+    comp = connected_components(pairs, "doc_a", "doc_b")
+    dupes = comp.filter(F.col("node") != F.col("component")).select(
+        F.col("node").alias("doc_id")
+    )
+    dedup = q.join(dupes, "doc_id", "left_anti")
+    bench = table(spark, sf_dir, "documents").filter(F.col("doc_id") % 19 == 0).select(
+        "doc_id", "text"
+    )
+    stats = contamination_stats(dedup, bench, n=3, threshold=0.5)
+    contaminated = stats.filter(F.col("is_contaminated")).select("doc_id")
+    clean = dedup.join(contaminated, "doc_id", "left_anti")
+    split = hash_split(clean, F.col("doc_id"), _SPLITS, salt="split-v1")
+    t = F.col("text")
+    return split.groupBy(
+        "split", _T.predict_lang(t).alias("lang")
+    ).agg(
+        F.count("*").alias("n_docs"),
+        F.sum(_T.n_ws_tokens(t)).alias("n_tokens"),
+        F.sum(F.length(t)).alias("n_chars"),
+    )

@@ -50,6 +50,8 @@ def test_priority_order_covers_gate_window():
     # the gate window (see VERDICT.md round 2, finding #1).
     for required in (
         "glamira_pipeline_e2e",
+        "datapipe_e2e",
+        "multimodal_image_meta",
         "w2_canonical_per_group",
         "w3_scd2_history",
         "o4_topk_composite_order",
