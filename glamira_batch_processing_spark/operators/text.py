@@ -120,3 +120,26 @@ def sql_fingerprint(col: str) -> str:
         f"md5(trim(regexp_replace(regexp_replace(lower({col}), '[^a-z0-9 ]', '', 'g'),"
         f" '\\s+', ' ', 'g')))"
     )
+
+
+def word_ngrams(text: Column, n: int = 2) -> Column:
+    """Array of word n-grams of the lowercased text (empty if < n words)."""
+    w = words(text)
+    idx = F.sequence(F.lit(0), F.size(w) - n)
+    gram = lambda i: F.concat_ws(" ", *[F.element_at(w, i + k + 1) for k in range(n)])
+    return F.when(F.size(w) >= n, F.transform(idx, gram)).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
+def sql_word_ngrams(col: str, n: int = 2) -> str:
+    """DuckDB twin of :func:`word_ngrams` (1-based list indexing; the
+    word split is inlined because lambda bodies can't reference outer
+    SELECT aliases)."""
+    w = sql_words(col)
+    parts = " || ' ' || ".join(f"({w})[i+{k}]" for k in range(n))
+    return (
+        f"(CASE WHEN len({w}) >= {n} THEN "
+        f"list_transform(range(1, len({w}) - {n - 2}),"
+        f" i -> {parts}) ELSE [] END)"
+    )

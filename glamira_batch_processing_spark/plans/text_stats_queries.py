@@ -109,3 +109,41 @@ def heavy_hitters_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     return counts.withColumn("rnk", F.row_number().over(w)).filter(
         F.col("rnk") <= 10
     )
+
+
+from ..operators.text import sql_word_ngrams, word_ngrams  # noqa: E402
+
+
+@query(
+    "text_repetition_stats",
+    oracle=f"""
+    WITH g AS (
+      SELECT doc_id, unnest({sql_word_ngrams("text", 2)}) AS gram FROM documents
+    ),
+    c AS (SELECT doc_id, gram, COUNT(*) AS cnt FROM g GROUP BY doc_id, gram)
+    SELECT doc_id,
+      CAST(SUM(cnt) AS BIGINT) AS n_grams,
+      CAST(COUNT(*) AS BIGINT) AS n_distinct_grams,
+      CAST(MAX(cnt) AS BIGINT) AS top_gram_n,
+      1.0 - COUNT(*) / SUM(cnt) AS dup_fraction,
+      MAX(cnt) / SUM(cnt) AS top_fraction
+    FROM c GROUP BY doc_id
+    """,
+)
+def text_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repetition quality signals (the published Gopher-rule family):
+    per-document duplicate-2-gram fraction and most-frequent-2-gram
+    share. High values flag boilerplate/spam for corpus filtering.
+    Shape: 2-gram explode -> (doc, gram) count with map-side combine ->
+    per-doc rollup; single-word docs have no 2-grams and drop out, like
+    the oracle."""
+    d = table(spark, sf_dir, "documents")
+    g = d.select("doc_id", F.explode(word_ngrams(F.col("text"), 2)).alias("gram"))
+    c = g.groupBy("doc_id", "gram").agg(F.count("*").alias("cnt"))
+    return c.groupBy("doc_id").agg(
+        F.sum("cnt").alias("n_grams"),
+        F.count("*").alias("n_distinct_grams"),
+        F.max("cnt").alias("top_gram_n"),
+        (F.lit(1.0) - F.count("*") / F.sum("cnt")).alias("dup_fraction"),
+        (F.max("cnt") / F.sum("cnt")).alias("top_fraction"),
+    )

@@ -138,6 +138,33 @@ def sql_zorder_key(table: str, cols: list[str], bits: int = 16) -> str:
     return " + ".join(terms)
 
 
+def write_training_shards(
+    df: DataFrame,
+    path: str,
+    n_shards: int = 128,
+    id_col: str = "doc_id",
+    mode: str = "overwrite",
+) -> None:
+    """Deterministic training-shard layout: shard = xxhash64(id) mod n,
+    one parquet file per shard, rows in a fixed order within the shard.
+
+    This is the delivery format a trainer consumes: shard membership is
+    a pure function of the id (stable under corpus growth and across
+    rewrites — no RNG, no row-order dependence), shards are
+    size-balanced by the hash, and the per-shard file is byte-stable so
+    downstream caching/resume can trust it. Reading one shard prunes
+    via the partition column."""
+    shard = F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_shards)).cast("int")
+    (
+        df.withColumn("shard", shard)
+        .repartition(n_shards, F.col("shard"))
+        .sortWithinPartitions("shard", id_col)
+        .write.mode(mode)
+        .partitionBy("shard")
+        .parquet(path)
+    )
+
+
 def write_csv(df: DataFrame, path: str, mode: str = "overwrite") -> None:
     """Header-once CSV sink (S8). Task-level atomicity replaces the
     reference's append+fsync crash-safety."""
