@@ -62,27 +62,31 @@ def connected_components(
         .withColumn("component", F.col("node"))
         .localCheckpoint()
     )
-    for _ in range(max_iter):
+    for round_no in range(max_iter):
         # neighbor labels: for each edge a->b, b's current label offered to a
         offers = bidir.join(
             labels.withColumnRenamed("node", "b"), "b"
         ).select(F.col("a").alias("node"), "component")
-        # pointer-jump: each node also considers its label's label.
-        # Invariant: component(v) is always a node id inside v's
-        # component with component(v) <= v, so the jump target exists
-        # and the min stays inside the component. This is what makes
-        # convergence O(log diameter) instead of O(diameter).
-        jumps = labels.alias("l").join(
-            labels.select(
-                F.col("node").alias("component"),
-                F.col("component").alias("grand"),
-            ),
-            "component",
-        ).select("node", F.col("grand").alias("component"))
+        candidates = labels.unionByName(offers)
+        if round_no > 0:
+            # pointer-jump: each node also considers its label's label.
+            # Invariant: component(v) is always a node id inside v's
+            # component with component(v) <= v, so the jump target
+            # exists and the min stays inside the component. This makes
+            # convergence O(log diameter) instead of O(diameter). In
+            # round 0 labels are the identity map, so the jump would be
+            # a no-op join — skipped; dedup-shaped near-cliques that
+            # close in 2 rounds never pay for it.
+            jumps = labels.join(
+                labels.select(
+                    F.col("node").alias("component"),
+                    F.col("component").alias("grand"),
+                ),
+                "component",
+            ).select("node", F.col("grand").alias("component"))
+            candidates = candidates.unionByName(jumps)
         new_labels = (
-            labels.unionByName(offers)
-            .unionByName(jumps)
-            .groupBy("node")
+            candidates.groupBy("node")
             .agg(F.min("component").alias("component"))
             .localCheckpoint()  # eager: materialized once, lineage cut
         )

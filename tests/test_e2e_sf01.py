@@ -18,15 +18,16 @@ from tests.oracle_diff import run_query_pair
 
 
 @pytest.mark.slow
-def test_pipeline_e2e_matches_oracle_at_bench_scale(spark, duck_bench):
+@pytest.mark.parametrize("flagship", ["glamira_pipeline_e2e", "datapipe_e2e"])
+def test_flagships_match_oracle_at_bench_scale(spark, duck_bench, flagship):
     qs = contract.queries()
     oracles = contract.oracle_sql()
     problems = run_query_pair(
         spark,
         duck_bench,
-        qs["glamira_pipeline_e2e"],
-        oracles["glamira_pipeline_e2e"],
+        qs[flagship],
+        oracles[flagship],
         SF_BENCH,
-        "glamira_pipeline_e2e@sf0.1",
+        f"{flagship}@sf0.1",
     )
     assert not problems, "\n".join(problems)
