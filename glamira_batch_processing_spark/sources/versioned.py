@@ -69,10 +69,17 @@ class VersionedTable:
     def manifest(self, version: int) -> dict:
         return json.loads(self._manifest_path(version).read_text())
 
-    def _commit(self, version: int, data_dir: Path, operation: str) -> None:
+    def _commit(
+        self,
+        version: int,
+        data_dir: Path,
+        operation: str,
+        txn_id: str | None = None,
+    ) -> None:
         """Make ``version`` visible. Atomic: the manifest file either
         exists completely or not at all; O_EXCL create serializes
-        racing writers."""
+        racing writers. ``txn_id`` is an optional idempotence token
+        recorded in the manifest (see :meth:`merge`)."""
         mdir = self.path / _MANIFEST_DIR
         mdir.mkdir(parents=True, exist_ok=True)
         body = json.dumps(
@@ -80,6 +87,7 @@ class VersionedTable:
                 "version": version,
                 "data_dir": str(data_dir.relative_to(self.path)),
                 "operation": operation,
+                "txn_id": txn_id,
                 "committed_at_unix": time.time(),
             }
         )
@@ -94,13 +102,19 @@ class VersionedTable:
 
     # -- data plane -------------------------------------------------------
 
-    def _write_version(self, df: DataFrame, version: int, operation: str) -> int:
+    def _write_version(
+        self,
+        df: DataFrame,
+        version: int,
+        operation: str,
+        txn_id: str | None = None,
+    ) -> int:
         # Unique dir per ATTEMPT: racing writers for the same version
         # never collide on the data path — only the manifest O_EXCL
         # race decides, and the loser removes its own orphan.
         data_dir = self.path / _DATA_DIR / f"v{version:05d}-{uuid.uuid4().hex[:8]}"
         df.write.mode("errorifexists").parquet(str(data_dir))
-        self._commit(version, data_dir, operation)
+        self._commit(version, data_dir, operation, txn_id=txn_id)
         return version
 
     def create(self, df: DataFrame) -> int:
@@ -132,12 +146,27 @@ class VersionedTable:
         source: DataFrame,
         keys: list[str],
         order_by: list[Column] | None = None,
+        txn_id: str | None = None,
     ) -> int:
         """Transactional MERGE: source rows win on key collision
         (WHEN MATCHED UPDATE / WHEN NOT MATCHED INSERT), committed as a
         new version atomically. Raises VersionConflictError if another
-        writer commits first — re-call to retry on the fresh snapshot."""
+        writer commits first — re-call to retry on the fresh snapshot.
+
+        ``txn_id`` makes the merge EXACTLY-ONCE under replay: if the
+        latest committed version already carries this token, the merge
+        is a no-op returning that version. Sufficient for the streaming
+        foreachBatch contract, where a crash-replayed batch is always
+        the last attempted commit; generic at-most-once across
+        arbitrary histories would need a token index instead.
+        """
         base_version = self.latest_version()
+        if (
+            txn_id is not None
+            and base_version is not None
+            and self.manifest(base_version).get("txn_id") == txn_id
+        ):
+            return base_version
         if base_version is None:
             # first commit: still dedupe the source by key priority
             target = source.filter("1 = 0")
@@ -146,7 +175,7 @@ class VersionedTable:
             target = self.read(spark, base_version)
             next_version, op = base_version + 1, f"merge:{','.join(keys)}"
         merged = merge_upsert(target, source, keys, order_by=order_by)
-        return self._write_version(merged, next_version, op)
+        return self._write_version(merged, next_version, op, txn_id=txn_id)
 
     def diff(
         self,

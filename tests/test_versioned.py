@@ -101,6 +101,23 @@ def test_compact_reduces_files_atomically(spark, tmp_path):
     assert t.manifest(v)["operation"] == "compact:2"
 
 
+def test_merge_txn_id_replay_is_exactly_once(spark, tmp_path):
+    """A replayed merge carrying the same txn token must be a no-op:
+    same version returned, no new version created, contents unchanged."""
+    t = VersionedTable(tmp_path / "tbl")
+    t.create(spark.createDataFrame([(1, "a")], "k long, v string"))
+    upd = spark.createDataFrame([(1, "A"), (2, "b")], "k long, v string")
+    v1 = t.merge(spark, upd, keys=["k"], txn_id="batch:7")
+    v_replay = t.merge(spark, upd, keys=["k"], txn_id="batch:7")
+    assert v_replay == v1
+    assert t.versions() == [0, 1]
+    assert _rows(t.read(spark)) == {(1, "A"), (2, "b")}
+    assert t.manifest(1)["txn_id"] == "batch:7"
+    # a NEW token proceeds normally
+    v2 = t.merge(spark, upd, keys=["k"], txn_id="batch:8")
+    assert v2 == 2
+
+
 def test_vacuum_keeps_latest(spark, tmp_path):
     t = VersionedTable(tmp_path / "tbl")
     t.create(spark.createDataFrame([(1, "a")], "k long, v string"))
