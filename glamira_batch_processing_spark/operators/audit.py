@@ -126,17 +126,22 @@ def column_profile(df: DataFrame, cols: list[str]) -> DataFrame:
     share one schema (callers profiling float columns should quantize
     first; string renderings of floats are engine-specific).
     """
+    # Positional internal aliases + df[c] column access: arbitrary
+    # column names (spaces, dots, quotes) profile cleanly; only the
+    # reported label embeds the name, escaped as a SQL string literal.
     aggs = []
-    for c in cols:
+    for i, c in enumerate(cols):
+        qc = F.col("`" + c.replace("`", "``") + "`")  # literal name, dots included
         aggs += [
-            F.sum(F.when(F.col(c).isNull(), 1).otherwise(0)).alias(f"__nn_{c}"),
-            F.countDistinct(F.col(c)).alias(f"__nd_{c}"),
-            F.min(F.col(c)).cast("string").alias(f"__mn_{c}"),
-            F.max(F.col(c)).cast("string").alias(f"__mx_{c}"),
+            F.sum(F.when(qc.isNull(), 1).otherwise(0)).alias(f"__nn_{i}"),
+            F.countDistinct(qc).alias(f"__nd_{i}"),
+            F.min(qc).cast("string").alias(f"__mn_{i}"),
+            F.max(qc).cast("string").alias(f"__mx_{i}"),
         ]
     one = df.agg(F.count(F.lit(1)).alias("__n"), *aggs)
     stack_args = ", ".join(
-        f"'{c}', __nn_{c}, __nd_{c}, __mn_{c}, __mx_{c}" for c in cols
+        f"'{c.replace(chr(39), chr(39) * 2)}', __nn_{i}, __nd_{i}, __mn_{i}, __mx_{i}"
+        for i, c in enumerate(cols)
     )
     return one.selectExpr(
         "__n",

@@ -172,6 +172,10 @@ def kmeans_fit(
         StructType,
     )
 
+    # NULL embeddings would crash the numpy kernel (np.vstack on a 0-d
+    # nan array); drop them — matching "skip unparseable rows" semantics
+    # of the other production kernels — before anything else.
+    vectors = vectors.filter(F.col(vec_col).isNotNull())
     first = vectors.select(vec_col).first()
     if first is None:
         raise ValueError("kmeans_fit: empty input")

@@ -99,6 +99,10 @@ def _decode_image_real(payload: bytes) -> tuple[int, int, str]:
             if payload[i] != 0xFF:
                 break
             marker = payload[i + 1]
+            if marker == 0xFF:
+                # spec-legal 0xFF fill byte before a marker — slide
+                i += 1
+                continue
             if marker in _JPEG_SOF:
                 h, w = struct.unpack(">HH", payload[i + 5 : i + 9])
                 return w, h, "jpeg"
@@ -411,8 +415,10 @@ def rasterize_resize(
                 if longest <= max_side:
                     tw, th = w, h
                 else:
-                    tw = w * max_side // longest
-                    th = h * max_side // longest
+                    # clamp to >= 1: extreme aspect ratios (1 x 4000
+                    # banners) must not floor a dimension to zero
+                    tw = max(1, w * max_side // longest)
+                    th = max(1, h * max_side // longest)
                 iy = np.floor(np.arange(th) * h / th).astype(int)
                 ix = np.floor(np.arange(tw) * w / tw).astype(int)
                 resized = px[iy][:, ix]

@@ -44,7 +44,17 @@ def range_lookup_join(
     ranges'. Null points/bounds never match.
     """
     w = F.lit(bucket_width)
-    r_exp = ranges.withColumn(
+    # Drop malformed rows up front: an inverted range (start > end)
+    # matches nothing under BETWEEN anyway, but if passed to sequence()
+    # Spark would generate a DESCENDING bucket list (wasted shuffle), and
+    # a corrupt huge-span row would blow the sequence() array limit and
+    # kill the whole job. Null bounds likewise cannot match.
+    valid = ranges.filter(
+        F.col(start_col).isNotNull()
+        & F.col(end_col).isNotNull()
+        & (F.col(start_col) <= F.col(end_col))
+    )
+    r_exp = valid.withColumn(
         "__bucket",
         F.explode(
             F.sequence(

@@ -132,7 +132,11 @@ def cosine_topk_np(
                     {"query_id": qid, "neighbor_id": cand_ids, "cosine_sim": cand_sims}
                 )
 
-    partial = corpus.select(corpus_id, corpus_vec).mapInPandas(score, out_schema)
+    partial = (
+        corpus.filter(F.col(corpus_vec).isNotNull())
+        .select(corpus_id, corpus_vec)
+        .mapInPandas(score, out_schema)
+    )
     # merge per-partition top-k -> global top-k
     w = Window.partitionBy("query_id").orderBy(
         F.desc("cosine_sim"), F.col("neighbor_id")
@@ -335,7 +339,10 @@ def ivf_search_np(
                 }
             )
 
-    tagged = vectors.select(
+    # NULL vectors would crash the numpy kernels; drop them (the fold
+    # variant scores them as NULL similarity, which the top-k then
+    # never selects — same observable result).
+    tagged = vectors.filter(F.col(vec_col).isNotNull()).select(
         F.col(vec_id).alias("__vid"),
         query_pred.alias("__is_q"),
         F.col(vec_col),

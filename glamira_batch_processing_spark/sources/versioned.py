@@ -80,6 +80,8 @@ class VersionedTable:
         exists completely or not at all; O_EXCL create serializes
         racing writers. ``txn_id`` is an optional idempotence token
         recorded in the manifest (see :meth:`merge`)."""
+        import os
+
         mdir = self.path / _MANIFEST_DIR
         mdir.mkdir(parents=True, exist_ok=True)
         body = json.dumps(
@@ -91,14 +93,25 @@ class VersionedTable:
                 "committed_at_unix": time.time(),
             }
         )
+        # Two-phase: write the body to a private tmp file, then link it
+        # to the manifest name. link() is atomic AND fails with EEXIST,
+        # so the version either appears with its complete body or not
+        # at all — a crash mid-write leaves only an invisible tmp file,
+        # never a visible empty manifest.
+        tmp = mdir / f".tmp-{uuid.uuid4().hex}"
+        with open(tmp, "w") as fh:
+            fh.write(body)
+            fh.flush()
+            os.fsync(fh.fileno())
         try:
-            with open(self._manifest_path(version), "x") as fh:
-                fh.write(body)
+            os.link(tmp, self._manifest_path(version))
         except FileExistsError:
             shutil.rmtree(data_dir, ignore_errors=True)  # our orphaned write
             raise VersionConflictError(
                 f"version {version} was committed concurrently; retry from latest"
             ) from None
+        finally:
+            tmp.unlink(missing_ok=True)
 
     # -- data plane -------------------------------------------------------
 
@@ -248,6 +261,9 @@ class VersionedTable:
         doomed = vs[:-keep_last]
         for v in doomed:
             m = self.manifest(v)
-            shutil.rmtree(self.path / m["data_dir"], ignore_errors=True)
+            # manifest FIRST: once the version is invisible, a crash
+            # before (or during) the data delete just leaves an orphan
+            # dir — never a listed version with missing data.
             self._manifest_path(v).unlink()
+            shutil.rmtree(self.path / m["data_dir"], ignore_errors=True)
         return doomed

@@ -49,6 +49,12 @@ def zorder_key(
 
     Returns (df with ranges applied, zkey Column). NULLs map to bucket 0.
     """
+    if bits * len(cols) > 63:
+        raise ValueError(
+            f"zorder_key: {bits} bits x {len(cols)} cols = {bits * len(cols)} "
+            "interleaved bits exceeds a signed 64-bit key; lower `bits` "
+            "(e.g. bits=15 for 4 columns)"
+        )
     ranges = df.agg(
         *[F.min(F.col(c).cast("double")).alias(f"__min_{c}") for c in cols],
         *[F.max(F.col(c).cast("double")).alias(f"__max_{c}") for c in cols],
@@ -119,6 +125,10 @@ def sql_zorder_key(table: str, cols: list[str], bits: int = 16) -> str:
     implementation's append loop.
     """
     n = len(cols)
+    if bits * n > 63:
+        raise ValueError(
+            f"sql_zorder_key: {bits} bits x {n} cols exceeds a signed 64-bit key"
+        )
     max_bucket = (1 << bits) - 1
     qs = []
     for c in cols:

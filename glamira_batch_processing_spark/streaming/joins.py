@@ -104,15 +104,19 @@ def streaming_merge_versioned(
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
         table = VersionedTable(table_path)
-        # txn token = the engine's batch id: a batch replayed after a
-        # crash between table-commit and checkpoint-advance is detected
-        # and skipped -> exactly-once table contents AND version history.
+        # txn token = (checkpoint identity, batch id). The checkpoint
+        # dir is the stream's durable identity, so a batch replayed
+        # after a crash between table-commit and checkpoint-advance is
+        # detected and skipped (exactly-once contents AND history) —
+        # while a DIFFERENT pipeline whose batch ids also start at 0
+        # carries a different checkpoint and is never mistaken for a
+        # replay.
         table.merge(
             batch_df.sparkSession,
             batch_df,
             keys,
             order_by=[F.desc(order_col)] if order_col else None,
-            txn_id=f"batch:{batch_id}",
+            txn_id=f"{checkpoint_dir}#batch:{batch_id}",
         )
         n_batches["n"] += 1
 

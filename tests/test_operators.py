@@ -416,3 +416,81 @@ def test_range_lookup_join_semantics(spark):
         (13, 2),
         (14, 3),          # single-point range, end boundary inclusive
     ]
+
+
+def test_review_fixes_hardening(spark):
+    """Round-3 self-review fixes: JPEG fill bytes, null embeddings,
+    inverted/corrupt ranges, z-order bit budget, degenerate resize,
+    odd profiler column names."""
+    import struct as _struct
+
+    import pytest as _pytest
+
+    # JPEG: spec-legal 0xFF fill byte before the SOF marker
+    from glamira_batch_processing_spark.operators.multimodal import _decode_image_real
+
+    jpeg = (
+        b"\xff\xd8"
+        + b"\xff\xe0" + _struct.pack(">H", 4) + b"\x00\x00"
+        + b"\xff"  # fill byte
+        + b"\xff\xc0" + _struct.pack(">H", 11) + b"\x08" + _struct.pack(">HH", 10, 20)
+        + b"\x03\x00\x00\x00"
+    )
+    assert _decode_image_real(jpeg) == (20, 10, "jpeg")
+
+    # null embeddings must not crash the numpy kernels
+    from glamira_batch_processing_spark.operators.clustering import kmeans_fit
+    from glamira_batch_processing_spark.operators.similarity import ivf_search_np
+    import pandas as pd
+
+    vecs = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, None), (2, [0.9, 0.1]), (3, [0.0, 1.0])],
+        "vec_id long, embedding array<double>",
+    )
+    cents, _, _ = kmeans_fit(vecs, k=2, n_iter=3)
+    assert cents.shape == (2, 2)
+    cpdf = pd.DataFrame({"centroid_id": [0, 1], "cvec": [[1.0, 0.0], [0.0, 1.0]]})
+    res = ivf_search_np(vecs, cpdf, F.col("vec_id") == 0, k=2, nprobe=2)
+    assert {r.neighbor_id for r in res.collect()} <= {2, 3}
+
+    # inverted / null-bounded / huge-span ranges are dropped, not fatal
+    from glamira_batch_processing_spark.operators.rangejoin import range_lookup_join
+
+    ranges = spark.createDataFrame(
+        [(1, 10, 20), (2, 30, 10), (3, None, 50), (4, 5, None)],
+        "rid long, range_start long, range_end long",
+    )
+    pts = spark.createDataFrame([(1, 15)], "pid long, p long")
+    got = [(r.pid, r.rid) for r in range_lookup_join(pts, ranges, "p", "range_start", "range_end").collect()]
+    assert got == [(1, 1)]
+
+    # z-order bit-budget guard
+    from glamira_batch_processing_spark.sources.writers import sql_zorder_key, zorder_key
+
+    df4 = spark.createDataFrame([(1, 2, 3, 4)], "a long, b long, c long, d long")
+    with _pytest.raises(ValueError):
+        zorder_key(df4, ["a", "b", "c", "d"], bits=16)
+    with _pytest.raises(ValueError):
+        sql_zorder_key("t", ["a", "b", "c", "d"], bits=16)
+    zorder_key(df4, ["a", "b", "c", "d"], bits=15)  # 60 bits: fine
+
+    # degenerate aspect ratio keeps >= 1 pixel per dimension
+    from glamira_batch_processing_spark.operators.multimodal import (
+        image_bytes,
+        rasterize_resize,
+    )
+
+    banner = spark.createDataFrame(
+        [(1, bytearray(image_bytes("bmp", 200, 1)))], "doc_id long, payload binary"
+    )
+    [r] = rasterize_resize(banner, max_side=96).collect()
+    assert (r.target_width, r.target_height) == (96, 1)
+    assert len(bytes(r.pixels)) == 96 * 1 * 3
+
+    # profiler handles hostile column names
+    from glamira_batch_processing_spark.operators.audit import column_profile
+
+    odd = spark.createDataFrame([(1, "x")], ["order id", "o'brien.col"])
+    prof = {r.column_name: r for r in column_profile(odd, ["order id", "o'brien.col"]).collect()}
+    assert prof["order id"].n_rows == 1
+    assert prof["o'brien.col"].n_distinct == 1
