@@ -347,6 +347,13 @@ def ivf_search_np(
         query_pred.alias("__is_q"),
         F.col(vec_col),
     )
+    # Both the probe branch and the candidate branch consume this, so
+    # the assign kernel runs twice over the corpus. Measured: persisting
+    # here is a wash at bench scale (Arrow ser/de of the cached rows
+    # costs what the recompute costs) and corpus-sized caching is the
+    # wrong default at 100 TB; the production pattern for repeated
+    # query batches is materializing the assignment as a table once
+    # (ivf_assign + write) and probing it, not caching inside one job.
     placed = tagged.mapInPandas(assign, assign_schema)
     probes = placed.filter(F.col("__is_q")).select(
         F.col("__vid").alias("query_id"),
