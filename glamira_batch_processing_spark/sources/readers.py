@@ -171,3 +171,40 @@ def reconcile_read(
     for f in frames[1:]:
         out = out.unionByName(f)
     return out
+
+
+def read_json_quarantine(
+    spark: SparkSession,
+    path: str,
+    schema,
+    quarantine_path: str | None = None,
+) -> DataFrame:
+    """Lenient JSON-lines ingest: well-formed rows parse to ``schema``,
+    malformed lines are captured instead of poisoning the load.
+
+    The reference dodges malformed raw data by stringifying everything
+    (ETL/export_to_gcs.py:179-188); the Spark-native equivalent is
+    PERMISSIVE mode with a ``_corrupt_record`` column. Rows that failed
+    to parse are written to ``quarantine_path`` (raw line + nothing
+    else) for replay/inspection, and the returned DataFrame contains
+    only the clean rows without the bookkeeping column — one pass, no
+    job failure on a single bad line.
+    """
+    from pyspark.sql.types import StringType, StructType
+
+    full = StructType(list(schema.fields)).add("_corrupt_record", StringType())
+    df = (
+        spark.read.schema(full)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .json(path)
+    )
+    # Spark requires caching/materializing before referencing the
+    # corrupt-record column in a filter (it is populated at parse time).
+    df = df.cache()
+    corrupt = df.filter(F.col("_corrupt_record").isNotNull()).select(
+        "_corrupt_record"
+    )
+    if quarantine_path is not None:
+        corrupt.write.mode("overwrite").text(quarantine_path)
+    return df.filter(F.col("_corrupt_record").isNull()).drop("_corrupt_record")

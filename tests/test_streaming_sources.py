@@ -262,3 +262,26 @@ def test_csv_and_manifest_writers(spark, tmp_path):
     with open(mpath) as fh:
         m = json.load(fh)
     assert m["rows"] == 2 and m["source"] == "test"
+
+
+def test_read_json_quarantine(spark, tmp_path):
+    """PERMISSIVE JSON ingest: clean rows parse, malformed lines land in
+    the quarantine file verbatim, and one bad line never fails the job."""
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    from glamira_batch_processing_spark.sources.readers import read_json_quarantine
+
+    src = tmp_path / "in.jsonl"
+    src.write_text(
+        '{"id": 1, "name": "ok"}\n'
+        "{broken json!!\n"
+        '{"id": 2, "name": "also ok"}\n'
+        '["not an object"]\n'
+    )
+    schema = StructType([StructField("id", LongType()), StructField("name", StringType())])
+    qdir = str(tmp_path / "quarantine")
+    clean = read_json_quarantine(spark, str(src), schema, quarantine_path=qdir)
+    assert {(r.id, r.name) for r in clean.collect()} == {(1, "ok"), (2, "also ok")}
+    assert clean.columns == ["id", "name"]
+    bad = {r.value for r in spark.read.text(qdir).collect()}
+    assert bad == {"{broken json!!", '["not an object"]'}
