@@ -18,6 +18,7 @@ from .dedup import (
 )
 from .clustering import kmeans_fit, lloyd_step_quantized, seed_centroids
 from .incremental import merge_upsert
+from .rangejoin import range_lookup_join
 from .similarity import (
     cosine,
     cosine_topk,
@@ -45,6 +46,7 @@ __all__ = [
     "ngram_jaccard_pairs",
     "simhash_bits",
     "merge_upsert",
+    "range_lookup_join",
     "kmeans_fit",
     "lloyd_step_quantized",
     "seed_centroids",

@@ -7,6 +7,7 @@ from .writers import (
     write_csv,
     write_manifest,
     write_partitioned,
+    write_training_shards,
     write_zordered,
     zorder_key,
 )
@@ -18,6 +19,7 @@ __all__ = [
     "write_csv",
     "write_manifest",
     "write_partitioned",
+    "write_training_shards",
     "write_zordered",
     "zorder_key",
 ]
