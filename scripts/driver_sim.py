@@ -1,9 +1,10 @@
 """Simulate the external driver's correctness gate.
 
-Usage: python scripts/driver_sim.py [sf_dir]
+Usage: python scripts/driver_sim.py [sf_dir] [--only name1,name2,...]
 Runs entry() smoke + every queries() entry vs its oracle_sql() via
 DuckDB, order-insensitive full-precision comparison. Exit 1 on any
-mismatch.
+mismatch. --only restricts to a comma-separated subset (skips the
+entry smoke) for fast iteration on specific queries.
 """
 
 from __future__ import annotations
@@ -35,7 +36,13 @@ def norm(v) -> str:
 
 
 def main() -> int:
-    sf = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    argv = sys.argv[1:]
+    only: set[str] | None = None
+    if "--only" in argv:
+        i = argv.index("--only")
+        only = set(argv[i + 1].split(","))
+        argv = argv[:i] + argv[i + 2 :]
+    sf = argv[0] if argv else "/root/testdata/sf0.01"
     from pyspark.sql import SparkSession
 
     spark = (
@@ -45,11 +52,16 @@ def main() -> int:
         .appName("driver-sim")
         .getOrCreate()
     )
-    rows = contract.entry(spark).collect()
-    print(f"ENTRY smoke: rows={len(rows)}")
-    assert len(rows) > 0
+    if only is None:
+        rows = contract.entry(spark).collect()
+        print(f"ENTRY smoke: rows={len(rows)}")
+        assert len(rows) > 0
 
     qs, osql = contract.queries(), contract.oracle_sql()
+    if only is not None:
+        unknown = only - set(qs)
+        assert not unknown, f"--only names not registered: {sorted(unknown)}"
+        qs = {n: f for n, f in qs.items() if n in only}
     con = duckdb.connect()
     for t in TABLES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf}/{t}.parquet'")

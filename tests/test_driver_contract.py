@@ -30,11 +30,69 @@ def test_every_query_has_callable():
         assert callable(fn), name
 
 
+# Every SURVEY.md §2 family + LLM-pipeline family, mapped to the query names
+# that can represent it in the driver's 50-slot gate window. Editing
+# _PRIORITY must keep >=1 representative of EVERY family in-window
+# (VERDICT.md r3 ask #7: make silent family drops impossible).
+GATE_FAMILIES: dict[str, tuple[str, ...]] = {
+    "flagship_warehouse": ("glamira_pipeline_e2e",),
+    "flagship_datapipe": ("datapipe_e2e",),
+    "pricing_agg": ("q1_pricing_summary",),
+    "projection": ("p1_typed_projection", "p5_drop_columns"),
+    "fake_null": ("p4_fake_null_cleaning",),
+    "snapshot_filter": ("p6_latest_snapshot_filter",),
+    "explode": ("j1_posexplode_outer",),
+    "dim_equi_join": ("j2_revenue_by_nation", "j5_product_enrichment", "j12_multikey_join"),
+    "agg_join_back": ("j6_agg_join_back",),
+    "semi_anti_orphan": ("j9_orphan_rate_audit", "j13_semi_anti_join"),
+    "merge_upsert": ("j11_incremental_merge",),
+    "count_distinct": ("a2_multiplicity_flag",),
+    "conditional_agg": ("a4_null_rate_audit",),
+    "group_max": ("a7_group_max_count", "a3_distinct_pairs"),
+    "grouping_sets": ("grouping_sets_priority_status", "rollup_revenue_by_region"),
+    "window_latest": ("w1_latest_order_per_customer", "w4_rank_dedupe_merge"),
+    "window_canonical": ("w2_canonical_per_group",),
+    "scd2": ("w3_scd2_history",),
+    "window_frames": ("w5_running_totals",),
+    "topk_order": ("o4_topk_composite_order",),
+    "union": ("u1_union_all",),
+    "string_normalize": ("f1_string_normalize",),
+    "localized_parse": ("f3_parse_localized_prices",),
+    "currency": ("f4_currency_resolution",),
+    "surrogate_keys": ("f5_surrogate_key_inputs", "f5_surrogate_key_consistency"),
+    "date_dim": ("f6_date_dimension",),
+    "time_arithmetic": ("f6_time_arithmetic",),
+    "json_extract": ("f8_json_extract",),
+    "dedup_exact": ("dedup_exact",),
+    "dedup_near": ("dedup_minhash_lsh", "dedup_simhash", "dedup_ngram_jaccard"),
+    "dedup_components": ("dedup_cluster_components",),
+    "ann": ("ann_ivf_bucketed", "ann_cosine_topk", "ann_lsh_hyperplane"),
+    "clustering": ("kmeans_lloyd_step",),
+    "langid": ("text_langid",),
+    "text_quality": ("text_repetition_stats", "text_quality_score"),
+    "multimodal_image": ("multimodal_image_meta", "multimodal_decode_meta"),
+    "multimodal_audio": ("multimodal_audio_meta",),
+    "asof": ("asof_join_last_purchase",),
+    "split": ("split_train_val_test",),
+    "sampling": ("sample_stratified_lang", "sample_exact_k"),
+    "pii": ("pii_redact",),
+    "chunk_pack": ("chunk_token_windows", "pack_sequences"),
+    "decontaminate": ("decontaminate_benchmark_overlap",),
+    "heavy_hitters": ("heavy_hitters_by_lang",),
+    "sketch": ("sketch_kmv_distinct",),
+    "column_profile": ("stats_column_profile",),
+    "histogram": ("stats_histogram", "stats_percentiles"),
+    "zorder": ("zorder_key_orders",),
+    "range_join": ("range_lookup_ip_geo",),
+}
+
+
 def test_priority_order_covers_gate_window():
     """The driver's CORRECTNESS gate samples the first 50 queries() entries.
 
     Guard the curated order: exactly 50 priority names, all registered, all
-    oracle-checked, emitted first; every registered query still present.
+    oracle-checked, emitted first; every registered query still present; and
+    every GATE_FAMILIES family keeps >=1 representative inside the window.
     """
     names = list(QUERIES)
     prio = contract._PRIORITY
@@ -46,27 +104,30 @@ def test_priority_order_covers_gate_window():
     from glamira_batch_processing_spark.plans.registry import QUERIES as REG
 
     assert set(names) == set(REG)
-    # Flagship + every never-previously-rowed operator family must be inside
-    # the gate window (see VERDICT.md round 2, finding #1).
+    for rep in GATE_FAMILIES.values():
+        for n in rep:
+            assert n in REG, f"GATE_FAMILIES names unregistered query: {n}"
+    uncovered = {
+        fam: reps
+        for fam, reps in GATE_FAMILIES.items()
+        if not set(reps) & set(prio)
+    }
+    assert not uncovered, f"families with no gate-window representative: {uncovered}"
+    # Round-4 rotation: the 11 queries that had never had a driver row
+    # (VERDICT.md r3 ask #1) must stay in-window until they hold a green
+    # CORRECTNESS_r04 row.
     for required in (
-        "glamira_pipeline_e2e",
-        "datapipe_e2e",
-        "multimodal_image_meta",
-        "w2_canonical_per_group",
-        "w3_scd2_history",
-        "o4_topk_composite_order",
-        "j11_incremental_merge",
-        "f1_string_normalize",
-        "f4_currency_resolution",
-        "f5_surrogate_key_inputs",
-        "f6_date_dimension",
-        "f8_json_extract",
-        "dedup_cluster_components",
-        "decontaminate_benchmark_overlap",
-        "heavy_hitters_by_lang",
-        "asof_join_last_purchase",
-        "sample_stratified_lang",
-        "sketch_kmv_distinct",
+        "stats_column_profile",
+        "stats_histogram",
+        "kmeans_lloyd_step",
+        "multimodal_audio_meta",
+        "zorder_key_orders",
+        "range_lookup_ip_geo",
+        "sample_exact_k",
+        "text_repetition_stats",
+        "w5_running_totals",
+        "grouping_sets_priority_status",
+        "f6_time_arithmetic",
     ):
         assert required in prio, required
 
