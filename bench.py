@@ -39,6 +39,7 @@ HEADLINE = [
     "asof_join_last_purchase",
     "dedup_exact",
     "dedup_minhash_lsh",
+    "dedup_minhash_lsh_fast",
     "dedup_cluster_components",
     "ann_cosine_topk_np",
     "ann_ivf_bucketed",

@@ -12,7 +12,9 @@ from .dedup import (
     doc_shingles,
     exact_dedup_stats,
     lsh_candidate_pairs,
+    lsh_candidate_pairs_fast,
     minhash_signatures,
+    minhash_signatures_fast,
     ngram_jaccard_pairs,
     simhash_bits,
 )
@@ -42,6 +44,8 @@ __all__ = [
     "doc_shingles",
     "exact_dedup_stats",
     "lsh_candidate_pairs",
+    "lsh_candidate_pairs_fast",
+    "minhash_signatures_fast",
     "minhash_signatures",
     "ngram_jaccard_pairs",
     "simhash_bits",

@@ -173,6 +173,95 @@ def lsh_candidate_pairs(
     )
 
 
+def doc_shingle_words(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+) -> DataFrame:
+    """(id, w0..w{n-1}) rows — one row per n-gram, words kept as
+    separate columns so consumers can hash the tuple directly without
+    ever materializing the concatenated shingle string (measured ~2x
+    on the LSH fast path: the concat_ws dominated once hashing became
+    cheap)."""
+    w = F.split(F.lower(F.col(text_col)), " ")
+    sz = F.greatest(F.size(w) - (n - 1), F.lit(0))
+    z = F.arrays_zip(*[F.slice(w, k + 1, sz) for k in range(n)])
+    return df.select(id_col, F.explode(z).alias("g")).select(
+        id_col, *[F.col(f"g.{k}").alias(f"w{k}") for k in range(n)]
+    )
+
+
+def minhash_signatures_fast(
+    shingled_words: DataFrame,
+    id_col: str = "doc_id",
+    num_hashes: int = 12,
+    n: int = 3,
+) -> DataFrame:
+    """Production minhash: one row per doc, columns mh0..mh{k-1} as
+    minhash_j = min over shingles of xxhash64(j, w0..w{n-1}) — longs.
+
+    The 100 TB path (VERDICT.md r3 ask #2): xxhash64 stays entirely in
+    JVM codegen on the raw word columns (no shingle string is ever
+    built), vs md5's 32-char hex strings + UTF-8 lexicographic minima.
+    Same wide-aggregation shape as minhash_signatures (ONE shuffle, k
+    min() map-side partials); only the hash family differs, so banding
+    math (1-(1-s^r)^b) is unchanged. A 2-hash Kirsch-Mitzenmacher
+    combiner measured SLOWER than k direct xxhash64 calls here (the
+    xor/rotate expression tree beats codegen'd xxhash64 only for much
+    larger k). Not engine-portable — minhash_signatures is the oracle
+    twin."""
+    words = [f"w{k}" for k in range(n)]
+    aggs = [
+        F.min(F.xxhash64(F.lit(j), *words)).alias(f"mh{j}")
+        for j in range(num_hashes)
+    ]
+    return shingled_words.groupBy(id_col).agg(*aggs)
+
+
+def lsh_candidate_pairs_fast(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    num_hashes: int = 12,
+    band_rows: int = 3,
+) -> DataFrame:
+    """Distinct candidate pairs (doc_a < doc_b) sharing >=1 LSH band —
+    xxhash64 production variant of lsh_candidate_pairs.
+
+    Same pipeline shape (shingle explode -> ONE wide-agg shuffle ->
+    band stack -> bucket self-join), but every hot value is a long:
+    no shingle string is ever concatenated (words feed xxhash64 as a
+    tuple), minhashes are xxhash64 longs, and each band signature is
+    one xxhash64 fold of its row minhashes, so the self-join key is
+    (int, long) instead of (int, 100-char string). Band-signature
+    collisions (~2^-64) can only ADD candidates, never lose them —
+    safe for candidate generation feeding exact verification or
+    component clustering.
+    """
+    sh = doc_shingle_words(df, text_col, id_col, n)
+    mh = minhash_signatures_fast(sh, id_col, num_hashes, n)
+    n_bands = num_hashes // band_rows
+    band_cols = []
+    for b in range(n_bands):
+        sig = F.xxhash64(
+            *[F.col(f"mh{b * band_rows + r}") for r in range(band_rows)]
+        )
+        band_cols.append(F.struct(F.lit(b).alias("band"), sig.alias("band_sig")))
+    sigs = mh.select(
+        id_col, F.explode(F.array(*band_cols)).alias("bs")
+    ).select(id_col, F.col("bs.band").alias("band"), F.col("bs.band_sig").alias("band_sig"))
+    a = sigs.select(F.col(id_col).alias("doc_a"), "band", "band_sig")
+    b = sigs.select(F.col(id_col).alias("doc_b"), "band", "band_sig")
+    return (
+        a.join(b, ["band", "band_sig"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+
+
 def simhash_bits(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits: int = 32) -> DataFrame:
     """Per-doc SimHash signature string of ``bits`` 0/1 chars.
 

@@ -16,6 +16,7 @@ from ..operators import text as T
 from ..operators.dedup import (
     exact_dedup_stats,
     lsh_candidate_pairs,
+    lsh_candidate_pairs_fast,
     ngram_jaccard_pairs,
     simhash_bits,
     sql_shingles_cte,
@@ -185,6 +186,22 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark.sparkContext.defaultParallelism, F.col("doc_id")
     )
     return lsh_candidate_pairs(c, num_hashes=12, band_rows=3)
+
+
+@query("dedup_minhash_lsh_fast")
+def dedup_minhash_lsh_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """xxhash64 production variant of dedup_minhash_lsh (VERDICT r3 #2):
+    identical pipeline shape, but minhashes are JVM-codegen longs and
+    band signatures a single xxhash64 fold, so the hot shuffle + join
+    keys are 8-byte values instead of md5 hex strings. No DuckDB oracle
+    (xxhash64 is Spark-specific); parity with the md5 fold is pinned by
+    tests/test_operators.py::test_lsh_fast_parity — candidate sets are
+    identical at test SFs, and any divergence is confined to borderline
+    pairs both hash families catch with probability 1-(1-s^3)^4."""
+    c = corpus(spark, sf_dir).repartition(
+        spark.sparkContext.defaultParallelism, F.col("doc_id")
+    )
+    return lsh_candidate_pairs_fast(c, num_hashes=12, band_rows=3)
 
 
 # ---------------------------------------------------------------------------

@@ -13,7 +13,11 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..operators.components import connected_components
-from ..operators.dedup import lsh_candidate_pairs, sql_shingles_cte
+from ..operators.dedup import (
+    lsh_candidate_pairs,
+    lsh_candidate_pairs_fast,
+    sql_shingles_cte,
+)
 from ..operators.mlprep import (
     PII_PATTERNS,
     chunk_token_windows,
@@ -442,30 +446,15 @@ _DATAPIPE_ORACLE = f"""
 """
 
 
-@query("datapipe_e2e", oracle=_DATAPIPE_ORACLE)
-def datapipe_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The training-data flagship: the WHOLE prep pipeline as one lazy
-    DAG, value-checked end-to-end against a complete DuckDB replication
-    (the datapipe twin of glamira_pipeline_e2e).
-
-    corpus (with injected near/exact dups)
-      -> quality gate (composite heuristic >= 0.55)
-      -> minhash-LSH candidate pairs -> connected components
-         -> drop every non-canonical cluster member
-      -> benchmark decontamination (broadcast eval shingles, >= 50%
-         overlap dropped)
-      -> deterministic 90/5/5 hash split
-      -> per (split, language) corpus stats.
-
-    Every stage is the production operator, not a reformulation:
-    lsh_candidate_pairs, connected_components (pointer-jump rounds),
-    contamination_stats, hash_split, predict_lang — chained exactly as
-    a real 100 TB prep run would chain them."""
+def _datapipe_pipeline(spark: SparkSession, sf_dir: str, candidate_fn) -> DataFrame:
+    """Shared builder for the datapipe flagship; ``candidate_fn`` is the
+    LSH candidate-pair generator (md5 oracle twin or xxhash64 production
+    variant — same banding math, different hash family)."""
     c = corpus(spark, sf_dir).repartition(
         spark.sparkContext.defaultParallelism, F.col("doc_id")
     )
     q = c.filter(_T.quality_score(F.col("text")) >= 0.55)
-    pairs = lsh_candidate_pairs(q, num_hashes=12, band_rows=3).persist()
+    pairs = candidate_fn(q, num_hashes=12, band_rows=3).persist()
     comp = connected_components(pairs, "doc_a", "doc_b")
     dupes = comp.filter(F.col("node") != F.col("component")).select(
         F.col("node").alias("doc_id")
@@ -486,3 +475,43 @@ def datapipe_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(_T.n_ws_tokens(t)).alias("n_tokens"),
         F.sum(F.length(t)).alias("n_chars"),
     )
+
+
+@query("datapipe_e2e", oracle=_DATAPIPE_ORACLE)
+def datapipe_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The training-data flagship: the WHOLE prep pipeline as one lazy
+    DAG, value-checked end-to-end against a complete DuckDB replication
+    (the datapipe twin of glamira_pipeline_e2e).
+
+    corpus (with injected near/exact dups)
+      -> quality gate (composite heuristic >= 0.55)
+      -> minhash-LSH candidate pairs -> connected components
+         -> drop every non-canonical cluster member
+      -> benchmark decontamination (broadcast eval shingles, >= 50%
+         overlap dropped)
+      -> deterministic 90/5/5 hash split
+      -> per (split, language) corpus stats.
+
+    Every stage is the production operator, not a reformulation:
+    lsh_candidate_pairs, connected_components (pointer-jump rounds),
+    contamination_stats, hash_split, predict_lang — chained exactly as
+    a real 100 TB prep run would chain them.
+
+    This oracle-checked entry keeps the md5 minhash fold: its DuckDB
+    twin (and the sf0.1 differential in tests/test_e2e_sf01.py) pins
+    value-equality, and LSH recall on borderline pairs is hash-family-
+    dependent, so a hash swap is a (tiny, by banding math) semantic
+    change — not a pure optimization. datapipe_e2e_fast below is the
+    same DAG on the xxhash64 production path."""
+    return _datapipe_pipeline(spark, sf_dir, lsh_candidate_pairs)
+
+
+@query("datapipe_e2e_fast")
+def datapipe_e2e_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The datapipe flagship on the xxhash64 LSH production path
+    (lsh_candidate_pairs_fast) — what a real 100 TB run would deploy.
+    Rows-only in the driver (xxhash64 has no DuckDB twin); value parity
+    with datapipe_e2e is asserted at test SFs by
+    tests/test_mlprep.py::test_datapipe_e2e_fast_matches_md5_variant,
+    where both hash families produce identical candidate sets."""
+    return _datapipe_pipeline(spark, sf_dir, lsh_candidate_pairs_fast)

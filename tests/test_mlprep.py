@@ -232,3 +232,33 @@ def test_cc_pathological_path_graph_converges_logarithmically(spark):
     df = spark.createDataFrame(edges, ["src", "dst"]).repartition(8)
     got = {r["node"]: r["component"] for r in connected_components(df).collect()}
     assert got == {i: 0 for i in range(n + 1)}
+
+
+def test_datapipe_e2e_fast_matches_md5_variant(spark):
+    """The xxhash64 flagship path tracks the oracle-checked md5 path to
+    within LSH borderline recall: same schema, same (split, lang) keys,
+    and doc counts within a couple of docs per bucket (each diverging
+    borderline candidate pair — see test_lsh_fast_parity — shifts at
+    most one doc in or out of the dedup survivor set). Exact equality
+    would over-claim: hash families legitimately differ on borderline
+    pairs."""
+    from glamira_batch_processing_spark.plans.mlprep_queries import (
+        datapipe_e2e,
+        datapipe_e2e_fast,
+    )
+
+    from tests.conftest import SF_SMALL
+
+    md5_df = datapipe_e2e(spark, SF_SMALL)
+    fast_df = datapipe_e2e_fast(spark, SF_SMALL)
+    assert md5_df.schema == fast_df.schema
+    md5_out = {(r.split, r.lang): r for r in md5_df.collect()}
+    fast_out = {(r.split, r.lang): r for r in fast_df.collect()}
+    assert md5_out
+    assert md5_out.keys() == fast_out.keys()
+    for key, a in md5_out.items():
+        b = fast_out[key]
+        assert abs(a.n_docs - b.n_docs) <= 2, (key, a, b)
+    total_a = sum(r.n_docs for r in md5_out.values())
+    total_b = sum(r.n_docs for r in fast_out.values())
+    assert abs(total_a - total_b) <= 2

@@ -494,3 +494,61 @@ def test_review_fixes_hardening(spark):
     prof = {r.column_name: r for r in column_profile(odd, ["order id", "o'brien.col"]).collect()}
     assert prof["order id"].n_rows == 1
     assert prof["o'brien.col"].n_distinct == 1
+
+
+def test_lsh_fast_parity(spark):
+    """xxhash64 production LSH vs the md5 oracle fold (VERDICT r3 #2).
+
+    LSH recall on a pair with Jaccard s is 1-(1-s^3)^4 — below 1 for
+    s < 1, and WHICH borderline pairs land in a shared band is hash-
+    family-dependent. So the meaningful parity is not set equality:
+    (a) both families must catch EVERY exact-duplicate pair (s = 1 =>
+        identical signatures => recall exactly 1 for any hash family);
+    (b) the symmetric difference must be tiny and consist solely of
+        borderline pairs (true Jaccard strictly below 0.9).
+    At SF_SMALL the observed diff is one pair with Jaccard 0.727
+    (per-family catch probability ~0.84)."""
+    from glamira_batch_processing_spark.operators.dedup import (
+        content_key,
+        lsh_candidate_pairs,
+        lsh_candidate_pairs_fast,
+        ngram_jaccard_pairs,
+    )
+    from glamira_batch_processing_spark.plans.datapipe_queries import corpus
+
+    from tests.conftest import SF_SMALL
+
+    c = corpus(spark, SF_SMALL).repartition(8, "doc_id")
+    md5_pairs = {tuple(r) for r in lsh_candidate_pairs(c).collect()}
+    fast_pairs = {tuple(r) for r in lsh_candidate_pairs_fast(c).collect()}
+    assert md5_pairs, "empty candidate set: corpus dup injection broke"
+
+    # (a) exact-dup recall is 1 for both families.
+    groups = (
+        c.groupBy(content_key(F.col("text")).alias("h"))
+        .agg(F.collect_list("doc_id").alias("ids"))
+        .filter(F.size("ids") > 1)
+        .collect()
+    )
+    exact = {
+        (a, b)
+        for g in groups
+        for a in g.ids
+        for b in g.ids
+        if a < b
+    }
+    assert exact, "no exact-dup pairs: corpus injection broke"
+    assert exact <= md5_pairs
+    assert exact <= fast_pairs
+
+    # (b) divergence is bounded and strictly borderline.
+    diff = md5_pairs ^ fast_pairs
+    assert len(diff) <= max(3, len(md5_pairs | fast_pairs) // 50), diff
+    if diff:
+        jacc = {
+            (r.doc_a, r.doc_b): r.jaccard
+            for r in ngram_jaccard_pairs(c, threshold=0.0).collect()
+            if (r.doc_a, r.doc_b) in diff
+        }
+        high = {p: j for p, j in jacc.items() if j >= 0.9}
+        assert not high, f"non-borderline pairs diverged: {high}"

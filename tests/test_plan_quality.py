@@ -79,6 +79,21 @@ def test_lsh_shuffle_count(spark):
     assert n_exchanges <= 6, f"too many shuffles in LSH plan: {n_exchanges}\n{plan}"
 
 
+def test_lsh_fast_shuffle_count_and_no_strings(spark):
+    """The xxhash64 production LSH keeps the same shuffle budget as the
+    md5 fold AND its join key is numeric: no md5/concat_ws anywhere in
+    the plan — the whole hot path is long arithmetic inside codegen."""
+    from glamira_batch_processing_spark.operators.dedup import lsh_candidate_pairs_fast
+    from glamira_batch_processing_spark.plans.datapipe_queries import corpus
+
+    df = lsh_candidate_pairs_fast(corpus(spark, SF_SMALL))
+    plan = plan_of(df)
+    n_exchanges = plan.count("Exchange ")
+    assert n_exchanges <= 6, f"too many shuffles in fast LSH plan: {n_exchanges}\n{plan}"
+    assert "md5" not in plan
+    assert "concat_ws" not in plan
+
+
 def test_bucketed_join_avoids_shuffle(spark, tmp_path):
     """Bucketed tables co-located on the join key must join with NO
     Exchange on either side (the bucketing IS the shuffle, paid once at
