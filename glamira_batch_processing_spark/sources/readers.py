@@ -199,12 +199,19 @@ def read_json_quarantine(
         .option("columnNameOfCorruptRecord", "_corrupt_record")
         .json(path)
     )
-    # Spark requires caching/materializing before referencing the
-    # corrupt-record column in a filter (it is populated at parse time).
-    df = df.cache()
-    corrupt = df.filter(F.col("_corrupt_record").isNotNull()).select(
-        "_corrupt_record"
-    )
     if quarantine_path is not None:
-        corrupt.write.mode("overwrite").text(quarantine_path)
+        # Spark disallows a query whose only referenced column is the
+        # internal corrupt-record column unless the parse is cached, so
+        # cache JUST for the quarantine write (an action), then release
+        # the storage immediately — holding the whole input pinned for
+        # the session leaked executor memory across repeated ingests
+        # (round-3 ADVICE). The clean-row filter below references real
+        # columns too, so it needs no cache; it re-parses on use.
+        df = df.cache()
+        try:
+            df.filter(F.col("_corrupt_record").isNotNull()).select(
+                "_corrupt_record"
+            ).write.mode("overwrite").text(quarantine_path)
+        finally:
+            df.unpersist()
     return df.filter(F.col("_corrupt_record").isNull()).drop("_corrupt_record")

@@ -166,20 +166,21 @@ class VersionedTable:
         new version atomically. Raises VersionConflictError if another
         writer commits first — re-call to retry on the fresh snapshot.
 
-        ``txn_id`` makes the merge EXACTLY-ONCE under replay: if the
-        latest committed version already carries this token, the merge
-        is a no-op returning that version. Sufficient for the streaming
-        foreachBatch contract, where a crash-replayed batch is always
-        the last attempted commit; generic at-most-once across
-        arbitrary histories would need a token index instead.
+        ``txn_id`` makes the merge EXACTLY-ONCE under replay: if ANY
+        retained committed version carries this token, the merge is a
+        no-op returning that version — so a replayed batch is detected
+        even when other writers or a compact() landed in between
+        (round-3 ADVICE: latest-only inspection missed that case). The
+        scan reads every retained manifest (tiny driver-side JSONs,
+        O(versions)); vacuum() shrinks that set, so replay protection
+        extends exactly as far back as the vacuum retention window —
+        keep it longer than any possible replay horizon.
         """
         base_version = self.latest_version()
-        if (
-            txn_id is not None
-            and base_version is not None
-            and self.manifest(base_version).get("txn_id") == txn_id
-        ):
-            return base_version
+        if txn_id is not None:
+            for v in reversed(self.versions()):
+                if self.manifest(v).get("txn_id") == txn_id:
+                    return v
         if base_version is None:
             # first commit: still dedupe the source by key priority
             target = source.filter("1 = 0")

@@ -129,3 +129,47 @@ def test_vacuum_keeps_latest(spark, tmp_path):
     assert _rows(t.read(spark)) == {(1, "v2")}
     with pytest.raises(FileNotFoundError):
         t.read(spark, version=0)
+
+
+def test_merge_txn_replay_detected_across_interleaved_commits(spark, tmp_path):
+    """Round-3 ADVICE: a replayed batch whose commit is no longer the
+    LATEST version (a compact or another writer landed in between) must
+    still be recognized as a replay — version history scan, not
+    latest-manifest-only."""
+    t = VersionedTable(tmp_path / "tbl")
+    t.create(spark.createDataFrame([(1, "a")], "k long, v string"))
+    upd = spark.createDataFrame([(1, "A"), (2, "b")], "k long, v string")
+    v1 = t.merge(spark, upd, keys=["k"], txn_id="batch:7")
+    t.compact(spark, target_files=1)  # batch:7 is no longer latest
+    other = spark.createDataFrame([(3, "c")], "k long, v string")
+    t.merge(spark, other, keys=["k"], txn_id="batch:other")
+    v_replay = t.merge(spark, upd, keys=["k"], txn_id="batch:7")
+    assert v_replay == v1  # detected as replay, no new version
+    assert t.latest_version() == 3
+    assert _rows(t.read(spark)) == {(1, "A"), (2, "b"), (3, "c")}
+
+
+def test_merge_tied_order_by_is_deterministic_single_survivor(spark, tmp_path):
+    """Round-3 ADVICE (medium): two source rows tied on (key, order_by)
+    must resolve to exactly ONE deterministic survivor — rank() kept
+    both and let the union window pick arbitrarily. The winner must be
+    identical across partitionings and replays (idempotent final
+    state)."""
+    t = VersionedTable(tmp_path / "tbl")
+    t.create(spark.createDataFrame([(1, 0, "orig")], "k long, ts long, v string"))
+    from pyspark.sql import functions as F
+
+    tied = spark.createDataFrame(
+        [(1, 5, "x"), (1, 5, "y"), (2, 1, "z")], "k long, ts long, v string"
+    )
+    v1 = t.merge(spark, tied, keys=["k"], order_by=[F.desc("ts")], txn_id="b1")
+    got = {r.k: r.v for r in t.read(spark).collect()}
+    assert set(got) == {1, 2}, "duplicate keys survived the merge"
+    assert got[2] == "z"
+    assert got[1] in {"x", "y"}
+    # deterministic across a different partitioning of the same source
+    t2 = VersionedTable(tmp_path / "tbl2")
+    t2.create(spark.createDataFrame([(1, 0, "orig")], "k long, ts long, v string"))
+    t2.merge(spark, tied.repartition(7), keys=["k"], order_by=[F.desc("ts")], txn_id="b1")
+    got2 = {r.k: r.v for r in t2.read(spark).collect()}
+    assert got2 == got
