@@ -91,11 +91,21 @@ def _decode_image_real(payload: bytes) -> tuple[int, int, str]:
     if payload[:2] == b"BM":
         if len(payload) < 26:
             raise ValueError("bmp: truncated DIB header")
+        (dib_size,) = struct.unpack("<I", payload[14:18])
+        if dib_size < 40:
+            # Legacy BITMAPCOREHEADER (12-byte DIB, int16 dims) would
+            # silently parse as garbage int32 dims — refuse explicitly
+            # (round-3 ADVICE).
+            raise ValueError(
+                f"bmp: unsupported DIB header size {dib_size} "
+                "(need BITMAPINFOHEADER >= 40)"
+            )
         w, h = struct.unpack("<ii", payload[18:26])
         return w, abs(h), "bmp"  # negative height = top-down rows
     if payload[:2] == b"\xff\xd8":
         i = 2
-        while i + 9 <= len(payload):
+        orientation = 1
+        while i + 4 <= len(payload):
             if payload[i] != 0xFF:
                 break
             marker = payload[i + 1]
@@ -103,17 +113,87 @@ def _decode_image_real(payload: bytes) -> tuple[int, int, str]:
                 # spec-legal 0xFF fill byte before a marker — slide
                 i += 1
                 continue
+            if marker == 0x01 or 0xD0 <= marker <= 0xD7:
+                # TEM / RSTn: standalone markers with NO length field —
+                # advancing by a phantom length would desync the walk.
+                i += 2
+                continue
+            if marker == 0xD9:  # EOI before any SOF
+                break
             if marker in _JPEG_SOF:
+                if i + 9 > len(payload):
+                    raise ValueError("jpeg: truncated SOF segment")
                 h, w = struct.unpack(">HH", payload[i + 5 : i + 9])
+                if orientation in (5, 6, 7, 8):
+                    # EXIF transposed orientations: report display dims,
+                    # matching what any codec-backed loader would show.
+                    w, h = h, w
                 return w, h, "jpeg"
             (seg_len,) = struct.unpack(">H", payload[i + 2 : i + 4])
+            if seg_len < 2:
+                raise ValueError("jpeg: invalid segment length")
+            if marker == 0xE1:  # APP1: may carry EXIF orientation
+                o = _jpeg_exif_orientation(payload[i + 4 : i + 2 + seg_len])
+                if o is not None:
+                    orientation = o
+            if marker == 0xDA:
+                # SOS: entropy-coded data follows and is NOT segment-
+                # structured; every legal stream puts SOF before SOS,
+                # so walking further would only desync.
+                break
             i += 2 + seg_len
         raise ValueError("jpeg: no SOF segment found")
     raise ValueError("unrecognized image container")
 
 
+def _jpeg_exif_orientation(seg: bytes) -> int | None:
+    """EXIF orientation (tag 0x0112) from an APP1 payload, or None.
+
+    Minimal TIFF walk: byte-order mark, magic 42, IFD0 entries only
+    (orientation lives in IFD0 per EXIF spec). Returns 1-8 or None on
+    anything malformed — header metadata must never raise for a bad
+    EXIF blob when the JPEG itself is fine.
+    """
+    if seg[:6] != b"Exif\x00\x00":
+        return None
+    t = seg[6:]
+    if len(t) < 8:
+        return None
+    endian = {b"II": "<", b"MM": ">"}.get(t[:2])
+    if endian is None:
+        return None
+    try:
+        (magic,) = struct.unpack(endian + "H", t[2:4])
+        if magic != 42:
+            return None
+        (ifd_off,) = struct.unpack(endian + "I", t[4:8])
+        if ifd_off + 2 > len(t):
+            return None
+        (n_entries,) = struct.unpack(endian + "H", t[ifd_off : ifd_off + 2])
+        for k in range(n_entries):
+            off = ifd_off + 2 + 12 * k
+            if off + 12 > len(t):
+                return None
+            tag, typ, cnt = struct.unpack(endian + "HHI", t[off : off + 8])
+            if tag == 0x0112 and typ == 3 and cnt >= 1:
+                (val,) = struct.unpack(endian + "H", t[off + 8 : off + 10])
+                return val if 1 <= val <= 8 else None
+    except struct.error:
+        return None
+    return None
+
+
 def _png_unfilter(raw: bytes, width: int, height: int, channels: int = 3):
-    """Reverse PNG scanline filtering (types 0-4) -> (h, w, ch) uint8."""
+    """Reverse PNG scanline filtering (types 0-4) -> (h, w, ch) uint8.
+
+    Throughput bound (round-3 ADVICE): None/Up/Sub rows are fully
+    vectorized (Sub is a per-channel uint8 prefix sum). Average/Paeth
+    rows carry a serial left-neighbor dependency, so they run one numpy
+    step per PIXEL (channel-vectorized) — ~width iterations per row,
+    not width*channels interpreted byte ops. Adequate for thumbnails
+    and test assets; a production-rate decoder for large Average/Paeth-
+    heavy PNGs still wants a native codec.
+    """
     import numpy as np
 
     stride = width * channels
@@ -126,27 +206,37 @@ def _png_unfilter(raw: bytes, width: int, height: int, channels: int = 3):
         prev = out[y - 1] if y > 0 else np.zeros(stride, dtype=np.uint8)
         if ftype == 0:  # None
             cur = line
-        elif ftype == 1:  # Sub
-            cur = line
-            for i in range(channels, stride):
-                cur[i] = (int(cur[i]) + int(cur[i - channels])) & 0xFF
-        elif ftype == 2:  # Up
-            cur = (line.astype(np.int16) + prev.astype(np.int16)).astype(np.uint8)
-        elif ftype == 3:  # Average
-            cur = line
-            for i in range(stride):
-                left = int(cur[i - channels]) if i >= channels else 0
-                cur[i] = (int(cur[i]) + (left + int(prev[i])) // 2) & 0xFF
-        elif ftype == 4:  # Paeth
-            cur = line
-            for i in range(stride):
-                a = int(cur[i - channels]) if i >= channels else 0
-                b = int(prev[i])
-                c = int(prev[i - channels]) if i >= channels else 0
+        elif ftype == 1:  # Sub: Recon(x) = Filt(x) + Recon(x-ch) is a
+            # per-channel prefix sum; uint8 accumulator wraps mod 256.
+            cur = np.cumsum(
+                line.reshape(width, channels), axis=0, dtype=np.uint8
+            ).reshape(stride)
+        elif ftype == 2:  # Up (uint8 addition wraps mod 256)
+            cur = line + prev
+        elif ftype == 3:  # Average: serial in x, vectorized over channels
+            px = line.reshape(width, channels).astype(np.int16)
+            up = prev.reshape(width, channels).astype(np.int16)
+            o = np.empty((width, channels), dtype=np.uint8)
+            left = np.zeros(channels, dtype=np.int16)
+            for x in range(width):
+                left = (px[x] + ((left + up[x]) >> 1)) & 0xFF
+                o[x] = left
+            cur = o.reshape(stride)
+        elif ftype == 4:  # Paeth: serial in x, vectorized over channels
+            px = line.reshape(width, channels).astype(np.int16)
+            up = prev.reshape(width, channels).astype(np.int16)
+            o = np.empty((width, channels), dtype=np.uint8)
+            a = np.zeros(channels, dtype=np.int16)  # left
+            c = np.zeros(channels, dtype=np.int16)  # upper-left
+            for x in range(width):
+                b = up[x]
                 p = a + b - c
-                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
-                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
-                cur[i] = (int(cur[i]) + pred) & 0xFF
+                pa, pb, pc = np.abs(p - a), np.abs(p - b), np.abs(p - c)
+                pred = np.where((pa <= pb) & (pa <= pc), a, np.where(pb <= pc, b, c))
+                a = (px[x] + pred) & 0xFF
+                o[x] = a
+                c = b
+            cur = o.reshape(stride)
         else:
             raise ValueError(f"png: unknown filter type {ftype}")
         out[y] = cur

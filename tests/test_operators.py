@@ -552,3 +552,121 @@ def test_lsh_fast_parity(spark):
         }
         high = {p: j for p, j in jacc.items() if j >= 0.9}
         assert not high, f"non-borderline pairs diverged: {high}"
+
+
+def test_jpeg_walker_edge_cases():
+    """Round-3 VERDICT ask #8: crafted JPEG streams — restart/TEM
+    standalone markers must not desync the segment walk, SOS must stop
+    it, EXIF transposed orientations must swap reported dims, and a
+    legacy BMP core header must be refused (not parsed as garbage)."""
+    import struct
+
+    from glamira_batch_processing_spark.operators.multimodal import (
+        _decode_image_real,
+        _jpeg_exif_orientation,
+    )
+
+    def seg(marker, payload=b""):
+        return bytes([0xFF, marker]) + struct.pack(">H", len(payload) + 2) + payload
+
+    sof = seg(0xC0, struct.pack(">BHHB", 8, 31, 17, 3))  # h=31 w=17
+
+    # baseline: SOI + APP0 + SOF
+    base = b"\xff\xd8" + seg(0xE0, b"JFIF\x00") + sof
+    assert _decode_image_real(base) == (17, 31, "jpeg")
+
+    # standalone RST/TEM markers interleaved before SOF: no length field
+    rst = b"\xff\xd8" + seg(0xDD, b"\x00\x10") + b"\xff\xd0" + b"\xff\x01" + sof
+    assert _decode_image_real(rst) == (17, 31, "jpeg")
+
+    # 0xFF fill bytes before a marker
+    fill = b"\xff\xd8" + b"\xff\xff\xff" + sof[1:]
+    assert _decode_image_real(fill) == (17, 31, "jpeg")
+
+    # progressive SOF2 counts as SOF
+    sof2 = b"\xff\xd8" + seg(0xC2, struct.pack(">BHHB", 8, 31, 17, 3))
+    assert _decode_image_real(sof2) == (17, 31, "jpeg")
+
+    # SOS with no prior SOF: stop, don't walk entropy data as segments
+    import pytest as _pytest
+
+    sos_first = b"\xff\xd8" + seg(0xDA, b"\x01\x01\x00") + b"\x12\x34" * 50
+    with _pytest.raises(ValueError):
+        _decode_image_real(sos_first)
+
+    # zero/short segment length: error, not an infinite loop
+    with _pytest.raises(ValueError):
+        _decode_image_real(b"\xff\xd8" + b"\xff\xe0\x00\x01" + sof)
+
+    # EXIF orientation 6 (90deg rotation): display dims are swapped
+    tiff = (
+        b"II" + struct.pack("<H", 42) + struct.pack("<I", 8)
+        + struct.pack("<H", 1)
+        + struct.pack("<HHI", 0x0112, 3, 1) + struct.pack("<HH", 6, 0)
+        + struct.pack("<I", 0)
+    )
+    exif = b"Exif\x00\x00" + tiff
+    assert _jpeg_exif_orientation(exif) == 6
+    rotated = b"\xff\xd8" + seg(0xE1, exif) + sof
+    assert _decode_image_real(rotated) == (31, 17, "jpeg")
+    # orientation 1 (normal) leaves dims alone; big-endian TIFF too
+    tiff_be = (
+        b"MM" + struct.pack(">H", 42) + struct.pack(">I", 8)
+        + struct.pack(">H", 1)
+        + struct.pack(">HHI", 0x0112, 3, 1) + struct.pack(">HH", 1, 0)
+        + struct.pack(">I", 0)
+    )
+    normal = b"\xff\xd8" + seg(0xE1, b"Exif\x00\x00" + tiff_be) + sof
+    assert _decode_image_real(normal) == (17, 31, "jpeg")
+    # malformed EXIF never raises, never rotates
+    junk = b"\xff\xd8" + seg(0xE1, b"Exif\x00\x00" + b"XX\x00\x00") + sof
+    assert _decode_image_real(junk) == (17, 31, "jpeg")
+
+    # legacy BITMAPCOREHEADER (12-byte DIB): refused, not garbage dims
+    core = (
+        b"BM" + struct.pack("<IHHI", 38, 0, 0, 26)
+        + struct.pack("<IHHHH", 12, 17, 31, 1, 24) + b"\x00" * 8
+    )
+    with _pytest.raises(ValueError):
+        _decode_image_real(core)
+
+
+def test_image_header_fuzz_never_desyncs():
+    """Deterministic fuzz over mutated container prefixes: the header
+    decoder must either return a 3-tuple or raise ValueError — never
+    IndexError/struct.error/KeyError, never hang."""
+    import struct as _struct
+
+    from glamira_batch_processing_spark.operators.multimodal import (
+        _decode_image_real,
+    )
+
+    seeds = [
+        b"\x89PNG\r\n\x1a\n" + b"\x00" * 16,
+        b"GIF89a" + b"\x11\x00\x22\x00",
+        b"BM" + b"\x00" * 40,
+        b"\xff\xd8" + b"\xff\xe0\x00\x10" + b"J" * 14 + b"\xff\xc0\x00\x0b"
+        + b"\x08\x00\x1f\x00\x11\x03" + b"\x00" * 5,
+    ]
+    x = 123456789
+    for seed in seeds:
+        for trunc in range(len(seed)):
+            payload = seed[:trunc]
+            try:
+                out = _decode_image_real(payload)
+                assert isinstance(out, tuple) and len(out) == 3
+            except ValueError:
+                pass
+        # byte-flip mutations, xorshift-deterministic
+        for _ in range(300):
+            x ^= (x << 13) & 0xFFFFFFFF
+            x ^= x >> 17
+            x ^= (x << 5) & 0xFFFFFFFF
+            pos = x % len(seed)
+            flip = (x >> 8) & 0xFF
+            payload = seed[:pos] + bytes([seed[pos] ^ flip]) + seed[pos + 1 :]
+            try:
+                out = _decode_image_real(payload)
+                assert isinstance(out, tuple) and len(out) == 3
+            except ValueError:
+                pass
