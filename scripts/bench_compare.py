@@ -11,6 +11,7 @@ Usage: python scripts/bench_compare.py [sf_dir]
 from __future__ import annotations
 
 import json
+import statistics
 import sys
 import time
 from pathlib import Path
@@ -44,22 +45,32 @@ def main() -> None:
             except Exception:
                 pass
 
+    # Median of N runs per engine per query: single runs on a busy JVM
+    # showed ~0.3 s run-to-run stddev at the 1-2 s scale (the round-3
+    # "f3 regression" was exactly this noise), so the report carries
+    # per-query medians plus the observed spread.
+    runs = 3
     report = {}
     for name in bench.HEADLINE:
         if name not in qs or name not in osql:
             continue
         # Symmetric forcing: Spark materializes every row+column into the
         # noop sink; DuckDB materializes every row via fetchall().
-        t0 = time.perf_counter()
-        bench.force(qs[name](spark, sf))
-        t_spark = time.perf_counter() - t0
-        t0 = time.perf_counter()
-        con.sql(osql[name]).fetchall()
-        t_duck = time.perf_counter() - t0
+        ts, td = [], []
+        for _ in range(runs):
+            t0 = time.perf_counter()
+            bench.force(qs[name](spark, sf))
+            ts.append(time.perf_counter() - t0)
+            t0 = time.perf_counter()
+            con.sql(osql[name]).fetchall()
+            td.append(time.perf_counter() - t0)
+        t_spark, t_duck = statistics.median(ts), statistics.median(td)
         report[name] = {
             "spark_sec": round(t_spark, 3),
             "duckdb_sec": round(t_duck, 3),
             "ratio_spark_over_duckdb": round(t_spark / t_duck, 2) if t_duck > 0 else None,
+            "spark_stdev": round(statistics.stdev(ts), 3),
+            "duckdb_stdev": round(statistics.stdev(td), 3),
         }
 
     total_s = sum(v["spark_sec"] for v in report.values())
@@ -68,6 +79,8 @@ def main() -> None:
         json.dumps(
             {
                 "sf_dir": sf,
+                "runs_per_query": runs,
+                "aggregation": "median",
                 "spark_total_sec": round(total_s, 3),
                 "duckdb_total_sec": round(total_d, 3),
                 "ratio": round(total_s / total_d, 2),
