@@ -100,3 +100,51 @@ def asof_join(
         matched["__ts"]
     )
     return left.join(matched, cond).drop("__k", "__ts")
+
+
+def asof_join_broadcast(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_ts: str,
+    right_ts: str,
+    value_cols: list[str],
+) -> DataFrame:
+    """As-of join for a SMALL right side: zero shuffle of the left.
+
+    The right side collapses to one row per key holding its full
+    (ts, values) history as a sorted array; that tiny table broadcasts,
+    and each left row resolves its as-of value with an array lookup —
+    so the big side streams straight from the scan through a
+    BroadcastHashJoin with NO Exchange anywhere on its branch
+    (round-3 VERDICT ask #5; the union+window form costs ~3 shuffles).
+
+    Same contract and results as :func:`asof_join` (right unique per
+    (key, right_ts), non-null right_ts; ties at equal ts match; null
+    left key/ts rows survive with NULL values). Use when the right side
+    fits the broadcast budget — per-key history arrays live in every
+    executor's memory, which is exactly the broadcast-join bound.
+    The per-row lookup is a linear HOF over the key's history; for
+    deep histories prefer the windowed form.
+    """
+    hist = right.groupBy(F.col(key).alias("__k")).agg(
+        F.array_sort(
+            F.collect_list(
+                F.struct(
+                    F.col(right_ts).alias("__ts"),
+                    F.struct(*[F.col(c) for c in value_cols]).alias("__rv"),
+                )
+            )
+        ).alias("__hist")
+    )
+    j = left.join(F.broadcast(hist), left[key].eqNullSafe(F.col("__k")), "left")
+    lt = left[left_ts]
+    # Sorted history + <= filter + last element == greatest ts <= left_ts.
+    # try_element_at: NULL (not an ANSI error) when no right row qualifies.
+    best = F.try_element_at(
+        F.filter(F.col("__hist"), lambda x: x["__ts"] <= lt), F.lit(-1)
+    )
+    return j.select(
+        *[left[c] for c in left.columns],
+        *[best["__rv"][c].alias(c) for c in value_cols],
+    )

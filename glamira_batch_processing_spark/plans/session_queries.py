@@ -68,9 +68,13 @@ def sessionize_gap30m(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def asof_join_last_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     """As-of join: enrich every event with the user's most recent
-    purchase value at-or-before the event. Union+window formulation (one
-    shuffle, linear per key) vs DuckDB's native ASOF JOIN as oracle."""
-    from ..operators.asof import asof_join
+    purchase value at-or-before the event, vs DuckDB's native ASOF JOIN
+    as oracle. Uses the broadcast formulation (per-user purchase history
+    broadcast as sorted arrays, zero Exchange on the events branch) —
+    the right side is bounded by distinct purchasing users. The
+    union+window asof_join handles the big-right case; both are
+    equivalence-tested in tests/test_operators.py."""
+    from ..operators.asof import asof_join_broadcast
 
     e = table(spark, sf_dir, "events")
     purchases = (
@@ -78,14 +82,13 @@ def asof_join_last_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("user_id", "ts")
         .agg(F.max("value").alias("last_purchase_value"))
     )
-    joined = asof_join(
+    joined = asof_join_broadcast(
         e.select("event_id", "user_id", "ts"),
         purchases,
         key="user_id",
         left_ts="ts",
         right_ts="ts",
         value_cols=["last_purchase_value"],
-        left_tiebreak="event_id",
     )
     return joined.select(
         "event_id",

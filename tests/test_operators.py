@@ -670,3 +670,36 @@ def test_image_header_fuzz_never_desyncs():
                 assert isinstance(out, tuple) and len(out) == 3
             except ValueError:
                 pass
+
+
+def test_asof_broadcast_matches_window_form(spark):
+    """Broadcast as-of (zero-shuffle left) must agree exactly with the
+    union+window form on every edge: ties at equal ts, no prior right
+    row, null left key, null left ts, duplicate left rows."""
+    from glamira_batch_processing_spark.operators.asof import (
+        asof_join,
+        asof_join_broadcast,
+    )
+
+    left = spark.createDataFrame(
+        [
+            (1, "u1", 10),
+            (2, "u1", 20),   # tie with right ts=20 -> matches it (<=)
+            (3, "u1", 5),    # before any right row -> NULL
+            (4, "u2", 50),
+            (5, None, 30),   # null key
+            (6, "u1", None), # null ts
+            (7, "u1", 10),   # duplicate (key, ts) with different id
+        ],
+        "event_id long, user_id string, ts long",
+    )
+    right = spark.createDataFrame(
+        [("u1", 8, 1.0), ("u1", 20, 2.0), ("u2", 49, 3.0), (None, 29, 9.0)],
+        "user_id string, ts long, val double",
+    )
+    kw = dict(key="user_id", left_ts="ts", right_ts="ts", value_cols=["val"])
+    a = sorted(map(tuple, asof_join(left, right, **kw).collect()))
+    b = sorted(map(tuple, asof_join_broadcast(left, right, **kw).collect()))
+    assert a == b
+    got = {r[0]: r[3] for r in b}
+    assert got == {1: 1.0, 2: 2.0, 3: None, 4: 3.0, 5: 9.0, 6: None, 7: 1.0}
