@@ -1,0 +1,216 @@
+"""Scale-evidence runner: sf0.1 vs the 10x scaled set (.scale/sf1).
+
+Usage: python scripts/make_scaled_sf.py   # once, builds .scale/sf1
+       python scripts/scale_bench.py      # writes SCALE.md
+
+For each measured query: median-of-3 wall time at both scales, the
+scaling exponent  log(T_sf1/T_sf0.1) / log(10)  (1.0 = perfectly
+linear, <1 = sublinear because fixed per-stage overhead amortizes,
+>1 = super-linear growth — the thing this report exists to rule out),
+and whether the physical plan KEPT ITS SHAPE at 10x (same multiset of
+plan operators; e.g. a broadcast join silently degrading to a
+sort-merge join at scale would show here).
+
+ANN is measured through the production operators over the FULL
+embeddings table of each scale with a FIXED 20-query probe set (the
+registered contract queries use a fixed corpus bound, by design — they
+check correctness, not scaling).
+"""
+
+from __future__ import annotations
+
+import re
+import statistics
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+import bench
+import __spark_entry__ as contract
+
+SF01 = "/root/testdata/sf0.1"
+SF1 = str(Path(".scale/sf1").resolve())
+RUNS = 3
+
+MEASURED = [
+    "q1_pricing_summary",
+    "j2_revenue_by_nation",
+    "w4_rank_dedupe_merge",
+    "f3_parse_localized_prices",
+    "glamira_e2e_order_flatten",
+    "glamira_e2e_revenue_rollup",
+    "glamira_pipeline_e2e",
+    "datapipe_e2e",
+    "sessionize_gap30m",
+    "asof_join_last_purchase",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "dedup_minhash_lsh_fast",
+    "dedup_cluster_components",
+    "pii_redact",
+    "chunk_token_windows",
+    "heavy_hitters_by_lang",
+    "text_langid",
+]
+
+
+def plan_signature(df) -> tuple[tuple[str, int], ...]:
+    """Multiset of physical operator names, stripped of ids/paths."""
+    text = df._jdf.queryExecution().executedPlan().toString()
+    ops: dict[str, int] = {}
+    for line in text.splitlines():
+        m = re.match(r"^[\s:+*-]*\(?(\d+\))?\s*([A-Za-z]+[A-Za-z0-9]*)", line)
+        if m:
+            name = m.group(2)
+            if name in {"Exchange", "BroadcastExchange", "BroadcastHashJoin",
+                        "SortMergeJoin", "ShuffledHashJoin", "HashAggregate",
+                        "ObjectHashAggregate", "SortAggregate", "Window",
+                        "WindowGroupLimit", "TakeOrderedAndProject", "Sort",
+                        "CartesianProduct", "BroadcastNestedLoopJoin",
+                        "Generate", "Expand", "MapInPandas"}:
+                ops[name] = ops.get(name, 0) + 1
+    return tuple(sorted(ops.items()))
+
+
+def _ann_frames(spark, sf_dir):
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from glamira_batch_processing_spark.operators.clustering import seed_centroids
+    from glamira_batch_processing_spark.operators.similarity import (
+        cosine_topk_np,
+        ivf_search_np,
+    )
+    from glamira_batch_processing_spark.plans.registry import table
+
+    vecs = table(spark, sf_dir, "embeddings")
+    # FIXED probe set: the 20 replica-0 vectors present at every scale.
+    qrows = (
+        vecs.filter((F.col("vec_id") < 2000) & (F.col("vec_id") % 100 == 0))
+        .select("vec_id", "embedding")
+        .collect()
+    )
+    qpdf = pd.DataFrame(
+        {"query_id": [r.vec_id for r in qrows], "qvec": [list(r.embedding) for r in qrows]}
+    )
+    cents = seed_centroids(64, 8)
+    cpdf = pd.DataFrame({"centroid_id": range(len(cents)), "cvec": cents})
+    return {
+        "ann_cosine_topk_np_full": cosine_topk_np(qpdf, vecs, k=10),
+        "ann_ivf_np_full": ivf_search_np(
+            vecs, cpdf, (F.col("vec_id") < 2000) & (F.col("vec_id") % 100 == 0), k=10
+        ),
+    }
+
+
+def main() -> None:
+    from glamira_batch_processing_spark import get_spark
+
+    spark = get_spark("scale-bench")
+    qs = contract.queries()
+
+    # Builders, NOT pre-built frames: operators with eager
+    # localCheckpoint (connected components) do their real work at
+    # DataFrame CONSTRUCTION, so construction must sit inside the
+    # timed region (bench.py does the same). Measured: pre-building
+    # frames made dedup_cluster_components read as 0.05 s.
+    builders: dict[str, dict] = {}
+    for sf_label, sf_dir in (("sf0.1", SF01), ("sf1", SF1)):
+        builders[sf_label] = {
+            n: (lambda n=n, d=sf_dir: qs[n](spark, d)) for n in MEASURED
+        }
+        builders[sf_label].update(
+            {n: (lambda n=n, d=sf_dir: _ann_frames(spark, d)[n])
+             for n in ("ann_cosine_topk_np_full", "ann_ivf_np_full")}
+        )
+
+    # Warm code paths on the tiny SF.
+    for n in MEASURED:
+        bench.force(qs[n](spark, "/root/testdata/sf0.001"))
+
+    results: dict[str, dict] = {}
+    for name in builders["sf0.1"]:
+        row: dict = {}
+        for sf_label in ("sf0.1", "sf1"):
+            # A query that persists internally (datapipe_e2e) must not
+            # serve cached fragments to later queries or later runs.
+            spark.catalog.clearCache()
+            ts = []
+            for _ in range(RUNS):
+                t0 = time.perf_counter()
+                bench.force(builders[sf_label][name]())
+                ts.append(time.perf_counter() - t0)
+                spark.catalog.clearCache()
+            row[sf_label] = statistics.median(ts)
+            row[f"{sf_label}_stdev"] = statistics.stdev(ts)
+        import math
+
+        row["exponent"] = math.log(row["sf1"] / row["sf0.1"]) / math.log(10)
+        row["plan_same"] = plan_signature(builders["sf0.1"][name]()) == plan_signature(
+            builders["sf1"][name]()
+        )
+        results[name] = row
+        print(
+            f"{name:32s} sf0.1 {row['sf0.1']:7.2f}s  sf1 {row['sf1']:8.2f}s  "
+            f"exp {row['exponent']:+.2f}  plan_same={row['plan_same']}"
+        )
+
+    lines = [
+        "## Measured: sf0.1 vs sf1 (10x) scaling evidence",
+        "",
+        "Generated by `scripts/scale_bench.py` over `.scale/sf1` "
+        "(10x key-shifted replicas of the driver's sf0.1, built by "
+        "`scripts/make_scaled_sf.py`; facts scale, dims don't; replica "
+        "texts are stopword-preserving word-mutated so dedup structure "
+        "scales linearly; embeddings are rotation-decorrelated).",
+        "",
+        f"Median of {RUNS} runs per cell. Exponent = log10(T_sf1/T_sf0.1): "
+        "1.0 = linear, <1 = sublinear (fixed overhead amortizing), "
+        ">1 = super-linear (a scale problem). `plan same` = the physical "
+        "operator multiset is identical at both scales (no silent "
+        "broadcast->shuffle degradation).",
+        "",
+        "| query | sf0.1 (s) | sf1 (s) | exponent | plan same |",
+        "|---|---|---|---|---|",
+    ]
+    for name, row in sorted(results.items(), key=lambda kv: -kv[1]["exponent"]):
+        lines.append(
+            f"| {name} | {row['sf0.1']:.2f} ±{row['sf0.1_stdev']:.2f} "
+            f"| {row['sf1']:.2f} ±{row['sf1_stdev']:.2f} "
+            f"| {row['exponent']:+.2f} | {'yes' if row['plan_same'] else 'NO'} |"
+        )
+    worst = max(results.values(), key=lambda r: r["exponent"])["exponent"]
+    lines += [
+        "",
+        f"Worst exponent this run: {worst:+.2f}. "
+        "Anything materially above 1.0 is a scale bug; sub-1.0 values "
+        "mean Spark's per-stage overhead dominated the sf0.1 number "
+        "(and the driver's sf0.1 tables are single parquet files, so "
+        "several queries are scan-parallelism-bound there; the 10x set "
+        "is multi-file and can even run FASTER).",
+        "",
+        "Interpreting `plan same = NO`: a row flips when Catalyst's "
+        "size-based join strategy changes between scales. For the LSH "
+        "queries and the order-flatten carts join this is the CORRECT "
+        "choice, not degradation — the build side is a self-join/fact "
+        "aggregate that grows with the data, so it outgrows the "
+        "broadcast threshold and must sort-merge at scale (verified: "
+        "sf0.1 BroadcastHashJoin -> sf1 SortMergeJoin, identical "
+        "Generate/Aggregate structure otherwise). The check exists to "
+        "catch the opposite: a bounded DIMENSION silently degrading "
+        "off its broadcast path — no dim join does.",
+        "",
+    ]
+    # SCALE.md's head is the hand-written 100 TB design argument; this
+    # script owns only the marked measurement section at the tail.
+    marker = "## Measured: sf0.1 vs sf1"
+    doc = Path("SCALE.md").read_text() if Path("SCALE.md").exists() else ""
+    head = doc.split(marker)[0].rstrip()
+    Path("SCALE.md").write_text(head + "\n\n" + "\n".join(lines))
+    print("updated SCALE.md measurement section")
+
+
+if __name__ == "__main__":
+    main()
