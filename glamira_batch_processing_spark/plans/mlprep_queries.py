@@ -317,7 +317,10 @@ def dedup_cluster_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = corpus(spark, sf_dir).repartition(
         spark.sparkContext.defaultParallelism, F.col("doc_id")
     )
-    pairs = lsh_candidate_pairs(c, num_hashes=12, band_rows=3).persist()
+    # No persist: connected_components consumes the pair list exactly
+    # once (it eagerly localCheckpoints the bidirectional edge set), so
+    # caching it would only pin executor memory for the session.
+    pairs = lsh_candidate_pairs(c, num_hashes=12, band_rows=3)
     comp = connected_components(pairs, "doc_a", "doc_b")
     out = comp.groupBy("component").agg(
         F.count("*").alias("cluster_size"),
@@ -454,7 +457,9 @@ def _datapipe_pipeline(spark: SparkSession, sf_dir: str, candidate_fn) -> DataFr
         spark.sparkContext.defaultParallelism, F.col("doc_id")
     )
     q = c.filter(_T.quality_score(F.col("text")) >= 0.55)
-    pairs = candidate_fn(q, num_hashes=12, band_rows=3).persist()
+    # No persist: see dedup_cluster_components — components checkpoints
+    # the edges itself; a cached copy would outlive the query.
+    pairs = candidate_fn(q, num_hashes=12, band_rows=3)
     comp = connected_components(pairs, "doc_a", "doc_b")
     dupes = comp.filter(F.col("node") != F.col("component")).select(
         F.col("node").alias("doc_id")
