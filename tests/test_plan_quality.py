@@ -158,12 +158,33 @@ def test_fact_write_partition_prunes(spark, tmp_path):
 
 
 def test_asof_join_shuffle_budget(spark):
-    """asof: the ordering stage must window over DISTINCT (key, ts)
-    pairs and the re-attach must be an equi-join (broadcast or hash) —
-    never a nested-loop, and within the documented exchange budget."""
-    df = QUERIES["asof_join_last_purchase"](spark, SF_SMALL)
+    """The union+window asof form (the big-right path, still the
+    operator behind asof_join) must window over DISTINCT (key, ts)
+    pairs and re-attach with an equi-join — never a nested-loop, and
+    within the documented <=5 exchange budget. (The registered query
+    now uses the broadcast form — covered by
+    test_asof_broadcast_left_branch_has_no_exchange — so this builds
+    the windowed operator directly.)"""
+    from glamira_batch_processing_spark.operators.asof import asof_join
+    from glamira_batch_processing_spark.plans.registry import table
+
+    e = table(spark, SF_SMALL, "events")
+    purchases = (
+        e.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("last_purchase_value"))
+    )
+    df = asof_join(
+        e.select("event_id", "user_id", "ts"),
+        purchases,
+        key="user_id",
+        left_ts="ts",
+        right_ts="ts",
+        value_cols=["last_purchase_value"],
+    )
     plan = plan_of(df)
     assert "NestedLoop" not in plan and "CartesianProduct" not in plan
+    assert "Window" in plan
     n_exchanges = plan.count("Exchange ")
     assert n_exchanges <= 5, f"too many shuffles in asof plan: {n_exchanges}\n{plan}"
 
