@@ -102,6 +102,49 @@ def stratified_sample(
     return df.filter(bucket < frac)
 
 
+_ES_GRID = 1 << 30
+
+
+def es_key(key: Column, weight: Column, salt: str = "wsample-v1") -> Column:
+    """Efraimidis-Spirakis sampling key: -ln(u)/w with a deterministic
+    md5 uniform u. The k smallest keys across the dataset form an EXACT
+    weighted sample without replacement (each row's key is exponential
+    with rate w; the order statistics realize the sequential weighted
+    draw). u comes from the same engine-portable md5 grid hash_bucket
+    uses, so the DuckDB oracle reproduces the identical sample."""
+    u = (hash_bucket(key, _ES_GRID, salt).cast("double") + 0.5) / float(_ES_GRID)
+    return -F.log(u) / weight
+
+
+def weighted_sample(
+    df: DataFrame,
+    key: Column,
+    weight: Column,
+    k: int,
+    tiebreak: Column,
+    salt: str = "wsample-v1",
+) -> DataFrame:
+    """Exactly-k weighted sample without replacement (A-ES).
+
+    Inclusion probability tracks ``weight`` (rows with non-positive or
+    NULL weight are excluded — they have no well-defined draw). Plans
+    as TakeOrderedAndProject: per-partition top-k heaps + a k-row
+    driver merge — no global sort, no count pass, and the top-k merge
+    is associative, so the sample is identical under any partitioning
+    and any cluster size. ``tiebreak`` (a unique column) pins the
+    order if two keys ever collide exactly.
+
+    The es_key itself is intentionally NOT emitted: it involves ln(),
+    whose last-ulp differs across engines' libm — selection is robust
+    to that (keys are continuous, boundary ties measure-zero) but
+    value-hash comparison of the key would not be.
+    """
+    keyed = df.filter(weight > 0).withColumn(
+        "__es", es_key(key, weight, salt)
+    )
+    return keyed.orderBy(F.col("__es"), tiebreak).limit(k).drop("__es")
+
+
 # ---------------------------------------------------------------------------
 # PII redaction.
 # ---------------------------------------------------------------------------

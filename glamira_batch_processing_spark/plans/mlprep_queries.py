@@ -352,6 +352,43 @@ def sample_exact_k(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tagged.orderBy("tag", "doc_id").limit(64)
 
 
+_ES_U = (
+    f"(CAST({hash_bucket_sql('doc_id', 1 << 30, salt='wsample-v1')} AS DOUBLE)"
+    f" + 0.5) / {float(1 << 30)}"
+)
+
+
+@query(
+    "sample_weighted_by_length",
+    oracle=f"""
+    SELECT doc_id, lang, n_chars
+    FROM documents
+    WHERE n_chars > 0
+    ORDER BY -ln({_ES_U}) / n_chars, doc_id
+    LIMIT 64
+    """,
+)
+def sample_weighted_by_length(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly-64 weighted sample without replacement, weight = doc
+    length (Efraimidis-Spirakis A-ES: k smallest -ln(u)/w keys, u a
+    deterministic md5 uniform). The importance-sampling primitive a
+    training mix needs — upweight long documents, or swap the weight
+    column for a quality score. Plans as TakeOrderedAndProject
+    (per-partition heap + 64-row merge, partition-invariant); the es
+    key is ordered on but never emitted, since ln()'s last ulp differs
+    across engines while the SELECTION is stable."""
+    from ..operators.mlprep import weighted_sample
+
+    d = table(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+    return weighted_sample(
+        d,
+        key=F.col("doc_id"),
+        weight=F.col("n_chars"),
+        k=64,
+        tiebreak=F.col("doc_id"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Whole training-data pipeline, end-to-end (the datapipe flagship).
 # ---------------------------------------------------------------------------

@@ -74,7 +74,7 @@ GATE_FAMILIES: dict[str, tuple[str, ...]] = {
     "multimodal_audio": ("multimodal_audio_meta",),
     "asof": ("asof_join_last_purchase",),
     "split": ("split_train_val_test",),
-    "sampling": ("sample_stratified_lang", "sample_exact_k"),
+    "sampling": ("sample_stratified_lang", "sample_exact_k", "sample_weighted_by_length"),
     "pii": ("pii_redact",),
     "chunk_pack": ("chunk_token_windows", "pack_sequences"),
     "decontaminate": ("decontaminate_benchmark_overlap",),

@@ -262,3 +262,37 @@ def test_datapipe_e2e_fast_matches_md5_variant(spark):
     total_a = sum(r.n_docs for r in md5_out.values())
     total_b = sum(r.n_docs for r in fast_out.values())
     assert abs(total_a - total_b) <= 2
+
+
+def test_weighted_sample_exact_k_partition_invariant_and_monotone(spark):
+    """A-ES weighted sampling: exactly k rows; identical sample under
+    any partitioning; a row with overwhelming weight is always drawn;
+    non-positive/NULL weights are never drawn."""
+    from glamira_batch_processing_spark.operators.mlprep import weighted_sample
+    from pyspark.sql import functions as F
+
+    rows = [(i, float(1 + (i % 5))) for i in range(500)]
+    rows += [(1000, 1e9), (1001, 0.0), (1002, -3.0), (1003, None)]
+    df = spark.createDataFrame(rows, "id long, w double")
+    kw = dict(key=F.col("id"), weight=F.col("w"), k=50, tiebreak=F.col("id"))
+    a = {r.id for r in weighted_sample(df, **kw).collect()}
+    b = {r.id for r in weighted_sample(df.repartition(13), **kw).collect()}
+    assert len(a) == 50
+    assert a == b
+    assert 1000 in a  # 1e9 weight -> es key ~0, always selected
+    assert not {1001, 1002, 1003} & a
+    # changing the salt changes the draw (it is really hash-driven)
+    c = {r.id for r in weighted_sample(df, **kw, salt="other").collect()}
+    assert c != a
+
+
+def test_weighted_sample_plans_take_ordered(spark):
+    """The weighted sample must be a per-partition top-k + k-row merge
+    (TakeOrderedAndProject), never a global Exchange+Sort."""
+    import __spark_entry__  # noqa: F401
+    from glamira_batch_processing_spark.plans.registry import QUERIES
+    from tests.conftest import SF_SMALL
+
+    df = QUERIES["sample_weighted_by_length"](spark, SF_SMALL)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
