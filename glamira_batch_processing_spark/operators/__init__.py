@@ -31,7 +31,7 @@ from .similarity import (
     ivf_search_np,
     norm,
 )
-from .sketches import kmv_estimate, kmv_sketch
+from .sketches import cms_estimate, cms_sketch, kmv_estimate, kmv_sketch
 from .skew import salted_agg, with_salt
 from .windows import dedupe_latest, rank_dedupe, scd2_apply, scd2_from_history
 
@@ -64,6 +64,8 @@ __all__ = [
     "norm",
     "kmv_estimate",
     "kmv_sketch",
+    "cms_sketch",
+    "cms_estimate",
     "salted_agg",
     "with_salt",
     "dedupe_latest",

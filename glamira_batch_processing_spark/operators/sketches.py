@@ -1,14 +1,25 @@
-"""Deterministic cardinality sketch: K-Minimum-Values (KMV).
+"""Deterministic sketches: K-Minimum-Values (distinct count) and
+Count-Min (frequency).
 
-A distinct-count estimator whose state is the k smallest hash values of
-the distinct items: estimate = (k-1) / kth_min_fraction. Unlike
-HyperLogLog (whose register layout is engine-specific), KMV over md5
-hex strings is exactly reproducible in any SQL engine — so the sketch
-itself can be oracle-checked, not just its error bound.
+KMV: a distinct-count estimator whose state is the k smallest hash
+values of the distinct items: estimate = (k-1) / kth_min_fraction.
+Unlike HyperLogLog (whose register layout is engine-specific), KMV
+over md5 hex strings is exactly reproducible in any SQL engine — so
+the sketch itself can be oracle-checked, not just its error bound.
 
-Scale path: the min-k state is tiny (k hashes), merges by union+min-k
-(associative), and computes with one TakeOrdered — no full shuffle of
-the distinct set when k << distinct.
+Count-Min: a fixed-size d x w counter matrix; item frequency is
+over-estimated as min over d rows of counter[row][hash_row(item)].
+The state is deterministic (md5-derived buckets), mergeable by
+element-wise addition (associative — partial sketches from map-side
+combine or separate corpus shards just add), and computes with ONE
+shuffle of (depth, bucket) partial counts whose cardinality is d*w —
+constants — regardless of corpus size. The 100 TB story: frequency
+estimates for EVERY token at a fixed memory budget, where the exact
+heavy-hitters count keeps full (lang, token) cardinality state.
+
+Scale path (KMV): the min-k state is tiny (k hashes), merges by
+union+min-k (associative), and computes with one TakeOrdered — no full
+shuffle of the distinct set when k << distinct.
 """
 
 from __future__ import annotations
@@ -47,6 +58,99 @@ def kmv_estimate(df: DataFrame, col: Column, k: int = 64) -> DataFrame:
         F.max("f").alias("kth_min_frac"),
         ((F.count("*") - 1) / F.max("f")).alias("estimated_distinct"),
     )
+
+
+def cms_sketch(
+    df: DataFrame,
+    col: Column,
+    depth: int = 4,
+    width: int = 256,
+    salt: str = "cms-v1",
+) -> DataFrame:
+    """Count-Min state: (depth, bucket, n) rows — the d x w matrix.
+
+    Each input row increments one bucket per depth; the d bucket
+    functions are independent md5 hashes (salted per depth). Built as
+    a per-row explode of d (depth, bucket) structs -> ONE groupBy
+    shuffle whose key space is d*w constants, with map-side partial
+    aggregation doing almost all the work. Merging shards = unionByName
+    + re-groupBy sum (element-wise matrix addition).
+    """
+    from ..operators.mlprep import hash_bucket
+
+    cells = F.array(
+        *[
+            F.struct(
+                F.lit(d).alias("depth"),
+                hash_bucket(col, width, salt=f"{salt}#{d}").alias("bucket"),
+            )
+            for d in range(depth)
+        ]
+    )
+    return (
+        df.select(F.explode(cells).alias("c"))
+        .groupBy(F.col("c.depth").alias("depth"), F.col("c.bucket").alias("bucket"))
+        .agg(F.count("*").alias("n"))
+    )
+
+
+def cms_estimate(
+    sketch: DataFrame,
+    probes: DataFrame,
+    probe_col: str,
+    depth: int = 4,
+    width: int = 256,
+    salt: str = "cms-v1",
+) -> DataFrame:
+    """(probe, est_count) per probe row: min over depths of the probe's
+    bucket counter. The sketch matrix is tiny (d*w rows) — broadcast —
+    so estimation is a map-side join per depth + one groupBy(probe)
+    min, never a shuffle of the probed corpus. An absent (depth,
+    bucket) cell means 0 — the estimate is then exactly 0.
+    """
+    from ..operators.mlprep import hash_bucket
+
+    cells = F.array(
+        *[
+            F.struct(
+                F.lit(d).alias("depth"),
+                hash_bucket(F.col(probe_col), width, salt=f"{salt}#{d}").alias(
+                    "bucket"
+                ),
+            )
+            for d in range(depth)
+        ]
+    )
+    probed = probes.select(probe_col, F.explode(cells).alias("c")).select(
+        probe_col, F.col("c.depth").alias("depth"), F.col("c.bucket").alias("bucket")
+    )
+    joined = probed.join(F.broadcast(sketch), ["depth", "bucket"], "left")
+    return joined.groupBy(probe_col).agg(
+        F.min(F.coalesce(F.col("n"), F.lit(0))).alias("est_count")
+    )
+
+
+def sql_cms_sketch(
+    source_tokens: str,
+    tok_sql: str,
+    depth: int = 4,
+    width: int = 256,
+    salt: str = "cms-v1",
+) -> str:
+    """DuckDB twin of :func:`cms_sketch` (bit-identical matrix)."""
+    from ..operators.mlprep import hash_bucket_sql
+
+    arms = " UNION ALL ".join(
+        f"SELECT {d} AS depth, "
+        f"{hash_bucket_sql(tok_sql, width, salt=f'{salt}#{d}')} AS bucket "
+        f"FROM {source_tokens}"
+        for d in range(depth)
+    )
+    return f"""
+    SELECT depth, bucket, COUNT(*) AS n
+    FROM ({arms})
+    GROUP BY depth, bucket
+    """
 
 
 def sql_kmv_estimate(source: str, col_sql: str, k: int = 64) -> str:

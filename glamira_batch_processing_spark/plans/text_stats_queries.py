@@ -147,3 +147,36 @@ def text_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.lit(1.0) - F.count("*") / F.sum("cnt")).alias("dup_fraction"),
         (F.max("cnt") / F.sum("cnt")).alias("top_fraction"),
     )
+
+
+from ..operators.sketches import cms_estimate, cms_sketch, sql_cms_sketch  # noqa: E402
+
+
+@query(
+    "sketch_countmin_tokens",
+    oracle=f"""
+    WITH tok AS (
+      SELECT unnest(str_split(lower(text), ' ')) AS token FROM documents
+    ),
+    filtered AS (SELECT token FROM tok WHERE token <> '')
+    {sql_cms_sketch("filtered", "token", depth=4, width=256)}
+    """,
+)
+def sketch_countmin_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min frequency sketch over the token stream: the full
+    4x256 counter matrix, value-checked cell-by-cell against DuckDB
+    computing the identical md5-derived buckets.
+
+    The frequency twin of sketch_kmv_distinct: state is d*w counters
+    REGARDLESS of vocabulary size, merges across corpus shards by
+    element-wise addition, and the build is one groupBy over a
+    constant key space with map-side combine — at 100 TB the exact
+    (lang, token) count table behind heavy_hitters_by_lang keeps
+    vocabulary-sized state, while this keeps 1 KB-scale state with a
+    provable overestimate bound of eps*N (eps = e/width) at
+    probability 1 - exp(-depth)."""
+    d = table(spark, sf_dir, "documents")
+    tok = d.select(
+        F.explode(words(F.col("text"))).alias("token")
+    ).filter(F.col("token") != "")
+    return cms_sketch(tok, F.col("token"), depth=4, width=256)

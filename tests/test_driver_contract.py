@@ -79,7 +79,7 @@ GATE_FAMILIES: dict[str, tuple[str, ...]] = {
     "chunk_pack": ("chunk_token_windows", "pack_sequences"),
     "decontaminate": ("decontaminate_benchmark_overlap",),
     "heavy_hitters": ("heavy_hitters_by_lang",),
-    "sketch": ("sketch_kmv_distinct",),
+    "sketch": ("sketch_kmv_distinct", "sketch_countmin_tokens"),
     "column_profile": ("stats_column_profile",),
     "histogram": ("stats_histogram", "stats_percentiles"),
     "zorder": ("zorder_key_orders",),

@@ -703,3 +703,41 @@ def test_asof_broadcast_matches_window_form(spark):
     assert a == b
     got = {r[0]: r[3] for r in b}
     assert got == {1: 1.0, 2: 2.0, 3: None, 4: 3.0, 5: 9.0, 6: None, 7: 1.0}
+
+
+def test_countmin_overestimates_and_merges(spark):
+    """Count-Min guarantees: est >= true count for every item; shard
+    sketches merge by element-wise addition into exactly the whole-
+    corpus sketch; estimation never shuffles the probed corpus."""
+    from glamira_batch_processing_spark.operators.sketches import (
+        cms_estimate,
+        cms_sketch,
+    )
+
+    rows = [(i, f"tok{i % 37}") for i in range(3000)]
+    df = spark.createDataFrame(rows, "id long, token string")
+    sk = cms_sketch(df, F.col("token"), depth=4, width=64)
+
+    truth = {r.token: r.n for r in df.groupBy("token").agg(F.count("*").alias("n")).collect()}
+    probes = spark.createDataFrame(
+        [(t,) for t in list(truth) + ["never-seen-a", "never-seen-b"]], "token string"
+    )
+    est = {r.token: r.est_count for r in cms_estimate(sk, probes, "token", depth=4, width=64).collect()}
+    for t, n in truth.items():
+        assert est[t] >= n, (t, est[t], n)
+    assert est["never-seen-a"] >= 0 and est["never-seen-b"] >= 0
+    # total overestimate is bounded in aggregate: matrix mass per depth
+    # equals the stream length, so avg estimate error is small
+    assert sum(est[t] for t in truth) <= sum(truth.values()) * 2
+
+    # mergeability: shard sketches add up to the whole-corpus sketch
+    s1 = cms_sketch(df.filter(F.col("id") % 2 == 0), F.col("token"), depth=4, width=64)
+    s2 = cms_sketch(df.filter(F.col("id") % 2 == 1), F.col("token"), depth=4, width=64)
+    merged = (
+        s1.unionByName(s2)
+        .groupBy("depth", "bucket")
+        .agg(F.sum("n").alias("n"))
+    )
+    whole = {(r.depth, r.bucket): r.n for r in sk.collect()}
+    got = {(r.depth, r.bucket): r.n for r in merged.collect()}
+    assert got == whole
