@@ -236,3 +236,37 @@ def test_asof_broadcast_left_branch_has_no_exchange(spark):
     assert plan.count("Exchange hashpartitioning") <= 2, plan
     streamed = plan.split("BroadcastHashJoin")[1].split("BroadcastExchange")[0]
     assert "Exchange" not in streamed, f"events branch shuffled:\n{streamed}"
+
+
+def test_runtime_bloom_filter_injects_for_selective_join(spark):
+    """The session leaves runtime Bloom-filter injection ON (its size
+    thresholds are what gate it): when the probe side is big enough —
+    simulated here by zeroing applicationSideScanSizeThreshold, the
+    condition a 100 TB fact scan meets with default confs — Catalyst
+    must inject a bloom_filter_agg on the selective build side and a
+    might-contain probe into the fact scan, pruning shuffle input at
+    runtime. This is the scale path for selective fact<->dim joins too
+    big to broadcast."""
+    prev_app = spark.conf.get(
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold"
+    )
+    prev_bc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    assert spark.conf.get("spark.sql.optimizer.runtime.bloomFilter.enabled") == "true"
+    spark.conf.set(
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0"
+    )
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        li = table(spark, SF_SMALL, "lineitem")
+        o = table(spark, SF_SMALL, "orders").filter(F.col("o_totalprice") > 500000)
+        j = li.join(o, li.l_orderkey == o.o_orderkey).select(
+            "l_orderkey", "l_quantity", "o_totalprice"
+        )
+        plan = plan_of(j)
+        assert "bloom_filter_agg" in plan, plan
+    finally:
+        spark.conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+            prev_app,
+        )
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev_bc)
