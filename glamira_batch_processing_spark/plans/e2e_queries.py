@@ -221,7 +221,18 @@ def glamira_e2e_order_flatten(spark: SparkSession, sf_dir: str) -> DataFrame:
 def glamira_e2e_revenue_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Flagship rollup (ref: the mart_fact_order -> revenue-by-geo-month
     path, SURVEY §7.3): parse messy prices, join dims, aggregate revenue
-    by nation x month in exact decimal."""
+    by nation x month in exact decimal.
+
+    Shape: lineitem pre-aggregates to per-order (units, item count)
+    BEFORE the dim joins. At sf0.1 this is timing-neutral (all three
+    joins broadcast either way; profiled 2026-08: scan 0.23 s, price
+    synth +0.25 s, parse +0.4 s, joins+agg 1.0 s — the plan is minimal,
+    the rest is genuine string workload both engines pay). At cluster
+    scale, where orders cannot broadcast, the pre-agg is the win: the
+    orderkey exchange carries one combined row per order instead of
+    every line item (~4x fewer rows), and the agg's hash partitioning
+    is reused by the join exchange on the same key.
+    """
     li = table(spark, sf_dir, "lineitem")
     ok, ln = F.col("l_orderkey"), F.col("l_linenumber")
     base = F.col("l_extendedprice").cast("decimal(12,2)").cast("string")
@@ -234,18 +245,25 @@ def glamira_e2e_revenue_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # exact 1e-4-dollar units on longs (the 4dp parse is exact, so the
     # scale shift is lossless); integer multiply/sum replaces per-row
     # decimal math with the same bit-exact result
-    parsed = li.select(
-        "l_orderkey",
-        (
-            F.col("l_quantity").cast("long")
-            * (parse_localized_number(price_raw, 18, 4) * 10000).cast("long")
-        ).alias("line_units"),
+    per_order = (
+        li.select(
+            "l_orderkey",
+            (
+                F.col("l_quantity").cast("long")
+                * (parse_localized_number(price_raw, 18, 4) * 10000).cast("long")
+            ).alias("line_units"),
+        )
+        .groupBy("l_orderkey")
+        .agg(
+            F.sum(F.col("line_units").cast("decimal(38,0)")).alias("order_units"),
+            F.count("*").alias("order_items"),
+        )
     )
     o = table(spark, sf_dir, "orders")
     c = table(spark, sf_dir, "customer")
     n = F.broadcast(table(spark, sf_dir, "nation"))
     return (
-        parsed.join(o, parsed.l_orderkey == o.o_orderkey)
+        per_order.join(o, per_order.l_orderkey == o.o_orderkey)
         .join(c, o.o_custkey == c.c_custkey)
         .join(n, c.c_nationkey == n.n_nationkey)
         .groupBy(
@@ -253,8 +271,7 @@ def glamira_e2e_revenue_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.date_format("o_orderdate", "yyyy-MM").alias("order_month"),
         )
         .agg(
-            (F.sum(F.col("line_units").cast("decimal(38,0)")).cast("double") / 10000)
-            .alias("revenue"),
-            F.count("*").alias("n_items"),
+            (F.sum("order_units").cast("double") / 10000).alias("revenue"),
+            F.sum("order_items").alias("n_items"),
         )
     )
