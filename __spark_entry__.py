@@ -22,6 +22,7 @@ from pyspark.sql import DataFrame, SparkSession
 # Importing the query modules populates the registry.
 from glamira_batch_processing_spark.plans import (  # noqa: F401
     audit_qa_queries,
+    behavior_queries,
     core_queries,
     datapipe_queries,
     e2e_queries,

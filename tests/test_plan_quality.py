@@ -270,3 +270,23 @@ def test_runtime_bloom_filter_injects_for_selective_join(spark):
             prev_app,
         )
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev_bc)
+
+
+def test_tfidf_topk_window_group_limit(spark):
+    """The per-doc top-3 must carry WindowGroupLimit (partial running
+    top-k per partition before the doc_id window sort), so only ~3 rows
+    per (partition, doc) survive into the final exchange."""
+    df = QUERIES["text_tfidf_topterms"](spark, SF_SMALL)
+    assert "WindowGroupLimit" in plan_of(df)
+
+
+def test_funnel_single_event_exchange(spark):
+    """The funnel's stacked running-max windows and the per-user agg all
+    share the user_id partitioning: the events branch must shuffle
+    exactly once (one Exchange on user_id, plus the single-partition
+    exchange for the final scalar rollup), never once per funnel
+    stage."""
+    df = QUERIES["funnel_view_click_purchase"](spark, SF_SMALL)
+    plan = plan_of(df)
+    n_exchange = plan.count("Exchange hashpartitioning")
+    assert n_exchange == 1, f"expected 1 hash exchange, plan has {n_exchange}"
