@@ -9,7 +9,7 @@ engines (see `operators/mlprep.py` module docstring).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..operators.components import connected_components
@@ -557,3 +557,158 @@ def datapipe_e2e_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
     tests/test_mlprep.py::test_datapipe_e2e_fast_matches_md5_variant,
     where both hash families produce identical candidate sets."""
     return _datapipe_pipeline(spark, sf_dir, lsh_candidate_pairs_fast)
+
+
+# ---------------------------------------------------------------------------
+# Domain-mix resampling: deterministic waterfilling to target weights.
+# ---------------------------------------------------------------------------
+
+#: Target mixing weights: the first five sources get double share —
+#: the "upsample curated domains, downsample the crawl" move every
+#: training-mix spec makes. Sources absent from the map get weight 1.
+_MIX_WEIGHTS = {"src0": 2, "src1": 2, "src2": 2, "src3": 2, "src4": 2}
+
+_MIX_WEIGHT_SQL = (
+    "CASE WHEN source IN ('src0','src1','src2','src3','src4') THEN 2 ELSE 1 END"
+)
+
+
+@query(
+    "mix_resample_sources",
+    oracle=f"""
+    WITH weighted AS (
+      SELECT source, COUNT(*) AS n_docs,
+             {_MIX_WEIGHT_SQL} AS w
+      FROM documents GROUP BY source
+    ),
+    m AS (SELECT MIN(n_docs // w) AS units FROM weighted),
+    quota AS (
+      SELECT source, n_docs, w * (SELECT units FROM m) AS keep_quota
+      FROM weighted
+    ),
+    ranked AS (
+      SELECT d.source, d.doc_id,
+             row_number() OVER (
+               PARTITION BY d.source
+               ORDER BY md5(CAST(d.doc_id AS VARCHAR) || 'mix-v1'), d.doc_id
+             ) AS rk
+      FROM documents d
+    )
+    SELECT q.source, q.n_docs,
+           CAST(q.keep_quota AS BIGINT) AS n_kept,
+           k.min_kept_doc, k.max_kept_doc
+    FROM quota q
+    JOIN (SELECT r.source, MIN(r.doc_id) AS min_kept_doc,
+                 MAX(r.doc_id) AS max_kept_doc
+          FROM ranked r JOIN quota q2 ON r.source = q2.source
+          WHERE r.rk <= q2.keep_quota GROUP BY r.source) k
+      USING (source)
+    """,
+)
+def mix_resample_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resample the corpus to target per-source mixing weights without
+    replacement — the data-mixing pass of a training run ("2x the
+    curated domains, 1x the crawl").
+
+    Waterfilling: units = min over sources of floor(n_docs / weight);
+    each source keeps exactly weight * units docs, so the kept corpus
+    hits the target ratio EXACTLY and is as large as feasible. Which
+    docs survive is a deterministic per-source md5 rank (stable under
+    reruns, partitioning, and corpus append order — same discipline as
+    hash_split). Scale: one map-side-combinable count per source, a
+    broadcast of the tiny quota table, and a per-source rank window;
+    the kept-set filter is WindowGroupLimit-shaped when quotas are
+    small. The verification join recomputes each source's kept count
+    from the actual ranked rows, so the oracle checks the sample
+    itself, not just the arithmetic."""
+    docs = table(spark, sf_dir, "documents")
+    w_expr = F.when(
+        F.col("source").isin(*_MIX_WEIGHTS), F.lit(2)
+    ).otherwise(F.lit(1))
+    weighted = docs.groupBy("source").agg(F.count("*").alias("n_docs")).select(
+        "*", w_expr.alias("w")
+    )
+    units = weighted.agg(
+        F.min(F.floor(F.col("n_docs") / F.col("w"))).alias("units")
+    )
+    quota = weighted.crossJoin(F.broadcast(units)).select(
+        "source", "n_docs", (F.col("w") * F.col("units")).alias("keep_quota")
+    )
+    rank_w = Window.partitionBy("source").orderBy(
+        F.md5(F.concat(F.col("doc_id").cast("string"), F.lit("mix-v1"))),
+        F.col("doc_id"),
+    )
+    ranked = docs.select("source", "doc_id").withColumn(
+        "rk", F.row_number().over(rank_w)
+    )
+    kept = (
+        ranked.join(F.broadcast(quota.select("source", "keep_quota")), "source")
+        .filter(F.col("rk") <= F.col("keep_quota"))
+        .groupBy("source")
+        .agg(
+            F.min("doc_id").alias("min_kept_doc"),
+            F.max("doc_id").alias("max_kept_doc"),
+        )
+    )
+    return quota.join(kept, "source").select(
+        "source",
+        "n_docs",
+        F.col("keep_quota").cast("long").alias("n_kept"),
+        "min_kept_doc",
+        "max_kept_doc",
+    )
+
+
+# ---------------------------------------------------------------------------
+# Winsorization: percentile-clipped outlier accounting.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "winsorize_outlier_counts",
+    oracle="""
+    WITH bounds AS (
+      SELECT event_type,
+             quantile_disc(value, 0.01) AS p01,
+             quantile_disc(value, 0.99) AS p99
+      FROM events GROUP BY event_type
+    )
+    SELECT e.event_type,
+           COUNT(*) AS n_total,
+           CAST(SUM(CASE WHEN e.value < b.p01 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_below,
+           CAST(SUM(CASE WHEN e.value > b.p99 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_above,
+           b.p01, b.p99
+    FROM events e JOIN bounds b USING (event_type)
+    GROUP BY e.event_type, b.p01, b.p99
+    """,
+)
+def winsorize_outlier_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Percentile-based outlier accounting per event type: exact
+    discrete p01/p99 bounds (percentile_disc SELECTS an input element,
+    so the bound is engine-bit-exact — no interpolation), broadcast
+    back onto the stream, and integer clip counts. The feature-prep
+    winsorization pass with the audit numbers a clipping run reports.
+    Scale: the bounds table is #event_types rows (broadcast); the count
+    agg is map-side combinable; the percentile itself is the only sort,
+    scoped per event_type."""
+    e = table(spark, sf_dir, "events")
+    bounds = e.groupBy("event_type").agg(
+        F.expr("percentile_disc(0.01) WITHIN GROUP (ORDER BY value)").alias("p01"),
+        F.expr("percentile_disc(0.99) WITHIN GROUP (ORDER BY value)").alias("p99"),
+    )
+    return (
+        e.join(F.broadcast(bounds), "event_type")
+        .groupBy("event_type", "p01", "p99")
+        .agg(
+            F.count("*").alias("n_total"),
+            F.sum(F.when(F.col("value") < F.col("p01"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_below"),
+            F.sum(F.when(F.col("value") > F.col("p99"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_above"),
+        )
+        .select("event_type", "n_total", "n_below", "n_above", "p01", "p99")
+    )
