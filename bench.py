@@ -47,6 +47,8 @@ HEADLINE = [
     "text_quality_score",
     "pii_redact",
     "chunk_token_windows",
+    "text_tfidf_topterms",
+    "funnel_view_click_purchase",
 ]
 
 

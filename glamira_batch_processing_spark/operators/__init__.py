@@ -7,6 +7,7 @@ the reference lacks.
 """
 
 from .asof import asof_join
+from .behavior import funnel_counts, funnel_user_flags
 from .audit import column_profile, null_rates, orphan_rates, qa_flags
 from .dedup import (
     doc_shingles,
@@ -31,12 +32,21 @@ from .similarity import (
     ivf_search_np,
     norm,
 )
-from .sketches import cms_estimate, cms_sketch, kmv_estimate, kmv_sketch
+from .sketches import (
+    cms_estimate,
+    cms_sketch,
+    hll_estimate,
+    hll_sketch,
+    kmv_estimate,
+    kmv_sketch,
+)
 from .skew import salted_agg, with_salt
 from .windows import dedupe_latest, rank_dedupe, scd2_apply, scd2_from_history
 
 __all__ = [
     "asof_join",
+    "funnel_counts",
+    "funnel_user_flags",
     "null_rates",
     "column_profile",
     "orphan_rates",

@@ -1,11 +1,18 @@
-"""Deterministic sketches: K-Minimum-Values (distinct count) and
-Count-Min (frequency).
+"""Deterministic sketches: K-Minimum-Values + HyperLogLog (distinct
+count) and Count-Min (frequency).
 
 KMV: a distinct-count estimator whose state is the k smallest hash
 values of the distinct items: estimate = (k-1) / kth_min_fraction.
-Unlike HyperLogLog (whose register layout is engine-specific), KMV
-over md5 hex strings is exactly reproducible in any SQL engine — so
-the sketch itself can be oracle-checked, not just its error bound.
+KMV over md5 hex strings is exactly reproducible in any SQL engine —
+so the sketch itself can be oracle-checked, not just its error bound.
+
+HLL: the classic register sketch, made engine-portable the same way —
+register index and rho both derive from md5 bits via integer/string
+ops both engines evaluate identically (see hll_sketch), so the full
+register state is cell-exact under a SQL oracle. Constant state (m
+registers), max-semilattice merge: the right distinct-counter when
+streams/shards must merge without rescanning (KMV merges too, but HLL
+registers are idempotent under replay).
 
 Count-Min: a fixed-size d x w counter matrix; item frequency is
 over-estimated as min over d rows of counter[row][hash_row(item)].
@@ -169,3 +176,70 @@ def sql_kmv_estimate(source: str, col_sql: str, k: int = 64) -> str:
            (COUNT(*) - 1) / max(f) AS estimated_distinct
     FROM fr
     """
+
+
+# ---------------------------------------------------------------------------
+# HyperLogLog registers (cell-exact, engine-portable).
+# ---------------------------------------------------------------------------
+
+
+def hll_sketch(
+    df: DataFrame,
+    col: Column,
+    m: int = 64,
+    salt: str = "hll-v1",
+) -> DataFrame:
+    """HyperLogLog register state: (register, max_rho) rows.
+
+    Register index = 16 md5 bits mod m (exact-uniform when m divides
+    2^16); rho = leading-zero count of the next 48 md5 bits + 1,
+    computed as ``49 - length(bin(x))`` — both engines render bin()
+    without leading zeros, so the register state is cell-exact across
+    Spark and DuckDB with no float anywhere. One groupBy shuffle whose
+    key space is m constants (map-side combine does almost all work);
+    merging shards or streaming micro-batches = unionByName +
+    re-groupBy max (registers are a max-semilattice, so the merge is
+    associative, commutative, idempotent — retry/speculation safe).
+    """
+    h = F.md5(F.concat(col.cast("string"), F.lit(salt)))
+    idx = (F.conv(F.substring(h, 1, 4), 16, 10).cast("long") % m).cast("int")
+    x = F.conv(F.substring(h, 5, 12), 16, 10).cast("long")
+    rho = F.when(x == 0, F.lit(49)).otherwise(49 - F.length(F.bin(x))).cast("int")
+    return (
+        df.select(idx.alias("register"), rho.alias("rho"))
+        .groupBy("register")
+        .agg(F.max("rho").alias("max_rho"))
+    )
+
+
+def sql_hll_sketch(source: str, col_sql: str, m: int = 64, salt: str = "hll-v1") -> str:
+    """DuckDB rendering of :func:`hll_sketch` (for oracle SQL)."""
+    h = f"md5(CAST({col_sql} AS VARCHAR) || '{salt}')"
+    idx = f"CAST(CAST('0x' || substr({h}, 1, 4) AS BIGINT) % {m} AS INTEGER)"
+    x = f"CAST('0x' || substr({h}, 5, 12) AS BIGINT)"
+    rho = f"CAST(CASE WHEN {x} = 0 THEN 49 ELSE 49 - length(bin({x})) END AS INTEGER)"
+    return f"""
+    SELECT {idx} AS register, MAX({rho}) AS max_rho
+    FROM {source}
+    GROUP BY 1
+    """
+
+
+def hll_estimate(registers: list[tuple[int, int]], m: int = 64) -> float:
+    """Driver-side estimate from collected (register, max_rho) rows.
+
+    Raw HLL: alpha_m * m^2 / sum(2^-M_j), with the standard small-range
+    linear-counting correction. The denominator is computed as the
+    EXACT integer sum of 2^(49 - M_j) scaled by 2^-49, so the estimate
+    is a deterministic function of the register state.
+    """
+    filled = dict(registers)
+    zeros = m - len(filled)
+    denom_int = sum(1 << (49 - rho) for rho in filled.values()) + zeros * (1 << 49)
+    alpha = 0.709 if m >= 128 else {16: 0.673, 32: 0.697, 64: 0.709}.get(m, 0.7213 / (1 + 1.079 / m))
+    raw = alpha * m * m / (denom_int * 2.0 ** -49)
+    if raw <= 2.5 * m and zeros > 0:
+        import math
+
+        return m * math.log(m / zeros)
+    return raw

@@ -74,44 +74,18 @@ def funnel_view_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-user max and a scalar rollup. At 100 TB the widest shuffle
     carries one row per event exactly once.
     """
+    from ..operators.behavior import funnel_user_flags
+
     e = table(spark, sf_dir, "events")
-    w = (
-        Window.partitionBy("user_id")
-        .orderBy("ts", "event_id")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    is_view = F.when(F.col("event_type") == "view", 1).otherwise(0)
-    is_click = F.when(F.col("event_type") == "click", 1).otherwise(0)
-    is_purchase = F.when(F.col("event_type") == "purchase", 1).otherwise(0)
-    lvl1 = e.select(
-        "user_id",
-        "ts",
-        "event_id",
-        is_view.alias("is_view"),
-        is_click.alias("is_click"),
-        is_purchase.alias("is_purchase"),
-        F.max(is_view).over(w).alias("seen_view"),
-    )
-    lvl2 = lvl1.select(
-        "user_id",
-        "is_view",
-        "is_purchase",
-        (F.col("is_click") * F.col("seen_view")).alias("q_click"),
-        F.max(F.col("is_click") * F.col("seen_view")).over(w).alias("seen_q_click"),
-    )
-    per_user = lvl2.groupBy("user_id").agg(
-        F.max("is_view").alias("u_view"),
-        F.max("q_click").alias("u_click"),
-        F.max(F.col("is_purchase") * F.col("seen_q_click")).alias("u_purchase"),
-    )
-    return per_user.agg(
-        F.sum("u_view").cast("long").alias("users_view"),
-        F.sum("u_click").cast("long").alias("users_click_after_view"),
-        F.sum("u_purchase").cast("long").alias("users_purchase_after_click"),
-        (F.sum("u_click").cast("double") / F.sum("u_view")).alias(
+    flags = funnel_user_flags(e, ["view", "click", "purchase"])
+    return flags.agg(
+        F.sum("stage_0").cast("long").alias("users_view"),
+        F.sum("stage_1").cast("long").alias("users_click_after_view"),
+        F.sum("stage_2").cast("long").alias("users_purchase_after_click"),
+        (F.sum("stage_1").cast("double") / F.sum("stage_0")).alias(
             "view_to_click_rate"
         ),
-        (F.sum("u_purchase").cast("double") / F.sum("u_click")).alias(
+        (F.sum("stage_2").cast("double") / F.sum("stage_1")).alias(
             "click_to_purchase_rate"
         ),
     )

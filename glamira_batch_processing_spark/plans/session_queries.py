@@ -5,7 +5,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..operators.sketches import kmv_estimate, sql_kmv_estimate
+from ..operators.sketches import hll_sketch, kmv_estimate, sql_hll_sketch, sql_kmv_estimate
 from ..streaming.sessionize import sessionize_batch
 from .registry import query, table
 
@@ -108,3 +108,19 @@ def sketch_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     itself, not just its error)."""
     e = table(spark, sf_dir, "events")
     return kmv_estimate(e, F.col("user_id"), k=64)
+
+
+@query(
+    "sketch_hll_registers",
+    oracle=sql_hll_sketch("events", "event_id", m=64),
+)
+def sketch_hll_registers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog register state over events.event_id, cell-exact vs
+    the DuckDB oracle (both engines derive register index and rho from
+    the same md5 bits with integer/string ops — see
+    operators/sketches.py::hll_sketch). Constant m=64-register state,
+    one map-side-combinable groupBy; merge across shards/micro-batches
+    is element-wise max (idempotent, so replay-safe). The estimate
+    quality and merge law are pinned in tests/test_operators.py."""
+    e = table(spark, sf_dir, "events")
+    return hll_sketch(e, F.col("event_id"), m=64)

@@ -53,6 +53,8 @@ MEASURED = [
     "chunk_token_windows",
     "heavy_hitters_by_lang",
     "text_langid",
+    "text_tfidf_topterms",
+    "funnel_view_click_purchase",
 ]
 
 

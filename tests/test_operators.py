@@ -741,3 +741,31 @@ def test_countmin_overestimates_and_merges(spark):
     whole = {(r.depth, r.bucket): r.n for r in sk.collect()}
     got = {(r.depth, r.bucket): r.n for r in merged.collect()}
     assert got == whole
+
+
+def test_hll_estimate_within_bound(spark):
+    from glamira_batch_processing_spark.operators.sketches import (
+        hll_estimate,
+        hll_sketch,
+    )
+
+    sk = hll_sketch(spark.range(5000), F.col("id"), m=64)
+    est = hll_estimate([(r.register, r.max_rho) for r in sk.collect()], m=64)
+    # m=64 -> relative error ~1.04/sqrt(64) = 13%; 3 sigma bound
+    assert abs(est - 5000) / 5000 < 0.4, est
+
+
+def test_hll_shard_merge_is_elementwise_max(spark):
+    from glamira_batch_processing_spark.operators.sketches import hll_sketch
+
+    full = hll_sketch(spark.range(5000), F.col("id"), m=64)
+    a = hll_sketch(spark.range(0, 3000), F.col("id"), m=64)
+    b = hll_sketch(spark.range(2000, 5000), F.col("id"), m=64)
+    merged = (
+        a.unionByName(b)
+        .groupBy("register")
+        .agg(F.max("max_rho").alias("max_rho"))
+    )
+    assert sorted((r.register, r.max_rho) for r in merged.collect()) == sorted(
+        (r.register, r.max_rho) for r in full.collect()
+    )
