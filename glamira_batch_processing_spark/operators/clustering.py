@@ -91,16 +91,15 @@ def lloyd_step_quantized(
     return assigned.groupBy("cluster_id").agg(*aggs)
 
 
-def sql_lloyd_step(
-    table_sql: str,
+def sql_lloyd_assign_parts(
     centroids: list[list[float]],
     vec_sql: str = "embedding",
-    id_sql: str = "vec_id",
-    n_components: int = 4,
-    scale: int = 1_000_000,
-) -> str:
-    """DuckDB twin of :func:`lloyd_step_quantized` (same literal
-    centroids, same fold order, same quantization)."""
+) -> tuple[str, str]:
+    """(dists-select-list, argmin-CASE) SQL fragments of
+    :func:`lloyd_assign` — the assignment half of the Lloyd twin,
+    reusable by any oracle that needs the engine-exact cluster id
+    (ties -> lower id via strict <, same fold order as the Column
+    expression)."""
 
     def sq_dist(cent: list[float]) -> str:
         lit = "[" + ", ".join(repr(x) for x in cent) + "]"
@@ -113,7 +112,6 @@ def sql_lloyd_step(
     dists = ",\n        ".join(
         f"{sq_dist(c)} AS d{j}" for j, c in enumerate(centroids)
     )
-    # argmin with ties -> lower id, mirroring lloyd_assign's strict <
     assign = "CASE"
     for j in range(len(centroids)):
         others = " AND ".join(
@@ -123,6 +121,20 @@ def sql_lloyd_step(
         )
         assign += f" WHEN {others} THEN {j}"
     assign += " END"
+    return dists, assign
+
+
+def sql_lloyd_step(
+    table_sql: str,
+    centroids: list[list[float]],
+    vec_sql: str = "embedding",
+    id_sql: str = "vec_id",
+    n_components: int = 4,
+    scale: int = 1_000_000,
+) -> str:
+    """DuckDB twin of :func:`lloyd_step_quantized` (same literal
+    centroids, same fold order, same quantization)."""
+    dists, assign = sql_lloyd_assign_parts(centroids, vec_sql)
     # outer CAST: DuckDB's SUM(BIGINT) widens to HUGEINT, which its
     # pandas bridge renders as float — pin back to BIGINT
     qsums = ",\n      ".join(

@@ -475,3 +475,61 @@ def u1_union_all(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderkey", F.lit("urgent").alias("bucket")
     )
     return high.unionByName(urgent)
+
+
+@query(
+    "q3_shipping_priority",
+    oracle="""
+    WITH c AS (
+      SELECT l.l_orderkey,
+             CAST(floor(l.l_extendedprice*100 + 0.5) AS BIGINT) AS price_c,
+             CAST(floor(l.l_discount*100 + 0.5) AS BIGINT) AS disc_c,
+             o.o_orderdate
+      FROM customer cu
+      JOIN orders o ON cu.c_custkey = o.o_custkey
+      JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+      WHERE cu.c_mktsegment = 'BUILDING'
+        AND CAST(o.o_orderdate AS DATE) < DATE '1998-06-15'
+        AND CAST(l.l_shipdate AS DATE) > DATE '1998-06-15'
+    )
+    SELECT l_orderkey,
+           CAST(SUM(price_c*(100-disc_c)) AS DOUBLE)/10000 AS revenue,
+           strftime(o_orderdate, '%Y-%m-%d') AS order_date
+    FROM c
+    GROUP BY l_orderkey, o_orderdate
+    ORDER BY revenue DESC, order_date, l_orderkey
+    LIMIT 10
+    """,
+)
+def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape: selective dimension filter driving a star join,
+    exact-decimal revenue agg, top-10. The filtered BUILDING customers
+    broadcast into orders; the date predicates push to both parquet
+    scans; the limit plans as TakeOrderedAndProject (per-partition
+    heap, 10-row driver merge) — the canonical 'selective star join'
+    every warehouse runs, here with the module's integer-cents money
+    math so the ordering key is engine-exact."""
+    cu = table(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    o = table(spark, sf_dir, "orders").filter(
+        F.to_date("o_orderdate") < F.lit("1998-06-15").cast("date")
+    )
+    l = table(spark, sf_dir, "lineitem").filter(
+        F.to_date("l_shipdate") > F.lit("1998-06-15").cast("date")
+    )
+    price_c = cents(F.col("l_extendedprice"))
+    disc_c = cents(F.col("l_discount"))
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(cu), o.o_custkey == cu.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate")
+        .agg(F.sum(_dec38(price_c * (100 - disc_c))).alias("rev_units"))
+        .select(
+            "l_orderkey",
+            (F.col("rev_units").cast("double") / 10000).alias("revenue"),
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("order_date"),
+        )
+        .orderBy(F.desc("revenue"), "order_date", "l_orderkey")
+        .limit(10)
+    )

@@ -500,8 +500,10 @@ def ann_ivf_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 from ..operators.clustering import (  # noqa: E402
+    lloyd_assign,
     lloyd_step_quantized,
     seed_centroids,
+    sql_lloyd_assign_parts,
     sql_lloyd_step,
 )
 
@@ -834,3 +836,57 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = with_text_payload(table(spark, sf_dir, "documents"))
     frames = sample_frames(d, frame_size=32, stride=96)
     return frames.select("doc_id", "frame_index", "frame_checksum")
+
+
+_PURITY_DISTS, _PURITY_ASSIGN = sql_lloyd_assign_parts(_KMEANS_CENTS)
+
+
+@query(
+    "cluster_label_purity",
+    oracle=f"""
+    WITH dists AS (
+      SELECT vec_id, label, embedding,
+        {_PURITY_DISTS}
+      FROM embeddings
+    ),
+    assigned AS (
+      SELECT {_PURITY_ASSIGN} AS cluster_id, label FROM dists
+    ),
+    contingency AS (
+      SELECT cluster_id, label, COUNT(*) AS n
+      FROM assigned GROUP BY 1, 2
+    )
+    SELECT cluster_id, label, n,
+           CAST(SUM(n) OVER (PARTITION BY cluster_id) AS BIGINT)
+             AS cluster_total,
+           CAST(MAX(n) OVER (PARTITION BY cluster_id) AS DOUBLE)
+             / SUM(n) OVER (PARTITION BY cluster_id) AS purity
+    FROM contingency
+    """,
+)
+def cluster_label_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-evaluation metric: the contingency matrix of engine-exact
+    Lloyd assignments (the 8 literal seed centroids) against the
+    embeddings' ground-truth labels, with per-cluster purity =
+    majority-label share (one IEEE division of exact counts). The
+    unsupervised-quality gate a training pipeline runs after clustering
+    — did the structure we clustered match the labels we trust?
+    Scale: assignment is a scan-fused Column fold (zero shuffle), the
+    contingency agg map-side combines to k x #labels rows, and the
+    purity windows run over that tiny matrix."""
+    e = table(spark, sf_dir, "embeddings")
+    assigned = e.select(
+        lloyd_assign(F.col("embedding"), _KMEANS_CENTS).alias("cluster_id"),
+        "label",
+    )
+    contingency = assigned.groupBy("cluster_id", "label").agg(
+        F.count("*").alias("n")
+    )
+    wc = Window.partitionBy("cluster_id")
+    return contingency.select(
+        "cluster_id",
+        "label",
+        "n",
+        F.sum("n").over(wc).cast("long").alias("cluster_total"),
+        (F.max("n").over(wc).cast("double") / F.sum("n").over(wc)).alias("purity"),
+    )

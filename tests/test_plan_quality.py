@@ -290,3 +290,23 @@ def test_funnel_single_event_exchange(spark):
     plan = plan_of(df)
     n_exchange = plan.count("Exchange hashpartitioning")
     assert n_exchange == 1, f"expected 1 hash exchange, plan has {n_exchange}"
+
+
+def test_q3_star_join_plan(spark):
+    """Q3: filtered customers broadcast, date filters pushed to the
+    orders/lineitem scans, top-10 via TakeOrderedAndProject."""
+    df = QUERIES["q3_shipping_priority"](spark, SF_SMALL)
+    plan = plan_of(df)
+    assert "TakeOrderedAndProject" in plan
+    assert "BroadcastHashJoin" in plan
+    assert "PushedFilters" in plan and "IsNotNull" in plan
+
+
+def test_cluster_purity_assignment_fused_in_scan(spark):
+    """The Lloyd assignment must be a scan-fused projection: exactly one
+    hash exchange (the contingency groupBy) before the tiny purity
+    windows — no join, no extra shuffle for the assignment itself."""
+    df = QUERIES["cluster_label_purity"](spark, SF_SMALL)
+    plan = plan_of(df)
+    assert "Join" not in plan
+    assert plan.count("Exchange hashpartitioning") <= 2  # agg + window part.
