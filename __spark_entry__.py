@@ -33,6 +33,7 @@ from glamira_batch_processing_spark.plans import (  # noqa: F401
     scalar_queries,
     session_queries,
     text_stats_queries,
+    timeseries_queries,
     window_frame_queries,
     window_queries,
 )
