@@ -423,3 +423,60 @@ def range_lookup_ip_geo(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     j = range_lookup_join(points, ranges, "ip", "range_start", "range_end", bucket_width=256)
     return j.select("c_custkey", "ip", "range_key", "geo_key")
+
+
+@query(
+    "stats_correlation",
+    oracle="""
+    WITH c AS (
+      SELECT CAST(floor(l_extendedprice*100 + 0.5) AS BIGINT) AS x,
+             CAST(floor(l_discount*100 + 0.5) AS BIGINT) AS y
+      FROM lineitem
+    ),
+    sums AS (
+      SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+             CAST(SUM(x) AS DOUBLE) AS sx,
+             CAST(SUM(y) AS DOUBLE) AS sy,
+             CAST(SUM(x*x) AS DOUBLE) AS sxx,
+             CAST(SUM(y*y) AS DOUBLE) AS syy,
+             CAST(SUM(x*y) AS DOUBLE) AS sxy
+      FROM c
+    )
+    SELECT CAST(n AS BIGINT) AS n_rows,
+           (n * sxy - sx * sy)
+             / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy))
+             AS corr_price_discount
+    FROM sums
+    """,
+)
+def stats_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson correlation of price vs discount from EXACT integer
+    sums: the five moments accumulate as integer cents products in a
+    decimal(38,0) accumulator (Spark) / HUGEINT (DuckDB) — both exact —
+    then one identical double expression tree combines them, so the
+    result is engine-bit-exact where the engines' native corr()
+    (Welford-style streaming accumulators, summation-order dependent)
+    is not. One map-side-combinable aggregate pass at any scale;
+    nothing shuffles but six partial sums per partition."""
+    from .core_queries import _dec38, cents
+
+    l = table(spark, sf_dir, "lineitem")
+    x = cents(F.col("l_extendedprice"))
+    y = cents(F.col("l_discount"))
+    sums = l.agg(
+        F.count("*").cast("double").alias("n"),
+        F.sum(_dec38(x)).cast("double").alias("sx"),
+        F.sum(_dec38(y)).cast("double").alias("sy"),
+        F.sum(_dec38(x * x)).cast("double").alias("sxx"),
+        F.sum(_dec38(y * y)).cast("double").alias("syy"),
+        F.sum(_dec38(x * y)).cast("double").alias("sxy"),
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    sxx, syy, sxy = F.col("sxx"), F.col("syy"), F.col("sxy")
+    return sums.select(
+        n.cast("long").alias("n_rows"),
+        (
+            (n * sxy - sx * sy)
+            / (F.sqrt(n * sxx - sx * sx) * F.sqrt(n * syy - sy * sy))
+        ).alias("corr_price_discount"),
+    )
