@@ -64,3 +64,78 @@ def merge_upsert(
         .filter(F.col("__rn") == 1)
         .drop("__rn", "__pri")
     )
+
+
+def maintain_sum_agg(
+    mat: DataFrame,
+    cdc: DataFrame,
+    group_keys: list[str],
+    sum_cols: list[str],
+    count_col: str = "n_rows",
+) -> DataFrame:
+    """Incremental view maintenance for a sum/count rollup.
+
+    ``mat`` is the current materialized aggregate (``group_keys`` +
+    one exact-typed sum per ``sum_cols`` + ``count_col``); ``cdc`` is
+    ``VersionedTable.diff(..., with_old=True)`` at the fact grain with
+    the group keys present as columns. Returns the aggregate of the
+    NEW snapshot without rescanning it: per-group deltas (+new for
+    inserts, new-old for updates, -old for deletes) merge into ``mat``
+    via a full-outer key join; groups whose row count reaches zero drop
+    out entirely.
+
+    Exactness requires integer/decimal sum columns (double sums would
+    re-associate); cost is one map-side-combinable agg over the CHANGED
+    rows plus a join on the (usually tiny) group-key space — the
+    materialized-view refresh a warehouse runs per micro-batch instead
+    of a full rescan.
+
+    Group-moving updates are handled correctly: every change explodes
+    into a "+new contribution under the NEW group keys" row and a
+    "-old contribution under the OLD group keys" row (diff emits
+    ``old_<col>`` for updated value columns; a group key that is also a
+    merge key cannot change, so its old value is itself). When a row
+    stays in its group the two sides land in the same group and net.
+    """
+    ct = F.col("change_type")
+
+    def old_key(k: str) -> F.Column:
+        if f"old_{k}" in cdc.columns:
+            # delete rows carry the old value in the column itself
+            return F.when(ct == "delete", F.col(k)).otherwise(F.col(f"old_{k}"))
+        return F.col(k)
+
+    def old_val(c: str) -> F.Column:
+        return F.when(ct == "delete", F.col(c)).otherwise(F.col(f"old_{c}"))
+
+    plus = cdc.filter(ct != "delete").select(
+        *[F.col(k).alias(k) for k in group_keys],
+        *[F.col(c).alias(f"__c_{c}") for c in sum_cols],
+        F.lit(1).alias("__c_n"),
+    )
+    minus = cdc.filter(ct != "insert").select(
+        *[old_key(k).alias(k) for k in group_keys],
+        *[(-old_val(c)).alias(f"__c_{c}") for c in sum_cols],
+        F.lit(-1).alias("__c_n"),
+    )
+    deltas = (
+        plus.unionByName(minus)
+        .groupBy(*group_keys)
+        .agg(
+            *[F.sum(f"__c_{c}").alias(f"__d_{c}") for c in sum_cols],
+            F.sum("__c_n").alias("__d_n"),
+        )
+    )
+    joined = mat.join(deltas, group_keys, "full_outer")
+    zero = F.lit(0)
+    merged = joined.select(
+        *group_keys,
+        *[
+            (F.coalesce(F.col(c), zero) + F.coalesce(F.col(f"__d_{c}"), zero)).alias(c)
+            for c in sum_cols
+        ],
+        (
+            F.coalesce(F.col(count_col), zero) + F.coalesce(F.col("__d_n"), zero)
+        ).alias(count_col),
+    )
+    return merged.filter(F.col(count_col) > 0)

@@ -197,6 +197,7 @@ class VersionedTable:
         v_from: int,
         v_to: int,
         keys: list[str],
+        with_old: bool = False,
     ) -> DataFrame:
         """Change-data-feed between two snapshots: one row per changed
         key with ``change_type`` in {insert, update, delete}.
@@ -205,7 +206,11 @@ class VersionedTable:
         no change log needs to be written on the ingest path, and the
         join shuffles only the two snapshots on their merge keys (the
         same partitioning MERGE itself used). Values are the new row's
-        for insert/update and the old row's for delete.
+        for insert/update and the old row's for delete. With
+        ``with_old=True`` every value column is additionally emitted as
+        ``old_<col>`` (NULL for inserts) — the form downstream
+        incremental aggregate maintenance needs to subtract the old
+        contribution (see operators/incremental.py::maintain_sum_agg).
         """
         from pyspark.sql import functions as F
 
@@ -227,6 +232,11 @@ class VersionedTable:
             .when(~F.col("__new").eqNullSafe(F.col("__old")), F.lit("update"))
         )
         picked = F.coalesce(F.col("__new"), F.col("__old"))
+        old_cols = (
+            [F.col("__old").getField(c).alias(f"old_{c}") for c in value_cols]
+            if with_old
+            else []
+        )
         return (
             j.withColumn("change_type", change)
             .filter(F.col("change_type").isNotNull())
@@ -234,6 +244,7 @@ class VersionedTable:
                 *[F.col(f"__k_{k}").alias(k) for k in keys],
                 "change_type",
                 *[picked.getField(c).alias(c) for c in value_cols],
+                *old_cols,
             )
         )
 

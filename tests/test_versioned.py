@@ -173,3 +173,52 @@ def test_merge_tied_order_by_is_deterministic_single_survivor(spark, tmp_path):
     t2.merge(spark, tied.repartition(7), keys=["k"], order_by=[F.desc("ts")], txn_id="b1")
     got2 = {r.k: r.v for r in t2.read(spark).collect()}
     assert got2 == got
+
+
+def test_incremental_agg_maintenance_matches_recompute(spark, tmp_path):
+    """Incremental view maintenance: maintain a (grp -> sum, count)
+    rollup from diff(with_old=True) CDC across a merge (inserts +
+    updates, including a GROUP-MOVING update) and an overwrite that
+    deletes rows; the maintained aggregate must equal a full recompute
+    of each snapshot."""
+    from pyspark.sql import functions as F
+
+    from glamira_batch_processing_spark.operators.incremental import (
+        maintain_sum_agg,
+    )
+
+    def recompute(df):
+        return df.groupBy("grp").agg(
+            F.sum("amount").alias("amount"), F.count("*").alias("n_rows")
+        )
+
+    def as_sorted(df):
+        return sorted(
+            (r.grp, r.amount, r.n_rows)
+            for r in df.select("grp", "amount", "n_rows").collect()
+        )
+
+    t = VersionedTable(tmp_path / "tbl")
+    base = spark.createDataFrame(
+        [(1, "a", 10), (2, "a", 20), (3, "b", 5), (4, "c", 7)],
+        "k long, grp string, amount long",
+    )
+    v0 = t.create(base)
+    mat = recompute(t.read(spark, v0))
+
+    # merge: update k=2 amount, MOVE k=3 from grp b -> c, insert k=5
+    batch = spark.createDataFrame(
+        [(2, "a", 25), (3, "c", 5), (5, "b", 100)],
+        "k long, grp string, amount long",
+    )
+    v1 = t.merge(spark, batch, keys=["k"])
+    cdc1 = t.diff(spark, v0, v1, keys=["k"], with_old=True)
+    mat = maintain_sum_agg(mat, cdc1, ["grp"], ["amount"])
+    assert as_sorted(mat) == as_sorted(recompute(t.read(spark, v1)))
+
+    # overwrite dropping grp 'a' entirely (deletes) — group must vanish
+    v2 = t.overwrite(t.read(spark, v1).filter(F.col("grp") != "a"))
+    cdc2 = t.diff(spark, v1, v2, keys=["k"], with_old=True)
+    mat = maintain_sum_agg(mat, cdc2, ["grp"], ["amount"])
+    assert as_sorted(mat) == as_sorted(recompute(t.read(spark, v2)))
+    assert all(r.grp != "a" for r in mat.collect())
