@@ -53,6 +53,14 @@ from glamira_batch_processing_spark.plans.registry import ORACLE, QUERIES
 #   (quality stats), ann_cosine_topk -> ann_ivf_bucketed (ANN),
 #   pack_sequences -> chunk_token_windows (chunk/pack).
 # Rotated-out names stay covered by pytest test_query_vs_oracle + driver_sim.
+# Round-5 rotation candidates (registered past the window this round,
+# all oracle-green in driver_sim): funnel_view_click_purchase,
+# cohort_retention, text_tfidf_topterms, anomaly_error_spike,
+# event_transition_matrix, mix_resample_sources,
+# winsorize_outlier_counts, sketch_hll_registers, q3_shipping_priority,
+# cluster_label_purity, ohlc_hourly_bars, gapfill_forward_fill,
+# stats_correlation — swap them in for names holding >=2 green rounds
+# once the 11 round-4 rotations have their r4 rows.
 _PRIORITY: list[str] = [
     # Flagships: whole-warehouse DAG (staging -> SCD -> marts -> rollup)
     # and whole-training-data pipeline (quality -> dedup+components ->

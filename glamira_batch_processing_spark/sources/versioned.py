@@ -136,13 +136,16 @@ class VersionedTable:
             raise ValueError(f"table already exists at {self.path}")
         return self._write_version(df, 0, "create")
 
-    def overwrite(self, df: DataFrame) -> int:
+    def overwrite(self, df: DataFrame, operation: str = "overwrite") -> int:
         """Full-replace commit (the WRITE_TRUNCATE analog,
-        ref: ETL/load_to_bigquery.py:73-80)."""
+        ref: ETL/load_to_bigquery.py:73-80). ``operation`` is recorded
+        in the manifest — derived tables use it to note which upstream
+        version this commit reflects (see
+        streaming/joins.py::streaming_materialized_view)."""
         latest = self.latest_version()
         if latest is None:
-            return self.create(df)
-        return self._write_version(df, latest + 1, "overwrite")
+            return self._write_version(df, 0, operation)
+        return self._write_version(df, latest + 1, operation)
 
     def read(self, spark: SparkSession, version: int | None = None) -> DataFrame:
         """Snapshot read: latest (default) or time-travel to ``version``."""

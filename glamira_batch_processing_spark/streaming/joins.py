@@ -160,3 +160,90 @@ def interval_join(
         & (rts >= lts - F.expr(f"INTERVAL {upper}"))
     )
     return l.join(r, cond)
+
+
+def streaming_materialized_view(
+    spark: SparkSession,
+    source_dir: str,
+    base_path: str,
+    view_path: str,
+    checkpoint_dir: str,
+    schema,
+    keys: list[str],
+    order_col: str,
+    group_keys: list[str],
+    sum_cols: list[str],
+    count_col: str = "n_rows",
+) -> int:
+    """Streaming materialized view: each micro-batch MERGEs into the
+    base :class:`VersionedTable`, then refreshes a rollup table
+    INCREMENTALLY from the base's CDC (operators/incremental.py::
+    maintain_sum_agg) — per-batch refresh cost tracks change volume,
+    never base size.
+
+    Crash safety without a two-table transaction: the view's manifest
+    records which base version it reflects (``maintain@<v>``). A crash
+    between the base commit and the view commit leaves the view stale,
+    and the NEXT batch maintains from the RECORDED version — the missed
+    delta replays exactly once. Out-of-band base commits (another
+    writer, a backfill) are folded in the same way, because the diff
+    always spans recorded-version -> base-latest, not just this batch.
+    """
+    from ..operators.incremental import maintain_sum_agg
+    from ..sources.versioned import VersionedTable
+
+    stream = spark.readStream.schema(schema).parquet(source_dir)
+    n_batches = {"n": 0}
+
+    def reflected_version(view: VersionedTable) -> int | None:
+        latest = view.latest_version()
+        if latest is None:
+            return None
+        op = view.manifest(latest)["operation"]
+        return int(op.split("@", 1)[1])
+
+    def refresh(session: SparkSession) -> None:
+        base = VersionedTable(base_path)
+        view = VersionedTable(view_path)
+        v_base = base.latest_version()
+        if v_base is None:
+            return
+        from pyspark.sql import functions as F2
+
+        seen = reflected_version(view)
+        if seen == v_base:
+            return
+        if seen is None:
+            mat = base.read(session, v_base).groupBy(*group_keys).agg(
+                *[F2.sum(c).alias(c) for c in sum_cols],
+                F2.count("*").alias(count_col),
+            )
+        else:
+            cdc = base.diff(session, seen, v_base, keys, with_old=True)
+            mat = maintain_sum_agg(
+                view.read(session), cdc, group_keys, sum_cols, count_col
+            )
+        # localCheckpoint: the new view must be fully computed BEFORE
+        # overwrite commits a version that reads the old view's files.
+        view.overwrite(mat.localCheckpoint(), operation=f"maintain@{v_base}")
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        base = VersionedTable(base_path)
+        base.merge(
+            batch_df.sparkSession,
+            batch_df,
+            keys,
+            order_by=[F.desc(order_col)] if order_col else None,
+            txn_id=f"{checkpoint_dir}#mv-batch:{batch_id}",
+        )
+        refresh(batch_df.sparkSession)
+        n_batches["n"] += 1
+
+    q = (
+        stream.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return n_batches["n"]

@@ -285,3 +285,74 @@ def test_read_json_quarantine(spark, tmp_path):
     assert clean.columns == ["id", "name"]
     bad = {r.value for r in spark.read.text(qdir).collect()}
     assert bad == {"{broken json!!", '["not an object"]'}
+
+
+def test_streaming_materialized_view_incremental_and_self_healing(spark, tmp_path):
+    """Streaming MV: per-batch MERGE into the base VersionedTable +
+    incremental rollup refresh from CDC. The view must equal a full
+    recompute after every run, fold in out-of-band base commits (the
+    recorded maintain@<v> pointer spans them), and group-moving updates
+    must re-attribute correctly."""
+    from pyspark.sql import functions as F
+
+    from glamira_batch_processing_spark.sources.versioned import VersionedTable
+    from glamira_batch_processing_spark.streaming.joins import (
+        streaming_materialized_view,
+    )
+
+    src = str(tmp_path / "src")
+    base_p = str(tmp_path / "base")
+    view_p = str(tmp_path / "view")
+    ckpt = str(tmp_path / "ckpt")
+    args = dict(
+        source_dir=src,
+        base_path=base_p,
+        view_path=view_p,
+        checkpoint_dir=ckpt,
+        schema=SCHEMA,
+        keys=["order_id"],
+        order_col="quantity",
+        group_keys=["status"],
+        sum_cols=["quantity"],
+    )
+
+    def recompute():
+        return {
+            (r.status, r.quantity, r.n_rows)
+            for r in VersionedTable(base_p)
+            .read(spark)
+            .groupBy("status")
+            .agg(F.sum("quantity").alias("quantity"), F.count("*").alias("n_rows"))
+            .collect()
+        }
+
+    def view_rows():
+        return {
+            (r.status, r.quantity, r.n_rows)
+            for r in VersionedTable(view_p).read(spark).collect()
+        }
+
+    _write_batch(spark, src, [(1, 10, 2, "new"), (2, 20, 3, "new")])
+    assert streaming_materialized_view(spark, **args) == 1
+    assert view_rows() == recompute()
+
+    # second stream run: update (group move new->done) + insert
+    _write_batch(spark, src, [(1, 10, 2, "done"), (3, 30, 7, "new")])
+    streaming_materialized_view(spark, **args)
+    assert view_rows() == recompute()
+
+    # out-of-band base commit the stream never saw: the next run's
+    # refresh folds it in (diff spans recorded -> latest)
+    VersionedTable(base_p).merge(
+        spark,
+        spark.createDataFrame([(9, 90, 4, "done")], SCHEMA),
+        keys=["order_id"],
+    )
+    _write_batch(spark, src, [(4, 40, 1, "new")])
+    streaming_materialized_view(spark, **args)
+    assert view_rows() == recompute()
+    # view manifest records the base version it reflects
+    v = VersionedTable(view_p)
+    assert v.manifest(v.latest_version())["operation"] == (
+        f"maintain@{VersionedTable(base_p).latest_version()}"
+    )
