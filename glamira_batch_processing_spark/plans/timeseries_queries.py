@@ -123,3 +123,54 @@ def gapfill_forward_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.coalesce(F.col("n"), F.lit(0)) == 0).cast("int").alias("is_gap"),
         F.last("last_value", ignorenulls=True).over(w).alias("filled_last"),
     )
+
+
+@query(
+    "rolling_7d_active_users",
+    oracle="""
+    WITH contrib AS (
+      SELECT DISTINCT
+        CAST(ts AS DATE) + CAST(7 - 1 - d.off AS INTEGER) AS as_of_day,
+        user_id
+      FROM events,
+           UNNEST(generate_series(0, 6)) AS d(off)
+    ),
+    bounds AS (
+      SELECT MIN(CAST(ts AS DATE)) AS d0, MAX(CAST(ts AS DATE)) AS d1
+      FROM events
+    )
+    SELECT strftime(as_of_day, '%Y-%m-%d') AS as_of_day,
+           COUNT(DISTINCT user_id) AS active_users_7d
+    FROM contrib CROSS JOIN bounds
+    WHERE as_of_day BETWEEN d0 AND d1
+    GROUP BY 1
+    """,
+)
+def rolling_7d_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-7-day distinct active users per day.
+
+    COUNT(DISTINCT) over a sliding RANGE frame has no native windowed
+    form in either engine; the scale-correct pattern is to explode each
+    event into the <=7 as-of days it contributes to, then run ONE
+    map-side-combinable distinct-count per day — a bounded x7 row
+    amplification instead of a per-day self-join over the corpus. Days
+    past the observed range are trimmed so every emitted day has a full
+    (or left-truncated) window."""
+    e = table(spark, sf_dir, "events")
+    days = e.select(
+        F.explode(F.sequence(F.lit(0), F.lit(6))).alias("off"),
+        F.to_date("ts").alias("day"),
+        "user_id",
+    ).select(
+        F.date_add(F.col("day"), 6 - F.col("off")).alias("as_of_day"),
+        "user_id",
+    )
+    bounds = e.agg(
+        F.min(F.to_date("ts")).alias("d0"), F.max(F.to_date("ts")).alias("d1")
+    )
+    return (
+        days.crossJoin(F.broadcast(bounds))
+        .filter(F.col("as_of_day").between(F.col("d0"), F.col("d1")))
+        .groupBy(F.date_format("as_of_day", "yyyy-MM-dd").alias("as_of_day"))
+        .agg(F.count_distinct("user_id").alias("active_users_7d"))
+    )

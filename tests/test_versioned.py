@@ -222,3 +222,69 @@ def test_incremental_agg_maintenance_matches_recompute(spark, tmp_path):
     mat = maintain_sum_agg(mat, cdc2, ["grp"], ["amount"])
     assert as_sorted(mat) == as_sorted(recompute(t.read(spark, v2)))
     assert all(r.grp != "a" for r in mat.collect())
+
+
+def test_incremental_agg_maintenance_random_sequences(spark, tmp_path):
+    """Seeded randomized equivalence: across rounds of random merges
+    (inserts/updates/group moves) and row-dropping overwrites, the
+    maintained aggregate must stay bit-equal to a full recompute."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from glamira_batch_processing_spark.operators.incremental import (
+        maintain_sum_agg,
+    )
+
+    rng = random.Random(42)
+    groups = ["a", "b", "c", "d"]
+
+    def recompute(df):
+        return df.groupBy("grp").agg(
+            F.sum("amount").alias("amount"), F.count("*").alias("n_rows")
+        )
+
+    def as_sorted(df):
+        return sorted(
+            (r.grp, r.amount, r.n_rows)
+            for r in df.select("grp", "amount", "n_rows").collect()
+        )
+
+    t = VersionedTable(tmp_path / "tbl")
+    rows = {k: (rng.choice(groups), rng.randrange(100)) for k in range(8)}
+    v = t.create(
+        spark.createDataFrame(
+            [(k, g, a) for k, (g, a) in rows.items()],
+            "k long, grp string, amount long",
+        )
+    )
+    mat = recompute(t.read(spark, v))
+
+    for _ in range(5):
+        if rng.random() < 0.3 and len(rows) > 3:
+            # overwrite dropping a random subset (deletes)
+            keep = set(rng.sample(sorted(rows), len(rows) - 2))
+            rows = {k: rows[k] for k in keep}
+            v_new = t.overwrite(
+                t.read(spark, t.latest_version()).filter(
+                    F.col("k").isin(*keep)
+                )
+            )
+        else:
+            batch = {}
+            for _ in range(rng.randrange(1, 4)):
+                k = rng.randrange(0, 14)  # mix of updates and inserts
+                batch[k] = (rng.choice(groups), rng.randrange(100))
+            rows.update(batch)
+            v_new = t.merge(
+                spark,
+                spark.createDataFrame(
+                    [(k, g, a) for k, (g, a) in batch.items()],
+                    "k long, grp string, amount long",
+                ),
+                keys=["k"],
+            )
+        cdc = t.diff(spark, v, v_new, keys=["k"], with_old=True)
+        mat = maintain_sum_agg(mat, cdc, ["grp"], ["amount"])
+        assert as_sorted(mat) == as_sorted(recompute(t.read(spark, v_new)))
+        v = v_new
