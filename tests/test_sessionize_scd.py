@@ -80,3 +80,69 @@ def test_scd2_apply_equals_full_rebuild(spark):
     # untouched keys (2, 3) were not recomputed but are present & current
     cur = {r.k for r in applied.filter("is_current").collect()}
     assert cur == {1, 2, 3, 4}
+
+
+def test_stateful_funnel_matches_batch(spark, tmp_path):
+    """Run the applyInPandasWithState funnel as a real stream over two
+    micro-batch files (state persists between them) and compare each
+    user's stage_reached with the batch running-max formulation on the
+    union. stage_reached == sum of the batch stage flags because the
+    flags are a monotone prefix."""
+    from glamira_batch_processing_spark.operators.behavior import (
+        funnel_user_flags,
+    )
+    from glamira_batch_processing_spark.streaming.funnel import funnel_stateful
+
+    src = str(tmp_path / "funnel_src")
+    schema = "user_id long, event_id long, ts_us long, event_type string"
+    base = 1_700_000_000_000_000
+    batch1 = [
+        (1, 1, base + 1, "view"),
+        (1, 2, base + 2, "click"),
+        (2, 3, base + 1, "click"),      # click before any view: no
+        (3, 4, base + 1, "view"),
+        (4, 5, base + 2, "purchase"),   # purchase first: no
+    ]
+    batch2 = [
+        (1, 6, base + 9, "purchase"),   # completes user 1 across batches
+        (2, 7, base + 9, "view"),       # view arrives after the click
+        (2, 8, base + 10, "purchase"),  # no qualified click -> stays 1
+        (3, 9, base + 9, "click"),
+        (4, 10, base + 9, "view"),
+    ]
+    for b in (batch1, batch2):
+        spark.createDataFrame(b, schema).coalesce(1).write.mode("append").parquet(src)
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    out = funnel_stateful(stream.groupBy("user_id"), ["view", "click", "purchase"])
+    q = (
+        out.writeStream.format("memory")
+        .queryName("funnel_progress")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "funnel_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    # update mode: keep the LAST emitted row per user
+    prog = {}
+    for r in spark.sql(
+        "SELECT * FROM funnel_progress"
+    ).collect():  # rows arrive in batch order
+        prog[r.user_id] = r.stage_reached
+    # user 4's purchase precedes its view (never qualifies); the later
+    # view alone leaves it at stage 1
+    assert prog == {1: 3, 2: 1, 3: 2, 4: 1}
+
+    union = spark.createDataFrame(batch1 + batch2, schema).withColumn(
+        "ts", F.timestamp_micros(F.col("ts_us"))
+    )
+    flags = funnel_user_flags(union, ["view", "click", "purchase"])
+    batch_reached = {
+        r.user_id: r.stage_0 + r.stage_1 + r.stage_2 for r in flags.collect()
+    }
+    assert batch_reached == prog
