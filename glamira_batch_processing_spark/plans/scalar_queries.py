@@ -340,3 +340,48 @@ def f8_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
             k,
         ).alias("k_fallback"),
     )
+
+
+@query(
+    "f10_array_lambda_stats",
+    oracle="""
+    WITH carts AS (
+      SELECT l_orderkey,
+             list_sort(list(CAST(l_quantity AS BIGINT))) AS qtys
+      FROM lineitem GROUP BY l_orderkey
+    )
+    SELECT l_orderkey,
+           len(qtys) AS n_items,
+           list_reduce(qtys, (x, y) -> x + y) AS total_qty,
+           len(list_filter(qtys, q -> q >= 25)) AS n_bulk,
+           list_reduce(list_transform(qtys, q -> q * q), (x, y) -> x + y)
+             AS sum_sq_qty
+    FROM carts
+    """,
+)
+def f10_array_lambda_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Higher-order array functions over collected carts: transform /
+    filter / aggregate lambdas on a sorted BIGINT array (sorting makes
+    the fold order engine-identical; integer math keeps it exact). The
+    nested-data scalar family BigQuery users lean on (ref: the
+    cart_products array handling in stg_order.sql), expressed with
+    Spark's lambda Column expressions — still whole-stage-codegen, no
+    UDF."""
+    l = table(spark, sf_dir, "lineitem")
+    carts = l.groupBy("l_orderkey").agg(
+        F.array_sort(F.collect_list(F.col("l_quantity").cast("long"))).alias("qtys")
+    )
+    q = F.col("qtys")
+    return carts.select(
+        "l_orderkey",
+        F.size(q).alias("n_items"),
+        F.aggregate(q, F.lit(0).cast("long"), lambda acc, x: acc + x).alias(
+            "total_qty"
+        ),
+        F.size(F.filter(q, lambda x: x >= 25)).alias("n_bulk"),
+        F.aggregate(
+            F.transform(q, lambda x: x * x),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        ).alias("sum_sq_qty"),
+    )

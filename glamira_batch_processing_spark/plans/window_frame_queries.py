@@ -129,3 +129,33 @@ def f6_time_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .alias("in_window"),
     )
+
+
+@query(
+    "w6_ntile_percent_rank",
+    oracle="""
+    SELECT o_orderkey,
+           o_orderpriority,
+           ntile(4) OVER w AS price_quartile,
+           percent_rank() OVER w AS price_pct_rank,
+           cume_dist() OVER w AS price_cume_dist
+    FROM orders
+    WINDOW w AS (PARTITION BY o_orderpriority
+                 ORDER BY o_totalprice, o_orderkey)
+    """,
+)
+def w6_ntile_percent_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-rank window family: quartile bucketing (ntile),
+    percent_rank and cume_dist per priority class. The window ordering
+    key appends o_orderkey so ranks are total-ordered and deterministic;
+    percent_rank/cume_dist are single IEEE divisions of exact integer
+    ranks — engine-bit-exact. One exchange on the partition key."""
+    o = table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy("o_totalprice", "o_orderkey")
+    return o.select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.ntile(4).over(w).alias("price_quartile"),
+        F.percent_rank().over(w).alias("price_pct_rank"),
+        F.cume_dist().over(w).alias("price_cume_dist"),
+    )
