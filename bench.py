@@ -49,6 +49,10 @@ HEADLINE = [
     "chunk_token_windows",
     "text_tfidf_topterms",
     "funnel_view_click_purchase",
+    "q3_shipping_priority",
+    "ohlc_hourly_bars",
+    "rolling_7d_active_users",
+    "mix_resample_sources",
 ]
 
 
