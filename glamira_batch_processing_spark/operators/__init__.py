@@ -41,10 +41,12 @@ from .sketches import (
     kmv_sketch,
 )
 from .skew import salted_agg, with_salt
+from .timeseries import gapfill_by_key
 from .windows import dedupe_latest, rank_dedupe, scd2_apply, scd2_from_history
 
 __all__ = [
     "asof_join",
+    "gapfill_by_key",
     "funnel_counts",
     "funnel_user_flags",
     "null_rates",

@@ -769,3 +769,36 @@ def test_hll_shard_merge_is_elementwise_max(spark):
     assert sorted((r.register, r.max_rho) for r in merged.collect()) == sorted(
         (r.register, r.max_rho) for r in full.collect()
     )
+
+
+def test_gapfill_by_key(spark):
+    import datetime as dt
+
+    from glamira_batch_processing_spark.operators.timeseries import gapfill_by_key
+
+    h = lambda hour: dt.datetime(2024, 1, 1, hour, 30)  # noqa: E731
+    df = spark.createDataFrame(
+        [
+            ("a", h(0), 1.0),
+            ("a", h(0), 2.0),   # same bar: later/tiebreak wins
+            ("a", h(3), 9.0),   # hours 1-2 are gaps, fill with bar-0 value
+            ("b", h(5), 7.0),   # single-bar key: spine of one row
+        ],
+        "k string, ts timestamp, v double",
+    )
+    out = {
+        (r.k, r.bar_ts.hour): (r.n_events, r.is_gap, r.filled_v)
+        for r in gapfill_by_key(df, ["k"], "ts", "v").collect()
+    }
+    assert len(out) == 5  # a: hours 0..3, b: hour 5
+    assert out[("a", 0)][0] == 2 and out[("a", 0)][1] == 0
+    assert out[("a", 1)] == (0, 1, out[("a", 0)][2])  # gap, forward-filled
+    assert out[("a", 2)][1] == 1
+    assert out[("a", 3)] == (1, 0, 9.0)
+    assert out[("b", 5)] == (1, 0, 7.0)
+    # same-bar ties resolve deterministically across reruns/partitionings
+    again = {
+        (r.k, r.bar_ts.hour): r.filled_v
+        for r in gapfill_by_key(df.repartition(7), ["k"], "ts", "v").collect()
+    }
+    assert again[("a", 0)] == out[("a", 0)][2]
