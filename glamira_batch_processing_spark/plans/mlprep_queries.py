@@ -712,3 +712,72 @@ def winsorize_outlier_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("event_type", "n_total", "n_below", "n_above", "p01", "p99")
     )
+
+
+# ---------------------------------------------------------------------------
+# Split-vs-corpus distribution drift (chi-square cells).
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "drift_split_lang_cells",
+    oracle=f"""
+    WITH b AS (
+      SELECT lang,
+             CASE WHEN {_SPLIT_BUCKET} < 90 THEN 'train'
+                  WHEN {_SPLIT_BUCKET} < 95 THEN 'val'
+                  ELSE 'test' END AS split
+      FROM documents
+    ),
+    cells AS (
+      SELECT split, lang, COUNT(*) AS observed FROM b GROUP BY 1, 2
+    ),
+    tot AS (
+      SELECT split, lang, observed,
+             SUM(observed) OVER (PARTITION BY split) AS split_total,
+             SUM(observed) OVER (PARTITION BY lang) AS lang_total,
+             SUM(observed) OVER () AS grand_total
+      FROM cells
+    )
+    SELECT split, lang,
+           CAST(observed AS BIGINT) AS observed,
+           CAST(split_total AS DOUBLE) * lang_total / grand_total AS expected,
+           (observed - CAST(split_total AS DOUBLE) * lang_total / grand_total)
+             * (observed - CAST(split_total AS DOUBLE) * lang_total / grand_total)
+             / (CAST(split_total AS DOUBLE) * lang_total / grand_total)
+             AS chi2_contribution
+    FROM tot
+    """,
+)
+def drift_split_lang_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-drift monitor: per-(split, language) chi-square
+    cells for the hash split — did the 90/5/5 split preserve the
+    language mix? Every cell is computed from exact integer counts with
+    a fixed double expression tree (no cross-cell double sum enters the
+    output, so it is engine-bit-exact; the scalar chi-square total —
+    a sum whose float order SQL engines don't pin — is asserted against
+    the critical value in pytest instead). Scale: one count agg
+    (map-side combinable) + window sums over the #splits x #langs cell
+    matrix."""
+    d = table(spark, sf_dir, "documents")
+    s = hash_split(d, F.col("doc_id"), _SPLITS, salt="split-v1")
+    cells = s.groupBy("split", "lang").agg(F.count("*").alias("observed"))
+    ws = Window.partitionBy("split")
+    wl = Window.partitionBy("lang")
+    wg = Window.partitionBy()
+    expected = (
+        F.sum("observed").over(ws).cast("double")
+        * F.sum("observed").over(wl)
+        / F.sum("observed").over(wg)
+    )
+    return cells.select(
+        "split",
+        "lang",
+        F.col("observed").cast("long").alias("observed"),
+        expected.alias("expected"),
+        (
+            (F.col("observed") - expected)
+            * (F.col("observed") - expected)
+            / expected
+        ).alias("chi2_contribution"),
+    )

@@ -296,3 +296,17 @@ def test_weighted_sample_plans_take_ordered(spark):
     df = QUERIES["sample_weighted_by_length"](spark, SF_SMALL)
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "TakeOrderedAndProject" in plan
+
+
+def test_drift_split_lang_chi2_below_critical(spark):
+    """The hash split must preserve the language mix: total chi-square
+    over the (split, lang) cells stays under the 0.001 critical value
+    for (3-1)*(5-1)=8 degrees of freedom (26.12)."""
+    import __spark_entry__  # noqa: F401  (populates the registry)
+    from glamira_batch_processing_spark.plans.registry import QUERIES
+    from tests.conftest import SF_SMALL
+
+    cells = QUERIES["drift_split_lang_cells"](spark, SF_SMALL).collect()
+    assert len(cells) >= 8
+    chi2 = sum(r.chi2_contribution for r in cells)
+    assert chi2 < 26.12, f"split skewed the language mix: chi2={chi2}"
