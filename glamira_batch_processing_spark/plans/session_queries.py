@@ -124,3 +124,49 @@ def sketch_hll_registers(spark: SparkSession, sf_dir: str) -> DataFrame:
     quality and merge law are pinned in tests/test_operators.py."""
     e = table(spark, sf_dir, "events")
     return hll_sketch(e, F.col("event_id"), m=64)
+
+
+@query(
+    "sketch_quantile_sample",
+    oracle="""
+    WITH tagged AS (
+      SELECT value, md5(CAST(event_id AS VARCHAR) || 'qsk-v1') AS tag
+      FROM events
+    ),
+    sample AS (
+      SELECT value FROM tagged ORDER BY tag LIMIT 256
+    )
+    SELECT COUNT(*) AS sample_k,
+           quantile_disc(value, 0.5) AS p50_est,
+           quantile_disc(value, 0.9) AS p90_est
+    FROM sample
+    """,
+)
+def sketch_quantile_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded-memory quantile estimation: a deterministic md5 bottom-k
+    row sample (the KMV idea applied to rows) feeds percentile_disc —
+    p50/p90 estimates from 256 rows of state no matter the corpus size,
+    where the exact stats_percentiles pays a per-group sort of
+    everything. The sample is engine-exact (same md5 order both
+    engines, estimates are SELECTED elements), and mergeable: shard
+    samples union + re-take bottom-k, identical to a single pass.
+    Plan: one TakeOrdered (per-partition heap + k-row driver merge) —
+    no full shuffle. Estimate error bound vs the exact percentiles is
+    pinned in pytest."""
+    e = table(spark, sf_dir, "events")
+    tagged = e.select(
+        "value",
+        F.md5(F.concat(F.col("event_id").cast("string"), F.lit("qsk-v1"))).alias(
+            "tag"
+        ),
+    )
+    sample = tagged.orderBy("tag").limit(256).select("value")
+    return sample.agg(
+        F.count("*").alias("sample_k"),
+        F.expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY value)").alias(
+            "p50_est"
+        ),
+        F.expr("percentile_disc(0.9) WITHIN GROUP (ORDER BY value)").alias(
+            "p90_est"
+        ),
+    )

@@ -802,3 +802,37 @@ def test_gapfill_by_key(spark):
         for r in gapfill_by_key(df.repartition(7), ["k"], "ts", "v").collect()
     }
     assert again[("a", 0)] == out[("a", 0)][2]
+
+
+def test_quantile_sample_error_bound_and_merge(spark):
+    """The 256-row sample quantiles must land near the exact quantiles
+    (DKW-style bound: 256 samples give ~±0.09 rank error at 99%
+    confidence; assert ±0.12 rank tolerance on value's uniform-ish
+    distribution), and shard-merge (union + re-bottom-k) must equal the
+    single-pass sample."""
+    import __spark_entry__  # noqa: F401
+    from pyspark.sql import functions as F
+    from glamira_batch_processing_spark.plans.registry import QUERIES, table
+    from tests.conftest import SF_SMALL
+
+    est = QUERIES["sketch_quantile_sample"](spark, SF_SMALL).collect()[0]
+    e = table(spark, SF_SMALL, "events")
+    n = e.count()
+    for q, v_est in ((0.5, est.p50_est), (0.9, est.p90_est)):
+        rank = e.filter(F.col("value") <= v_est).count() / n
+        assert abs(rank - q) < 0.12, f"p{int(q*100)} est rank {rank}"
+
+    # merge law: per-shard bottom-k then global bottom-k == one pass
+    tagged = e.select(
+        "event_id",
+        "value",
+        F.md5(F.concat(F.col("event_id").cast("string"), F.lit("qsk-v1"))).alias("tag"),
+    )
+    single = {r.event_id for r in tagged.orderBy("tag").limit(256).collect()}
+    shard_a = tagged.filter(F.col("event_id") % 2 == 0).orderBy("tag").limit(256)
+    shard_b = tagged.filter(F.col("event_id") % 2 == 1).orderBy("tag").limit(256)
+    merged = {
+        r.event_id
+        for r in shard_a.unionByName(shard_b).orderBy("tag").limit(256).collect()
+    }
+    assert merged == single
