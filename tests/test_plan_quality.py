@@ -310,3 +310,28 @@ def test_cluster_purity_assignment_fused_in_scan(spark):
     plan = plan_of(df)
     assert "Join" not in plan
     assert plan.count("Exchange hashpartitioning") <= 2  # agg + window part.
+
+
+def test_ohlc_single_exchange_no_window(spark):
+    """OHLC bars must be pure aggregation (min_by/max_by) — one hash
+    exchange, no Window/Sort operator for the open/close selection."""
+    df = QUERIES["ohlc_hourly_bars"](spark, SF_SMALL)
+    plan = plan_of(df)
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "Window" not in plan
+
+
+def test_rolling_7d_explode_fuses_with_scan(spark):
+    """The x7 day explode must pipeline with the scan (a Generate node,
+    no pre-explode exchange); the only wide op is the distinct-count."""
+    df = QUERIES["rolling_7d_active_users"](spark, SF_SMALL)
+    plan = plan_of(df)
+    assert "Generate explode" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_quantile_sample_is_take_ordered(spark):
+    """The bottom-k sample must plan as TakeOrderedAndProject (per-
+    partition heap), never a global sort of the corpus."""
+    df = QUERIES["sketch_quantile_sample"](spark, SF_SMALL)
+    assert "TakeOrderedAndProject" in plan_of(df)
