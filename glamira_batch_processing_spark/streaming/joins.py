@@ -213,7 +213,11 @@ def streaming_materialized_view(
         seen = reflected_version(view)
         if seen == v_base:
             return
-        if seen is None:
+        if seen is None or seen not in base.versions():
+            # First refresh — or the base vacuumed past the recorded
+            # version so its snapshot (and the diff) is gone: fall back
+            # to a full recompute of the current snapshot. Correct at
+            # any time, just not incremental for this one refresh.
             mat = base.read(session, v_base).groupBy(*group_keys).agg(
                 *[F2.sum(c).alias(c) for c in sum_cols],
                 F2.count("*").alias(count_col),

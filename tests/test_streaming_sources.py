@@ -356,3 +356,56 @@ def test_streaming_materialized_view_incremental_and_self_healing(spark, tmp_pat
     assert v.manifest(v.latest_version())["operation"] == (
         f"maintain@{VersionedTable(base_p).latest_version()}"
     )
+
+
+def test_streaming_mv_survives_base_vacuum(spark, tmp_path):
+    """If the base table vacuums past the view's recorded version, the
+    next refresh falls back to a full recompute instead of failing on
+    the missing snapshot."""
+    from pyspark.sql import functions as F
+
+    from glamira_batch_processing_spark.sources.versioned import VersionedTable
+    from glamira_batch_processing_spark.streaming.joins import (
+        streaming_materialized_view,
+    )
+
+    src = str(tmp_path / "src")
+    base_p = str(tmp_path / "base")
+    view_p = str(tmp_path / "view")
+    args = dict(
+        source_dir=src,
+        base_path=base_p,
+        view_path=view_p,
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        schema=SCHEMA,
+        keys=["order_id"],
+        order_col="quantity",
+        group_keys=["status"],
+        sum_cols=["quantity"],
+    )
+    _write_batch(spark, src, [(1, 10, 2, "new"), (2, 20, 3, "done")])
+    streaming_materialized_view(spark, **args)
+
+    # advance the base twice out-of-band, then vacuum away everything
+    # the view's maintain@<v> pointer refers to
+    base = VersionedTable(base_p)
+    base.merge(spark, spark.createDataFrame([(3, 30, 5, "new")], SCHEMA), ["order_id"])
+    base.merge(spark, spark.createDataFrame([(4, 40, 9, "done")], SCHEMA), ["order_id"])
+    base.vacuum(keep_last=1)
+
+    _write_batch(spark, src, [(5, 50, 1, "new")])
+    streaming_materialized_view(spark, **args)
+
+    got = {
+        (r.status, r.quantity, r.n_rows)
+        for r in VersionedTable(view_p).read(spark).collect()
+    }
+    want = {
+        (r.status, r.quantity, r.n_rows)
+        for r in VersionedTable(base_p)
+        .read(spark)
+        .groupBy("status")
+        .agg(F.sum("quantity").alias("quantity"), F.count("*").alias("n_rows"))
+        .collect()
+    }
+    assert got == want
