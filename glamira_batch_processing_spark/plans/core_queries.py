@@ -533,3 +533,38 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("revenue"), "order_date", "l_orderkey")
         .limit(10)
     )
+
+
+@query(
+    "u2_intersect_except",
+    oracle="""
+    WITH m1 AS (
+      SELECT DISTINCT o_custkey FROM orders
+      WHERE strftime(o_orderdate, '%Y-%m') = '1997-01'
+    ),
+    m2 AS (
+      SELECT DISTINCT o_custkey FROM orders
+      WHERE strftime(o_orderdate, '%Y-%m') = '1997-02'
+    )
+    SELECT 'both_months' AS cohort, o_custkey FROM (
+      SELECT o_custkey FROM m1 INTERSECT SELECT o_custkey FROM m2)
+    UNION ALL
+    SELECT 'jan_only' AS cohort, o_custkey FROM (
+      SELECT o_custkey FROM m1 EXCEPT SELECT o_custkey FROM m2)
+    """,
+)
+def u2_intersect_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set-op family completion (SURVEY §2.7): INTERSECT and EXCEPT of
+    two monthly customer key sets (retained vs churned-after-January).
+    Catalyst rewrites both to semi/anti joins over the deduped sets —
+    the same plan shape as j13, arrived at declaratively."""
+    o = table(spark, sf_dir, "orders")
+    m1 = o.filter(F.date_format("o_orderdate", "yyyy-MM") == "1997-01").select(
+        "o_custkey"
+    ).distinct()
+    m2 = o.filter(F.date_format("o_orderdate", "yyyy-MM") == "1997-02").select(
+        "o_custkey"
+    ).distinct()
+    both = m1.intersect(m2).select(F.lit("both_months").alias("cohort"), "o_custkey")
+    jan_only = m1.exceptAll(m2).select(F.lit("jan_only").alias("cohort"), "o_custkey")
+    return both.unionByName(jan_only)
