@@ -251,21 +251,49 @@ class VersionedTable:
             )
         )
 
-    def compact(self, spark: SparkSession, target_files: int) -> int:
+    def compact(
+        self,
+        spark: SparkSession,
+        target_files: int,
+        cluster_by: list[str] | None = None,
+        bits: int = 16,
+    ) -> int:
         """Rewrite the latest snapshot into ``target_files`` files as a
         new version (the small-files OPTIMIZE pass).
 
         Ingest (especially streaming MERGE) accretes many small files;
-        scans then pay per-file open/footer costs. Compaction uses
-        coalesce() — a NARROW rewrite, no shuffle — and commits through
-        the same atomic manifest path, so readers flip from the
+        scans then pay per-file open/footer costs. Plain compaction
+        uses coalesce() — a NARROW rewrite, no shuffle — and commits
+        through the same atomic manifest path, so readers flip from the
         fragmented snapshot to the compacted one atomically and old
-        versions stay time-travelable until vacuum."""
+        versions stay time-travelable until vacuum.
+
+        With ``cluster_by``, the rewrite is the OPTIMIZE ZORDER analog:
+        rows range-partition and sort on the Morton interleave of the
+        given numeric columns (one wide shuffle — the price of
+        clustering), so subsequent scans prune files AND row groups via
+        parquet min/max stats on every clustered column."""
         latest = self.latest_version()
         if latest is None:
             raise FileNotFoundError(f"no committed version at {self.path}")
-        df = self.read(spark, latest).coalesce(target_files)
-        return self._write_version(df, latest + 1, f"compact:{target_files}")
+        df = self.read(spark, latest)
+        if cluster_by:
+            from pyspark.sql import functions as F
+
+            from .writers import zorder_key
+
+            out, z = zorder_key(df, cluster_by, bits=bits)
+            df = (
+                out.withColumn("__z", z)
+                .repartitionByRange(target_files, F.col("__z"))
+                .sortWithinPartitions("__z")
+                .drop("__z")
+            )
+            op = f"compact+zorder:{target_files}:{','.join(cluster_by)}"
+        else:
+            df = df.coalesce(target_files)
+            op = f"compact:{target_files}"
+        return self._write_version(df, latest + 1, op)
 
     def vacuum(self, keep_last: int = 1) -> list[int]:
         """Drop all but the newest ``keep_last`` versions (manifest +

@@ -288,3 +288,38 @@ def test_incremental_agg_maintenance_random_sequences(spark, tmp_path):
         mat = maintain_sum_agg(mat, cdc, ["grp"], ["amount"])
         assert as_sorted(mat) == as_sorted(recompute(t.read(spark, v_new)))
         v = v_new
+
+
+def test_compact_with_zorder_clusters_files(spark, tmp_path):
+    """compact(cluster_by=...) must preserve contents exactly while
+    clustering: with rows z-sorted across files, each output file's
+    min/max span on a clustered column is far narrower than the global
+    span (that is what makes parquet stats prune)."""
+    import glob
+
+    from pyspark.sql import functions as F
+
+    t = VersionedTable(tmp_path / "tbl")
+    rng_rows = [
+        (k, float((k * 37) % 1000), float((k * 91) % 1000)) for k in range(4000)
+    ]
+    t.create(spark.createDataFrame(rng_rows, "k long, x double, y double"))
+    v = t.compact(spark, target_files=4, cluster_by=["x", "y"])
+    assert t.manifest(v)["operation"].startswith("compact+zorder:4:")
+
+    before = sorted(rng_rows)
+    after = sorted((r.k, r.x, r.y) for r in t.read(spark, v).collect())
+    assert after == before
+
+    data_dir = tmp_path / "tbl" / t.manifest(v)["data_dir"]
+    files = sorted(glob.glob(str(data_dir / "*.parquet")))
+    assert 2 <= len(files) <= 4
+    global_span = 1000.0
+    spans = []
+    for f in files:
+        row = spark.read.parquet(f).agg(
+            (F.max("x") - F.min("x")).alias("sx")
+        ).collect()[0]
+        spans.append(row.sx)
+    # clustered: average per-file x-span well under the global span
+    assert sum(spans) / len(spans) < 0.6 * global_span, spans
