@@ -27,6 +27,7 @@ from glamira_batch_processing_spark.plans import (  # noqa: F401
     datapipe_queries,
     e2e_queries,
     event_window_queries,
+    hygiene_queries,
     misc_queries,
     mlprep_queries,
     pipeline_e2e,
@@ -58,6 +59,8 @@ from glamira_batch_processing_spark.plans.registry import ORACLE, QUERIES
 # cohort_retention, text_tfidf_topterms, anomaly_error_spike,
 # event_transition_matrix, mix_resample_sources,
 # winsorize_outlier_counts, sketch_hll_registers, q3_shipping_priority,
+# dedup_substring_spans, text_winnow_fingerprints,
+# url_canonicalize_dedup, pii_luhn_validate,
 # cluster_label_purity, ohlc_hourly_bars, gapfill_forward_fill,
 # stats_correlation — swap them in for names holding >=2 green rounds
 # once the 11 round-4 rotations have their r4 rows.

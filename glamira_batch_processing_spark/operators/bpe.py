@@ -1,0 +1,170 @@
+"""Byte-pair-encoding tokenizer over a fixed merge table.
+
+Token COUNTING elsewhere in the engine is regex/whitespace-based
+(``operators/text.py``) — fine for quality stats, but a training
+pipeline ultimately needs the real tokenizer's segmentation (sequence
+packing, chunking, and cost accounting are all denominated in BPE
+tokens). This module implements the greedy rank-ordered BPE encode
+loop exactly as GPT-2-style tokenizers do, against a deterministic toy
+merge table (external tokenizer assets are not available in this
+sandbox; swap ``MERGES`` for a real vocabulary's merge list and the
+algorithm is unchanged).
+
+Scale design:
+- The merge table is a constant (real ones are ~50k pairs, a few MB):
+  it ships inside the task closure, the broadcast-variable shape.
+- Encoding runs in ``mapInPandas`` — Arrow batches in, Arrow batches
+  out, no per-row Python call overhead.
+- A per-batch word->tokens dict cache exploits the Zipfian corpus:
+  each distinct word is encoded once per batch, so throughput tracks
+  the *distinct*-word rate, not the token rate.
+- The operator is embarrassingly parallel (per-doc), so it scales
+  linearly with partitions and adds zero shuffles.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+# Rank-ordered merge table (rank = list index, lower merges first).
+# A tiny English-ish vocabulary: enough structure that common words
+# compress to 1-3 tokens while rare words stay near character-level —
+# the shape real BPE produces.
+MERGES: tuple[tuple[str, str], ...] = (
+    ("t", "h"),
+    ("th", "e"),
+    ("i", "n"),
+    ("a", "n"),
+    ("e", "r"),
+    ("o", "n"),
+    ("r", "e"),
+    ("an", "d"),
+    ("o", "r"),
+    ("e", "n"),
+    ("a", "t"),
+    ("s", "t"),
+    ("t", "o"),
+    ("o", "u"),
+    ("in", "g"),
+    ("a", "r"),
+    ("e", "s"),
+    ("o", "w"),
+    ("l", "e"),
+    ("c", "k"),
+    ("s", "c"),
+    ("sc", "an"),
+    ("t", "a"),
+    ("ta", "b"),
+    ("tab", "le"),
+    ("r", "ow"),
+    ("k", "e"),
+    ("ke", "y"),
+    ("v", "a"),
+    ("va", "l"),
+    ("u", "e"),
+    ("val", "ue"),
+    ("j", "o"),
+    ("jo", "in"),
+    ("h", "as"),
+    ("a", "s"),
+    ("has", "h"),
+    ("d", "at"),
+    ("dat", "a"),
+    ("q", "u"),
+    ("qu", "er"),
+    ("quer", "y"),
+)
+
+_RANKS: dict[tuple[str, str], int] = {pair: i for i, pair in enumerate(MERGES)}
+
+
+def encode_word(word: str, cache: dict[str, list[str]] | None = None) -> list[str]:
+    """Greedy BPE encode of one word: repeatedly apply the lowest-rank
+    merge present until none applies (the GPT-2 encode loop)."""
+    if cache is not None and word in cache:
+        return cache[word]
+    seq = list(word)
+    while len(seq) > 1:
+        best_rank: int | None = None
+        for i in range(len(seq) - 1):
+            r = _RANKS.get((seq[i], seq[i + 1]))
+            if r is not None and (best_rank is None or r < best_rank):
+                best_rank = r
+        if best_rank is None:
+            break
+        a, b = MERGES[best_rank]
+        out: list[str] = []
+        i = 0
+        while i < len(seq):
+            if i < len(seq) - 1 and seq[i] == a and seq[i + 1] == b:
+                out.append(a + b)
+                i += 2
+            else:
+                out.append(seq[i])
+                i += 1
+        seq = out
+    if cache is not None:
+        cache[word] = seq
+    return seq
+
+
+def encode_text(text: str, cache: dict[str, list[str]] | None = None) -> list[str]:
+    """Whitespace pre-split, then per-word BPE (words never merge
+    across boundaries, as in practice)."""
+    toks: list[str] = []
+    for w in text.lower().split(" "):
+        if w:
+            toks.extend(encode_word(w, cache))
+    return toks
+
+
+BPE_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("n_words", IntegerType()),
+        StructField("n_tokens", IntegerType()),
+        StructField("tokens_md5", StringType()),
+    ]
+)
+
+
+def bpe_encode_stats(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Per doc: word count, BPE token count, md5 of the token stream.
+
+    The md5 pins the exact segmentation (not just counts), so any
+    change to the merge loop is caught by the stored digests.
+    """
+    import hashlib
+
+    cols = df.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("text"))
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cache: dict[str, list[str]] = {}
+        for pdf in batches:
+            n_words, n_tokens, digests = [], [], []
+            for text in pdf["text"].fillna(""):
+                toks = encode_text(text, cache)
+                n_words.append(len([w for w in text.lower().split(" ") if w]))
+                n_tokens.append(len(toks))
+                digests.append(hashlib.md5(" ".join(toks).encode()).hexdigest())
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "n_words": pd.array(n_words, dtype="int32"),
+                    "n_tokens": pd.array(n_tokens, dtype="int32"),
+                    "tokens_md5": digests,
+                }
+            )
+
+    return cols.mapInPandas(run, BPE_SCHEMA)

@@ -1,0 +1,163 @@
+"""Sub-document span operators: exact duplicated-span detection and
+winnowing fingerprints.
+
+Whole-document dedup (``operators/dedup.py``) misses the dominant form
+of web-corpus duplication: long verbatim SPANS embedded in otherwise
+distinct pages (boilerplate, quoted articles, license blocks). The
+literature's exact tool is a corpus-wide suffix array (Lee et al. 2021,
+"Deduplicating Training Data Makes Language Models Better"); a suffix
+array is not a distributed-friendly structure, so the standard Spark
+analog is fixed-length window hashing:
+
+- ``word_windows``: every w-word sliding window per doc, hashed. One
+  explode, no shuffle — the window construction is a codegen'd
+  arrays_zip of shifted slices (same trick as ``doc_shingles``).
+- ``duplicated_span_stats``: a window hash seen in >= 2 DISTINCT docs
+  is a cross-doc duplicated span. Cost: one groupBy shuffle on the
+  window hash + one semi-join back — both keyed on the hash, which is
+  uniform by construction, so there is no skew and no pairwise work.
+  Any duplicated span of length >= w is guaranteed to produce at least
+  one flagged window (it contains a full w-window), so recall for
+  >=w-word plagiarism is exact; shorter repeats are ignored by design.
+
+- ``winnow_fingerprints``: the MOSS winnowing scheme (Schleimer,
+  Wilkerson, Aiken, SIGMOD 2003): hash every k-gram, slide a t-hash
+  window, keep the minimum hash of each full window, dedupe. Guarantees
+  at least one fingerprint per t+k-1 consecutive words while keeping
+  O(docs) output — the compact signature used for plagiarism /
+  near-dup detection at corpus scale. One window shuffle on doc_id
+  (partition-local sort, no global sort), then a per-doc dedupe+agg.
+
+Determinism: hashes are md5 hex (engine-portable); the winnow min is a
+string min over those hex digests; position ties cannot occur (pos is
+unique per doc). All results are partitioning-invariant.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def word_windows(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    w: int = 8,
+) -> DataFrame:
+    """(id, pos, whash): md5 of each w-word sliding window, 1-based pos.
+
+    Codegen formulation: arrays_zip of w shifted slices + posexplode;
+    the whole thing fuses into the scan projection (no shuffle).
+    """
+    ws = F.split(F.lower(F.col(text_col)), " ")
+    sz = F.greatest(F.size(ws) - (w - 1), F.lit(0))
+    z = F.arrays_zip(*[F.slice(ws, k + 1, sz) for k in range(w)])
+    return df.select(id_col, F.posexplode(z).alias("pos0", "g")).select(
+        id_col,
+        (F.col("pos0") + 1).alias("pos"),
+        F.md5(F.concat_ws(" ", *[F.col(f"g.{k}") for k in range(w)])).alias("whash"),
+    )
+
+
+def duplicated_span_stats(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    w: int = 8,
+) -> DataFrame:
+    """Per doc: total w-windows, windows duplicated across docs, ratio.
+
+    A window counts as duplicated iff its hash occurs in >= 2 distinct
+    docs (within-doc repetition is NOT cross-doc duplication — that is
+    ``text_repetition_stats``'s job). Docs shorter than w words have
+    n_windows = 0 and a NULL ratio.
+    """
+    spans = word_windows(df, text_col, id_col, w)
+    dup_hashes = (
+        spans.groupBy("whash")
+        .agg(F.count_distinct(id_col).alias("n_docs"))
+        .filter(F.col("n_docs") >= 2)
+        .select("whash")
+    )
+    per_doc = spans.groupBy(id_col).agg(F.count("*").alias("n_windows"))
+    dup_per_doc = (
+        spans.join(dup_hashes, "whash", "left_semi")
+        .groupBy(id_col)
+        .agg(F.count("*").alias("n_dup_windows"))
+    )
+    base = df.select(id_col).distinct()
+    return (
+        base.join(per_doc, id_col, "left")
+        .join(dup_per_doc, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("n_windows", F.lit(0)).alias("n_windows"),
+            F.coalesce("n_dup_windows", F.lit(0)).alias("n_dup_windows"),
+            F.when(
+                F.coalesce("n_windows", F.lit(0)) > 0,
+                F.coalesce("n_dup_windows", F.lit(0)).cast("double")
+                / F.col("n_windows").cast("double"),
+            ).alias("dup_ratio"),
+        )
+    )
+
+
+def winnow_fingerprints(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 4,
+    t: int = 5,
+) -> DataFrame:
+    """Winnowed fingerprint set per doc: (id, n_kgrams, n_fingerprints,
+    fp_digest).
+
+    Classic winnowing: k-gram hashes in position order; each full
+    window of t consecutive hashes contributes its minimum; the
+    distinct selected hashes are the doc's fingerprint set. fp_digest
+    is md5 over the sorted fingerprint set — two docs sharing a digest
+    share their entire winnowed signature. Docs with < t k-grams yield
+    n_fingerprints = 0 / NULL digest (no full window exists).
+    """
+    kg = word_windows(df, text_col, id_col, k)
+    wspec = Window.partitionBy(id_col).orderBy("pos").rowsBetween(-(t - 1), 0)
+    sel = (
+        kg.withColumn("fp", F.min("whash").over(wspec))
+        .filter(F.col("pos") >= t)
+        .select(id_col, "fp")
+        .distinct()
+    )
+    fps = sel.groupBy(id_col).agg(
+        F.count("*").alias("n_fingerprints"),
+        F.md5(F.concat_ws("", F.sort_array(F.collect_list("fp")))).alias("fp_digest"),
+    )
+    n_kg = kg.groupBy(id_col).agg(F.count("*").alias("n_kgrams"))
+    base = df.select(id_col).distinct()
+    return (
+        base.join(n_kg, id_col, "left")
+        .join(fps, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("n_kgrams", F.lit(0)).alias("n_kgrams"),
+            F.coalesce("n_fingerprints", F.lit(0)).alias("n_fingerprints"),
+            F.col("fp_digest"),
+        )
+    )
+
+
+def sql_word_windows_cte(corpus: str, w: int = 8) -> str:
+    """DuckDB CTE body producing (doc_id, pos, whash) for w-word windows
+    — the oracle twin of ``word_windows``."""
+    parts = " || ' ' || ".join(f"w[i+{k}]" for k in range(w))
+    return f"""
+      SELECT doc_id, (u).p AS pos, (u).h AS whash
+      FROM (
+        SELECT doc_id,
+               unnest(CASE WHEN len(w) >= {w}
+                 THEN list_transform(range(1, len(w) - {w - 2}),
+                                     i -> {{'p': i, 'h': md5({parts})}})
+                 ELSE [] END) AS u
+        FROM (SELECT doc_id, str_split(lower(text), ' ') AS w FROM {corpus})
+      )
+    """

@@ -1,0 +1,413 @@
+"""Corpus-hygiene contract queries: sub-document span dedup, winnowing
+fingerprints, URL canonicalization, checksum-validated PII, and real
+BPE tokenization — the web-pipeline operators whole-document dedup and
+regex PII miss.
+
+Same family as ``datapipe_queries`` / ``mlprep_queries``; each query is
+oracle-checked against DuckDB except BPE (no SQL form — pinned by
+pytest parity + partition invariance instead).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.bpe import bpe_encode_stats
+from ..operators.spans import (
+    duplicated_span_stats,
+    sql_word_windows_cte,
+    winnow_fingerprints,
+)
+from .registry import query, table
+
+# ---------------------------------------------------------------------------
+# Exact duplicated-span detection (sub-document dedup).
+# ---------------------------------------------------------------------------
+
+_SPAN_W = 8
+
+
+@query(
+    "dedup_substring_spans",
+    oracle=f"""
+    WITH spans AS ({sql_word_windows_cte("documents", _SPAN_W)}),
+    dup AS (
+      SELECT whash FROM spans
+      GROUP BY whash HAVING COUNT(DISTINCT doc_id) >= 2
+    ),
+    per_doc AS (
+      SELECT doc_id, COUNT(*) AS n_windows FROM spans GROUP BY doc_id
+    ),
+    dupd AS (
+      SELECT doc_id, COUNT(*) AS n_dup_windows
+      FROM spans WHERE whash IN (SELECT whash FROM dup)
+      GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+           COALESCE(p.n_windows, 0) AS n_windows,
+           COALESCE(x.n_dup_windows, 0) AS n_dup_windows,
+           CASE WHEN COALESCE(p.n_windows, 0) > 0
+                THEN CAST(COALESCE(x.n_dup_windows, 0) AS DOUBLE)
+                     / CAST(p.n_windows AS DOUBLE)
+           END AS dup_ratio
+    FROM (SELECT DISTINCT doc_id FROM documents) d
+    LEFT JOIN per_doc p USING (doc_id)
+    LEFT JOIN dupd x USING (doc_id)
+    """,
+)
+def dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-doc duplicated-SPAN stats (``operators/spans.py``): hash
+    every 8-word sliding window; a hash in >= 2 distinct docs marks a
+    verbatim shared span (boilerplate, quoted blocks) that whole-doc
+    dedup cannot see. The distributed analog of suffix-array ExactSubstr
+    dedup (Lee et al. 2021): window construction fuses into the scan,
+    then one groupBy shuffle on the uniform hash + one semi-join back —
+    no pairwise work, linear at 100 TB."""
+    d = table(spark, sf_dir, "documents").select("doc_id", "text")
+    return duplicated_span_stats(d, "text", "doc_id", _SPAN_W)
+
+
+# ---------------------------------------------------------------------------
+# Winnowing fingerprints (MOSS).
+# ---------------------------------------------------------------------------
+
+_WIN_K = 4
+_WIN_T = 5
+
+
+@query(
+    "text_winnow_fingerprints",
+    oracle=f"""
+    WITH kg AS ({sql_word_windows_cte("documents", _WIN_K)}),
+    sel AS (
+      SELECT DISTINCT doc_id, fp FROM (
+        SELECT doc_id, pos,
+               min(whash) OVER (
+                 PARTITION BY doc_id ORDER BY pos
+                 ROWS BETWEEN {_WIN_T - 1} PRECEDING AND CURRENT ROW
+               ) AS fp
+        FROM kg
+      ) WHERE pos >= {_WIN_T}
+    ),
+    fps AS (
+      SELECT doc_id, COUNT(*) AS n_fingerprints,
+             md5(string_agg(fp, '' ORDER BY fp)) AS fp_digest
+      FROM sel GROUP BY doc_id
+    ),
+    nk AS (SELECT doc_id, COUNT(*) AS n_kgrams FROM kg GROUP BY doc_id)
+    SELECT d.doc_id,
+           COALESCE(nk.n_kgrams, 0) AS n_kgrams,
+           COALESCE(fps.n_fingerprints, 0) AS n_fingerprints,
+           fps.fp_digest
+    FROM (SELECT DISTINCT doc_id FROM documents) d
+    LEFT JOIN nk USING (doc_id)
+    LEFT JOIN fps USING (doc_id)
+    """,
+)
+def text_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowed document fingerprints (Schleimer et al., SIGMOD 2003):
+    min-hash of each sliding window of {t} consecutive {k}-gram hashes,
+    deduped — the compact signature MOSS uses for plagiarism detection.
+    Guarantees a fingerprint in every t+k-1 word stretch with O(1/t) of
+    the k-gram volume retained. One partition-local window sort on
+    doc_id, no global sort; output is a bounded per-doc signature, so
+    downstream signature joins scale like LSH bucket joins."""
+    d = table(spark, sf_dir, "documents").select("doc_id", "text")
+    return winnow_fingerprints(d, "text", "doc_id", _WIN_K, _WIN_T)
+
+
+# ---------------------------------------------------------------------------
+# URL canonicalization + dedup.
+# ---------------------------------------------------------------------------
+
+# The documents table carries no URL column, so the contract query
+# constructs deterministic messy URLs (scheme/WWW case, default port,
+# utm params, fragments, trailing slashes all varying by doc_id) and
+# the canonicalizer must collapse them to their canonical groups.
+_URL_SQL = """
+      SELECT doc_id,
+        (CASE WHEN doc_id % 2 = 0 THEN 'HTTPS://' ELSE 'https://' END)
+        || (CASE WHEN doc_id % 3 = 0 THEN 'WWW.' ELSE '' END)
+        || source || '.Example.COM'
+        || (CASE WHEN doc_id % 5 = 0 THEN ':443' ELSE '' END)
+        || '/Products/item-' || CAST(doc_id % 40 AS VARCHAR)
+        || (CASE WHEN doc_id % 4 = 0 THEN '/' ELSE '' END)
+        || (CASE WHEN doc_id % 2 = 0
+              THEN '?utm_source=news&utm_campaign=c'
+                   || CAST(doc_id % 3 AS VARCHAR) || '&ref=kept'
+              WHEN doc_id % 7 = 0 THEN '?ref=kept&utm_medium=mail'
+              ELSE '?ref=kept' END)
+        || (CASE WHEN doc_id % 4 = 1 THEN '#section-2' ELSE '' END)
+        AS url
+      FROM documents
+"""
+
+
+def _raw_urls(d: DataFrame) -> DataFrame:
+    i = F.col("doc_id")
+    url = F.concat(
+        F.when(i % 2 == 0, F.lit("HTTPS://")).otherwise(F.lit("https://")),
+        F.when(i % 3 == 0, F.lit("WWW.")).otherwise(F.lit("")),
+        F.col("source"),
+        F.lit(".Example.COM"),
+        F.when(i % 5 == 0, F.lit(":443")).otherwise(F.lit("")),
+        F.lit("/Products/item-"),
+        (i % 40).cast("string"),
+        F.when(i % 4 == 0, F.lit("/")).otherwise(F.lit("")),
+        F.when(
+            i % 2 == 0,
+            F.concat(
+                F.lit("?utm_source=news&utm_campaign=c"),
+                (i % 3).cast("string"),
+                F.lit("&ref=kept"),
+            ),
+        )
+        .when(i % 7 == 0, F.lit("?ref=kept&utm_medium=mail"))
+        .otherwise(F.lit("?ref=kept")),
+        F.when(i % 4 == 1, F.lit("#section-2")).otherwise(F.lit("")),
+    )
+    return d.select("doc_id", url.alias("url"))
+
+
+def canonical_url(url: F.Column) -> F.Column:
+    """Canonical form: lowercase scheme+host, strip www./default port/
+    fragment/utm_* params/trailing slashes, '/' for an empty path.
+
+    Pure regexp-chain Column algebra (JVM-side, fuses into the scan
+    projection); every pattern parses identically under Java regex and
+    RE2, so the DuckDB twin is byte-identical."""
+    scheme = F.lower(F.regexp_extract(url, r"^([A-Za-z]+)://", 1))
+    hostport = F.lower(F.regexp_extract(url, r"^[A-Za-z]+://([^/?#]+)", 1))
+    host = F.regexp_replace(
+        F.regexp_replace(hostport, r":(443|80)$", ""), r"^www\.", ""
+    )
+    rest = F.regexp_replace(url, r"^[A-Za-z]+://[^/?#]+", "")
+    rest = F.regexp_replace(rest, r"#.*", "")
+    rest = F.regexp_replace(rest, r"([?&])utm_[A-Za-z0-9_]+=[^&#]*", r"$1")
+    rest = F.regexp_replace(rest, r"\?&+", "?")
+    rest = F.regexp_replace(rest, r"&&+", "&")
+    rest = F.regexp_replace(rest, r"[?&]+$", "")
+    rest = F.regexp_replace(rest, r"/+\?", "?")
+    rest = F.regexp_replace(rest, r"/+$", "")
+    return F.concat(
+        scheme,
+        F.lit("://"),
+        host,
+        F.when(rest == "", F.lit("/")).otherwise(rest),
+    )
+
+
+_CANON_SQL = """
+      scheme || '://' || host
+        || CASE WHEN rest = '' THEN '/' ELSE rest END
+"""
+
+
+@query(
+    "url_canonicalize_dedup",
+    oracle=f"""
+    WITH raw AS ({_URL_SQL}),
+    parts AS (
+      SELECT doc_id, url,
+        lower(regexp_extract(url, '^([A-Za-z]+)://', 1)) AS scheme,
+        regexp_replace(
+          regexp_replace(
+            lower(regexp_extract(url, '^[A-Za-z]+://([^/?#]+)', 1)),
+            ':(443|80)$', ''),
+          '^www\\.', '') AS host,
+        regexp_replace(
+          regexp_replace(
+            regexp_replace(
+              regexp_replace(
+                regexp_replace(
+                  regexp_replace(
+                    regexp_replace(
+                      regexp_replace(url, '^[A-Za-z]+://[^/?#]+', ''),
+                      '#.*', '', 'g'),
+                    '([?&])utm_[A-Za-z0-9_]+=[^&#]*', '\\1', 'g'),
+                  '\\?&+', '?', 'g'),
+                '&&+', '&', 'g'),
+              '[?&]+$', '', 'g'),
+            '/+\\?', '?', 'g'),
+          '/+$', '', 'g') AS rest
+      FROM raw
+    ),
+    canon AS (
+      SELECT doc_id, url, {_CANON_SQL} AS canonical_url FROM parts
+    )
+    SELECT canonical_url,
+           COUNT(*) AS n_urls,
+           COUNT(DISTINCT url) AS n_raw_variants,
+           MIN(doc_id) AS canonical_doc_id
+    FROM canon
+    GROUP BY canonical_url
+    """,
+)
+def url_canonicalize_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Web-crawl URL dedup: canonicalize (scheme/host case, www, default
+    port, fragment, utm tracking params, trailing slash) then group.
+    The regexp chain is one fused scan projection; the group-by is a
+    single shuffle on the canonical string — the linear 100 TB shape
+    used before fetch-dedup in crawl pipelines."""
+    d = table(spark, sf_dir, "documents").select("doc_id", "source")
+    raw = _raw_urls(d)
+    c = raw.select("doc_id", "url", canonical_url(F.col("url")).alias("canonical_url"))
+    return c.groupBy("canonical_url").agg(
+        F.count("*").alias("n_urls"),
+        F.count_distinct("url").alias("n_raw_variants"),
+        F.min("doc_id").alias("canonical_doc_id"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Checksum-validated PII: credit-card numbers with Luhn.
+# ---------------------------------------------------------------------------
+
+# Plant one 16-digit card-like number per doc: a doc_id-derived 15-digit
+# payload plus a check digit that satisfies Luhn for even doc_ids and
+# violates it for odd ones — so the validator must actually compute the
+# checksum, not pattern-match.
+#
+# Luhn over the final 16-digit string (check digit at position 16):
+# digits at odd 1-based positions from the LEFT are doubled (position
+# from the right = 17-i, doubled when even <=> i odd).
+
+_LUHN15_SPARK = (
+    "aggregate(transform(sequence(1, 15), i -> CASE WHEN i % 2 = 1 THEN "
+    "IF(2 * CAST(substring(base15, i, 1) AS INT) > 9, "
+    "2 * CAST(substring(base15, i, 1) AS INT) - 9, "
+    "2 * CAST(substring(base15, i, 1) AS INT)) "
+    "ELSE CAST(substring(base15, i, 1) AS INT) END), 0, (acc, x) -> acc + x)"
+)
+
+_LUHN16_SPARK = (
+    "aggregate(transform(sequence(1, 16), i -> CASE WHEN i % 2 = 1 THEN "
+    "IF(2 * CAST(substring(num, i, 1) AS INT) > 9, "
+    "2 * CAST(substring(num, i, 1) AS INT) - 9, "
+    "2 * CAST(substring(num, i, 1) AS INT)) "
+    "ELSE CAST(substring(num, i, 1) AS INT) END), 0, (acc, x) -> acc + x)"
+)
+
+_LUHN15_DUCK = (
+    "list_sum(list_transform(range(1, 16), i -> CASE WHEN i % 2 = 1 THEN "
+    "CASE WHEN 2 * CAST(base15[i] AS INT) > 9 "
+    "THEN 2 * CAST(base15[i] AS INT) - 9 "
+    "ELSE 2 * CAST(base15[i] AS INT) END "
+    "ELSE CAST(base15[i] AS INT) END))"
+)
+
+_LUHN16_DUCK = (
+    "list_sum(list_transform(range(1, 17), i -> CASE WHEN i % 2 = 1 THEN "
+    "CASE WHEN 2 * CAST(num[i] AS INT) > 9 "
+    "THEN 2 * CAST(num[i] AS INT) - 9 "
+    "ELSE 2 * CAST(num[i] AS INT) END "
+    "ELSE CAST(num[i] AS INT) END))"
+)
+
+
+@query(
+    "pii_luhn_validate",
+    oracle=f"""
+    WITH seeded AS (
+      SELECT doc_id, text,
+             '4' || lpad(CAST(doc_id * 7919 % 100000000000000 AS VARCHAR),
+                         14, '0') AS base15
+      FROM documents
+    ),
+    planted AS (
+      SELECT doc_id,
+             text || ' card '
+                  || base15
+                  || CAST(CASE WHEN doc_id % 2 = 0
+                       THEN (10 - {_LUHN15_DUCK} % 10) % 10
+                       ELSE ((10 - {_LUHN15_DUCK} % 10) % 10 + 5) % 10
+                     END AS VARCHAR)
+                  || ' exp 11/28' AS text
+      FROM seeded
+    ),
+    extracted AS (
+      SELECT doc_id,
+             regexp_extract_all(text, '[0-9]{{16}}') AS cands
+      FROM planted
+    ),
+    checked AS (
+      SELECT doc_id,
+             len(cands) AS n_candidates,
+             cands[1] AS num
+      FROM extracted
+    )
+    SELECT doc_id,
+           CAST(n_candidates AS INTEGER) AS n_candidates,
+           '************' || substring(num, 13, 4) AS card_masked,
+           CAST({_LUHN16_DUCK} AS INTEGER) AS luhn_total,
+           {_LUHN16_DUCK} % 10 = 0 AS is_valid_luhn
+    FROM checked
+    """,
+)
+def pii_luhn_validate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Credit-card PII detection with Luhn checksum validation — regex
+    alone over-redacts (order ids, tracking numbers are 16 digits too);
+    the checksum separates real card numbers. The Luhn sum is a pure
+    higher-order Column expression (transform + aggregate over digit
+    positions): JVM-side, codegen'd, zero UDFs, zero shuffles — at
+    100 TB this is scan-speed. Raw numbers never leave the operator:
+    output is masked last-4 only."""
+    d = table(spark, sf_dir, "documents").select("doc_id", "text")
+    seeded = d.withColumn(
+        "base15",
+        F.concat(
+            F.lit("4"),
+            F.lpad((F.col("doc_id") * 7919 % 100000000000000).cast("string"), 14, "0"),
+        ),
+    )
+    luhn15 = F.expr(_LUHN15_SPARK)
+    check = F.when(F.col("doc_id") % 2 == 0, (10 - luhn15 % 10) % 10).otherwise(
+        ((10 - luhn15 % 10) % 10 + 5) % 10
+    )
+    planted = seeded.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" card "),
+            F.col("base15"),
+            check.cast("string"),
+            F.lit(" exp 11/28"),
+        ).alias("text"),
+    )
+    extracted = planted.select(
+        "doc_id",
+        # Spark's regexp_extract_all needs a capture group (idx 1);
+        # DuckDB's returns full matches — same result for this pattern.
+        F.regexp_extract_all(F.col("text"), F.lit("([0-9]{16})")).alias("cands"),
+    )
+    checked = extracted.select(
+        "doc_id",
+        F.size("cands").alias("n_candidates"),
+        F.element_at("cands", 1).alias("num"),
+    )
+    luhn16 = F.expr(_LUHN16_SPARK)
+    return checked.select(
+        "doc_id",
+        F.col("n_candidates").cast("int").alias("n_candidates"),
+        F.concat(F.lit("************"), F.substring("num", 13, 4)).alias("card_masked"),
+        luhn16.cast("int").alias("luhn_total"),
+        (luhn16 % 10 == 0).alias("is_valid_luhn"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# BPE tokenization (no SQL form — pytest parity + partition invariance).
+# ---------------------------------------------------------------------------
+
+
+@query("bpe_encode_stats")
+def bpe_encode_stats_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real BPE tokenization (``operators/bpe.py``): the greedy
+    rank-ordered merge loop over a fixed merge table, run in Arrow
+    batches via mapInPandas with a per-batch word cache. No DuckDB
+    oracle exists for an iterative merge loop; correctness is pinned by
+    pytest (hand-computed segmentations, cache on/off parity,
+    partition invariance) and the driver's rows-only check."""
+    d = table(spark, sf_dir, "documents").select("doc_id", "text")
+    return bpe_encode_stats(d, "text", "doc_id")

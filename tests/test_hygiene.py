@@ -1,0 +1,215 @@
+"""Corpus-hygiene operators: BPE encode, duplicated spans, winnowing,
+URL canonicalization, Luhn validation.
+
+The four oracle-backed queries are already hash-checked against DuckDB
+by ``test_driver_contract.py::test_query_vs_oracle``; these tests pin
+the operator-level properties the oracle comparison cannot see
+(BPE segmentation exactness, winnowing's coverage guarantee, span
+recall, partition invariance of the Arrow path).
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from glamira_batch_processing_spark.operators.bpe import (
+    bpe_encode_stats,
+    encode_text,
+    encode_word,
+)
+from glamira_batch_processing_spark.operators.spans import (
+    duplicated_span_stats,
+    winnow_fingerprints,
+    word_windows,
+)
+
+from .conftest import SF_MEDIUM
+
+
+# ---------------------------------------------------------------------------
+# BPE
+# ---------------------------------------------------------------------------
+
+
+def test_bpe_hand_computed_segmentations():
+    # 'the': t+h -> th (rank 0), th+e -> the (rank 1).
+    assert encode_word("the") == ["the"]
+    # 'scan': s+c (rank 20) -> sc, then sc+an needs 'an' (rank 3 merges
+    # a+n first): a+n -> an (rank 3) happens BEFORE s+c (rank 20).
+    # sequence: s,c,a,n -> s,c,an (rank 3) -> sc,an (rank 20)
+    # -> scan (rank 21).
+    assert encode_word("scan") == ["scan"]
+    # 'query': q+u (39) after e+r (4): q,u,e,r,y -> q,u,er -> qu,er
+    # -> quer (40) -> query (41).
+    assert encode_word("query") == ["query"]
+    # A word with no applicable merges stays character-level.
+    assert encode_word("zzz") == ["z", "z", "z"]
+    # Merges never cross word boundaries.
+    assert encode_text("the scan") == ["the", "scan"]
+
+
+def test_bpe_greedy_rank_order_not_leftmost():
+    # 'ing': leftmost pair i+n has rank 2, but in 'ring' the r,i,n,g
+    # sequence must merge i+n first (rank 2) then in+g (rank 14),
+    # NOT r+e or e+r variants. Result: r + ing.
+    assert encode_word("ring") == ["r", "ing"]
+
+
+def test_bpe_cache_parity():
+    cache: dict[str, list[str]] = {}
+    words = ["the", "scan", "zzz", "the", "query", "scan"]
+    with_cache = [encode_word(w, cache) for w in words]
+    without = [encode_word(w) for w in words]
+    assert with_cache == without
+    assert set(cache) == {"the", "scan", "zzz", "query"}
+
+
+def test_bpe_query_partition_invariance(spark):
+    d = (
+        spark.read.parquet(f"{SF_MEDIUM}/documents.parquet")
+        .select("doc_id", "text")
+        .limit(200)
+    )
+    one = bpe_encode_stats(d.coalesce(1)).orderBy("doc_id").collect()
+    many = bpe_encode_stats(d.repartition(7)).orderBy("doc_id").collect()
+    assert one == many
+    # Tokens never exceed characters, never fall below best compression.
+    for r in one:
+        assert 0 < r.n_tokens
+        assert r.n_words <= r.n_tokens
+
+
+def test_bpe_matches_driver_python_reference(spark):
+    """The distributed result equals driver-side pure-Python encoding."""
+    rows = (
+        spark.read.parquet(f"{SF_MEDIUM}/documents.parquet")
+        .select("doc_id", "text")
+        .limit(50)
+        .collect()
+    )
+    import hashlib
+
+    expected = {
+        r.doc_id: hashlib.md5(" ".join(encode_text(r.text)).encode()).hexdigest()
+        for r in rows
+    }
+    d = spark.createDataFrame(rows)
+    got = {r.doc_id: r.tokens_md5 for r in bpe_encode_stats(d).collect()}
+    assert got == expected
+
+
+# ---------------------------------------------------------------------------
+# Duplicated spans
+# ---------------------------------------------------------------------------
+
+
+def test_span_recall_planted_duplicate(spark):
+    """A >=w-word verbatim span shared by two docs is always caught."""
+    shared = "alpha beta gamma delta epsilon zeta eta theta"  # 8 words
+    df = spark.createDataFrame(
+        [
+            (1, f"unique one {shared} tail a"),
+            (2, f"other prefix words here {shared}"),
+            (3, "completely different text with no overlap at all"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = {r.doc_id: r for r in duplicated_span_stats(df, w=8).collect()}
+    assert out[1].n_dup_windows >= 1
+    assert out[2].n_dup_windows >= 1
+    assert out[3].n_dup_windows == 0
+    assert out[3].dup_ratio == 0.0
+
+
+def test_span_short_doc_zero_windows(spark):
+    df = spark.createDataFrame([(1, "too short")], ["doc_id", "text"])
+    row = duplicated_span_stats(df, w=8).collect()[0]
+    assert row.n_windows == 0
+    assert row.dup_ratio is None
+
+
+def test_span_within_doc_repeat_not_cross_doc(spark):
+    """Repetition inside ONE doc is not cross-doc duplication."""
+    rep = "one two three four five six seven eight"
+    df = spark.createDataFrame(
+        [(1, f"{rep} filler {rep}"), (2, "unrelated words entirely different")],
+        ["doc_id", "text"],
+    )
+    out = {r.doc_id: r for r in duplicated_span_stats(df, w=8).collect()}
+    assert out[1].n_dup_windows == 0
+
+
+# ---------------------------------------------------------------------------
+# Winnowing
+# ---------------------------------------------------------------------------
+
+
+def test_winnow_coverage_guarantee(spark):
+    """Every stretch of t+k-1 words contains >=1 selected k-gram: the
+    fingerprint count is >= n_kgrams/t (density bound) and fingerprints
+    are a subset of the doc's k-gram hashes."""
+    d = (
+        spark.read.parquet(f"{SF_MEDIUM}/documents.parquet")
+        .select("doc_id", "text")
+        .limit(100)
+    )
+    k, t = 4, 5
+    fp = winnow_fingerprints(d, k=k, t=t).collect()
+    for r in fp:
+        if r.n_kgrams >= t:
+            assert r.n_fingerprints >= 1
+            # winnowing selects at most one new fp per window position
+            assert r.n_fingerprints <= r.n_kgrams - t + 1
+        else:
+            assert r.n_fingerprints == 0 and r.fp_digest is None
+
+
+def test_winnow_identical_docs_share_digest(spark):
+    text = "the quick brown fox jumps over the lazy dog again and again today"
+    df = spark.createDataFrame([(1, text), (2, text)], ["doc_id", "text"])
+    rows = winnow_fingerprints(df).collect()
+    assert rows[0].fp_digest == rows[1].fp_digest
+
+
+def test_winnow_partition_invariance(spark):
+    d = (
+        spark.read.parquet(f"{SF_MEDIUM}/documents.parquet")
+        .select("doc_id", "text")
+        .limit(120)
+    )
+    a = winnow_fingerprints(d.coalesce(1)).orderBy("doc_id").collect()
+    b = winnow_fingerprints(d.repartition(9)).orderBy("doc_id").collect()
+    assert a == b
+
+
+# ---------------------------------------------------------------------------
+# Plan shape: the hygiene operators stay scan-fused / bounded-shuffle.
+# ---------------------------------------------------------------------------
+
+
+def _n_exchanges(df) -> int:
+    return df._jdf.queryExecution().executedPlan().toString().count("Exchange")
+
+
+def test_word_windows_no_shuffle(spark):
+    d = spark.read.parquet(f"{SF_MEDIUM}/documents.parquet").select("doc_id", "text")
+    assert _n_exchanges(word_windows(d)) == 0
+
+
+def test_luhn_and_url_queries_no_udf(spark):
+    """Luhn + URL canonicalization are pure Column algebra: no
+    Python-worker nodes in the physical plan."""
+    from glamira_batch_processing_spark.plans import hygiene_queries  # noqa: F401
+    from glamira_batch_processing_spark.plans.registry import QUERIES
+
+    for name in ("pii_luhn_validate", "url_canonicalize_dedup"):
+        plan = (
+            QUERIES[name](spark, SF_MEDIUM)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "Python" not in plan, name
+        assert "BatchEvalPython" not in plan, name
