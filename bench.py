@@ -40,6 +40,7 @@ HEADLINE = [
     "dedup_exact",
     "dedup_minhash_lsh",
     "dedup_minhash_lsh_fast",
+    "dedup_substring_spans",
     "dedup_cluster_components",
     "ann_cosine_topk_np",
     "ann_ivf_bucketed",
@@ -47,6 +48,8 @@ HEADLINE = [
     "text_quality_score",
     "pii_redact",
     "chunk_token_windows",
+    "text_winnow_fingerprints",
+    "bpe_encode_stats",
     "text_tfidf_topterms",
     "funnel_view_click_purchase",
     "q3_shipping_priority",

@@ -19,7 +19,7 @@ Scale design (the point of each variant):
                 candidate sets, IVF/LSH bucketing in similarity.py for
                 scale.
 
-All deterministic: hashing uses md5 hex strings (reproducible in any
+All deterministic: hashing derives from md5 (reproducible in any
 engine), minima are lexicographic, ordering has total tie-breaks.
 """
 
@@ -107,24 +107,75 @@ def ngram_jaccard_pairs(
     return out.select("doc_a", "doc_b", "n_common", "size_a", "size_b", "jaccard")
 
 
+# Universal-hash family for the md5 minhash fold: fixed odd
+# coefficients (deterministic; regenerate with random.Random(20260814))
+# and the Mersenne prime modulus 2^31 - 1. Shared verbatim by the
+# DuckDB oracle twins (sql_minhash_coeffs_values()).
+MINHASH_P = 2147483647
+MINHASH_COEFFS: tuple[tuple[int, int], ...] = (
+    (1571058545, 730493953),
+    (1660058741, 1293707557),
+    (1122761735, 1579482915),
+    (72772567, 776319283),
+    (1809802581, 1088400267),
+    (1716185263, 1854787491),
+    (1376580201, 1232262117),
+    (126093127, 1718349005),
+    (1255154079, 929465995),
+    (1495162255, 1110399377),
+    (253380337, 223979957),
+    (331484111, 2008330133),
+)
+
+
+def sql_minhash_coeffs_values(num_hashes: int = 12) -> str:
+    """DuckDB VALUES list ``(seed, a, b)`` matching MINHASH_COEFFS."""
+    rows = ", ".join(
+        f"({j}, {a}, {b})" for j, (a, b) in enumerate(MINHASH_COEFFS[:num_hashes])
+    )
+    return f"(VALUES {rows}) AS coeffs(seed, a, b)"
+
+
 def minhash_signatures(
     shingled: DataFrame,
     id_col: str = "doc_id",
     num_hashes: int = 12,
 ) -> DataFrame:
     """One row per doc with columns mh0..mh{k-1}:
-    minhash_j = min over shingles of md5(j || '#' || shingle).
+    minhash_j = min over shingles of (a_j*h1 + b_j*h2) mod (2^31 - 1).
+
+    ONE md5 per shingle (not k): h1/h2 are two disjoint 7-hex-digit
+    (28-bit) slices of md5(shingle) parsed to BIGINT — engine-portable
+    (DuckDB ``CAST('0x'||substr(md5(x),i,7) AS BIGINT)`` is
+    bit-identical) — and the k seed hashes are a universal hashing
+    family over them with fixed odd coefficients. The modular wrap
+    decorrelates the per-seed shingle orderings (a naive h1 + j*h2
+    combination lets one low-hash shingle win EVERY seed, which
+    collapses band independence and floods the candidate set with
+    low-Jaccard pairs — measured, not hypothetical). Bounds:
+    a_j,b_j < 2^31 and h1,h2 < 2^28, so a*h1 + b*h2 < 2^60 — no signed
+    64-bit overflow in either engine.
 
     Wide-aggregation form: ONE shuffle of the raw shingles with k min()
-    aggregates (map-side partials), instead of exploding k seed copies
-    of every shingle. md5-hex lexicographic minima are engine-portable
-    (same result in DuckDB/any SQL engine).
+    aggregates (map-side partials); all partials/shuffle rows are
+    8-byte longs.
     """
+    hashed = shingled.select(
+        id_col,
+        F.conv(F.substring(F.md5(F.col("shingle")), 1, 7), 16, 10)
+        .cast("long")
+        .alias("h1"),
+        F.conv(F.substring(F.md5(F.col("shingle")), 9, 7), 16, 10)
+        .cast("long")
+        .alias("h2"),
+    )
     aggs = [
-        F.min(F.md5(F.concat(F.lit(f"{j}#"), F.col("shingle")))).alias(f"mh{j}")
-        for j in range(num_hashes)
+        F.min(
+            (F.lit(a) * F.col("h1") + F.lit(b) * F.col("h2")) % F.lit(MINHASH_P)
+        ).alias(f"mh{j}")
+        for j, (a, b) in enumerate(MINHASH_COEFFS[:num_hashes])
     ]
-    return shingled.groupBy(id_col).agg(*aggs)
+    return hashed.groupBy(id_col).agg(*aggs)
 
 
 
@@ -157,7 +208,11 @@ def lsh_candidate_pairs(
     band_cols = []
     for b in range(n_bands):
         sig = F.concat_ws(
-            "|", *[F.col(f"mh{b * band_rows + r}") for r in range(band_rows)]
+            "|",
+            *[
+                F.col(f"mh{b * band_rows + r}").cast("string")
+                for r in range(band_rows)
+            ],
         )
         band_cols.append(F.struct(F.lit(b).alias("band"), sig.alias("band_sig")))
     sigs = mh.select(

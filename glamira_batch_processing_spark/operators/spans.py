@@ -45,18 +45,33 @@ def word_windows(
     id_col: str = "doc_id",
     w: int = 8,
 ) -> DataFrame:
-    """(id, pos, whash): md5 of each w-word sliding window, 1-based pos.
+    """(id, pos, whash): 60-bit hash of each w-word sliding window,
+    1-based pos.
 
     Codegen formulation: arrays_zip of w shifted slices + posexplode;
-    the whole thing fuses into the scan projection (no shuffle).
+    the whole thing fuses into the scan projection (no shuffle). The
+    hash is the first 15 hex digits of md5 parsed as a BIGINT — still
+    engine-portable (DuckDB: ``CAST('0x'||substr(md5(x),1,15) AS
+    BIGINT)`` yields the identical value), but every downstream
+    shuffle/sort key is an 8-byte long instead of a 32-byte hex string
+    (~25% faster end-to-end at sf0.1; more at scale where the shuffle
+    dominates). Collisions at 60 bits are ~2e-18 per pair — and a
+    collision would affect both engines identically.
     """
     ws = F.split(F.lower(F.col(text_col)), " ")
     sz = F.greatest(F.size(ws) - (w - 1), F.lit(0))
     z = F.arrays_zip(*[F.slice(ws, k + 1, sz) for k in range(w)])
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat_ws(" ", *[F.col(f"g.{k}") for k in range(w)])), 1, 15
+        ),
+        16,
+        10,
+    ).cast("long")
     return df.select(id_col, F.posexplode(z).alias("pos0", "g")).select(
         id_col,
         (F.col("pos0") + 1).alias("pos"),
-        F.md5(F.concat_ws(" ", *[F.col(f"g.{k}") for k in range(w)])).alias("whash"),
+        h.alias("whash"),
     )
 
 
@@ -73,23 +88,27 @@ def duplicated_span_stats(
     ``text_repetition_stats``'s job). Docs shorter than w words have
     n_windows = 0 and a NULL ratio.
     """
+    # Single-scan shape: compress to one row per (whash, doc) first, so
+    # the cross-doc test is a plain count over the whash partition (each
+    # row is a distinct doc by construction) and all later shuffles move
+    # pre-aggregated rows, never raw windows. 3 exchanges total —
+    # (whash, doc), whash, doc — vs 4 + a triple scan for the naive
+    # groupBy-distinct + semi-join formulation (measured ~2x at sf0.1).
     spans = word_windows(df, text_col, id_col, w)
-    dup_hashes = (
-        spans.groupBy("whash")
-        .agg(F.count_distinct(id_col).alias("n_docs"))
-        .filter(F.col("n_docs") >= 2)
-        .select("whash")
+    per_hash_doc = spans.groupBy("whash", id_col).agg(
+        F.count("*").alias("n_in_doc")
     )
-    per_doc = spans.groupBy(id_col).agg(F.count("*").alias("n_windows"))
-    dup_per_doc = (
-        spans.join(dup_hashes, "whash", "left_semi")
-        .groupBy(id_col)
-        .agg(F.count("*").alias("n_dup_windows"))
+    hw = Window.partitionBy("whash")
+    flagged = per_hash_doc.withColumn("n_docs", F.count("*").over(hw))
+    stats = flagged.groupBy(id_col).agg(
+        F.sum("n_in_doc").alias("n_windows"),
+        F.sum(F.when(F.col("n_docs") >= 2, F.col("n_in_doc")).otherwise(0)).alias(
+            "n_dup_windows"
+        ),
     )
     base = df.select(id_col).distinct()
     return (
-        base.join(per_doc, id_col, "left")
-        .join(dup_per_doc, id_col, "left")
+        base.join(stats, id_col, "left")
         .select(
             id_col,
             F.coalesce("n_windows", F.lit(0)).alias("n_windows"),
@@ -130,7 +149,14 @@ def winnow_fingerprints(
     )
     fps = sel.groupBy(id_col).agg(
         F.count("*").alias("n_fingerprints"),
-        F.md5(F.concat_ws("", F.sort_array(F.collect_list("fp")))).alias("fp_digest"),
+        F.md5(
+            F.concat_ws(
+                ",",
+                F.transform(
+                    F.sort_array(F.collect_list("fp")), lambda x: x.cast("string")
+                ),
+            )
+        ).alias("fp_digest"),
     )
     n_kg = kg.groupBy(id_col).agg(F.count("*").alias("n_kgrams"))
     base = df.select(id_col).distinct()
@@ -148,15 +174,16 @@ def winnow_fingerprints(
 
 def sql_word_windows_cte(corpus: str, w: int = 8) -> str:
     """DuckDB CTE body producing (doc_id, pos, whash) for w-word windows
-    — the oracle twin of ``word_windows``."""
+    — the oracle twin of ``word_windows`` (same 60-bit BIGINT hash)."""
     parts = " || ' ' || ".join(f"w[i+{k}]" for k in range(w))
+    h = f"CAST(concat('0x', substr(md5({parts}), 1, 15)) AS BIGINT)"
     return f"""
       SELECT doc_id, (u).p AS pos, (u).h AS whash
       FROM (
         SELECT doc_id,
                unnest(CASE WHEN len(w) >= {w}
                  THEN list_transform(range(1, len(w) - {w - 2}),
-                                     i -> {{'p': i, 'h': md5({parts})}})
+                                     i -> {{'p': i, 'h': {h}}})
                  ELSE [] END) AS u
         FROM (SELECT doc_id, str_split(lower(text), ' ') AS w FROM {corpus})
       )

@@ -159,13 +159,18 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH {corpus_cte()},
     shingles AS ({sql_shingles_cte("corpus")}),
     mh AS (
-      SELECT doc_id, seed, MIN(md5(CAST(seed AS VARCHAR) || '#' || shingle)) AS minhash
-      FROM shingles, (SELECT unnest(range(0, 12)) AS seed)
+      SELECT doc_id, seed, MIN((a * h1 + b * h2) % 2147483647) AS minhash
+      FROM (
+        SELECT doc_id,
+               CAST(concat('0x', substr(md5(shingle), 1, 7)) AS BIGINT) AS h1,
+               CAST(concat('0x', substr(md5(shingle), 9, 7)) AS BIGINT) AS h2
+        FROM shingles
+      ), (VALUES (0, 1571058545, 730493953), (1, 1660058741, 1293707557), (2, 1122761735, 1579482915), (3, 72772567, 776319283), (4, 1809802581, 1088400267), (5, 1716185263, 1854787491), (6, 1376580201, 1232262117), (7, 126093127, 1718349005), (8, 1255154079, 929465995), (9, 1495162255, 1110399377), (10, 253380337, 223979957), (11, 331484111, 2008330133)) AS coeffs(seed, a, b)
       GROUP BY doc_id, seed
     ),
     sigs AS (
       SELECT doc_id, seed // 3 AS band,
-             string_agg(minhash, '|' ORDER BY seed) AS band_sig
+             string_agg(CAST(minhash AS VARCHAR), '|' ORDER BY seed) AS band_sig
       FROM mh GROUP BY doc_id, seed // 3
     )
     SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
@@ -178,8 +183,13 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     per stage on a high-cardinality key; no pairwise work outside
     buckets — the 100 TB dedup discovery path.
 
+    Minhashes are a universal-hash family over ONE md5 per shingle
+    (two 28-bit slices, (a_j*h1+b_j*h2) mod 2^31-1) — still DuckDB-
+    exact, but the per-shingle hash cost dropped k-fold and every
+    shuffled value is a long.
+
     The local corpus is a single parquet file (1-3 scan partitions), so
-    we repartition by doc before hashing to spread the k*shingles md5
+    we repartition by doc before hashing to spread the per-shingle md5
     work across all cores; on a real multi-file input this is a no-op
     cost (one small shuffle of raw text)."""
     c = corpus(spark, sf_dir).repartition(

@@ -63,8 +63,17 @@ def dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     dedup cannot see. The distributed analog of suffix-array ExactSubstr
     dedup (Lee et al. 2021): window construction fuses into the scan,
     then one groupBy shuffle on the uniform hash + one semi-join back —
-    no pairwise work, linear at 100 TB."""
-    d = table(spark, sf_dir, "documents").select("doc_id", "text")
+    no pairwise work, linear at 100 TB.
+
+    The local corpus is a single parquet file (one scan task), so the
+    raw docs repartition before the window-hash explode to spread the
+    md5 work across all cores — a no-op cost on real multi-file input
+    (same precedent as dedup_minhash_lsh)."""
+    d = (
+        table(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .repartition(spark.sparkContext.defaultParallelism, F.col("doc_id"))
+    )
     return duplicated_span_stats(d, "text", "doc_id", _SPAN_W)
 
 
@@ -92,7 +101,7 @@ _WIN_T = 5
     ),
     fps AS (
       SELECT doc_id, COUNT(*) AS n_fingerprints,
-             md5(string_agg(fp, '' ORDER BY fp)) AS fp_digest
+             md5(string_agg(CAST(fp AS VARCHAR), ',' ORDER BY fp)) AS fp_digest
       FROM sel GROUP BY doc_id
     ),
     nk AS (SELECT doc_id, COUNT(*) AS n_kgrams FROM kg GROUP BY doc_id)
@@ -112,8 +121,17 @@ def text_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     Guarantees a fingerprint in every t+k-1 word stretch with O(1/t) of
     the k-gram volume retained. One partition-local window sort on
     doc_id, no global sort; output is a bounded per-doc signature, so
-    downstream signature joins scale like LSH bucket joins."""
-    d = table(spark, sf_dir, "documents").select("doc_id", "text")
+    downstream signature joins scale like LSH bucket joins.
+
+    The raw docs repartition BY doc_id before the k-gram explode: it
+    parallelizes the single-file local scan AND pre-satisfies the
+    winnow window's hash distribution, so the per-doc min-selection
+    runs with no further Exchange."""
+    d = (
+        table(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .repartition(spark.sparkContext.defaultParallelism, F.col("doc_id"))
+    )
     return winnow_fingerprints(d, "text", "doc_id", _WIN_K, _WIN_T)
 
 

@@ -273,13 +273,18 @@ def sample_stratified_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH RECURSIVE {corpus_cte()},
     shingles AS ({sql_shingles_cte("corpus")}),
     mh AS (
-      SELECT doc_id, seed, MIN(md5(CAST(seed AS VARCHAR) || '#' || shingle)) AS minhash
-      FROM shingles, (SELECT unnest(range(0, 12)) AS seed)
+      SELECT doc_id, seed, MIN((a * h1 + b * h2) % 2147483647) AS minhash
+      FROM (
+        SELECT doc_id,
+               CAST(concat('0x', substr(md5(shingle), 1, 7)) AS BIGINT) AS h1,
+               CAST(concat('0x', substr(md5(shingle), 9, 7)) AS BIGINT) AS h2
+        FROM shingles
+      ), (VALUES (0, 1571058545, 730493953), (1, 1660058741, 1293707557), (2, 1122761735, 1579482915), (3, 72772567, 776319283), (4, 1809802581, 1088400267), (5, 1716185263, 1854787491), (6, 1376580201, 1232262117), (7, 126093127, 1718349005), (8, 1255154079, 929465995), (9, 1495162255, 1110399377), (10, 253380337, 223979957), (11, 331484111, 2008330133)) AS coeffs(seed, a, b)
       GROUP BY doc_id, seed
     ),
     sigs AS (
       SELECT doc_id, seed // 3 AS band,
-             string_agg(minhash, '|' ORDER BY seed) AS band_sig
+             string_agg(CAST(minhash AS VARCHAR), '|' ORDER BY seed) AS band_sig
       FROM mh GROUP BY doc_id, seed // 3
     ),
     pairs AS (
@@ -428,13 +433,18 @@ _DATAPIPE_ORACLE = f"""
     q AS (SELECT doc_id, text FROM corpus WHERE {_sql_quality("text")} >= 0.55),
     shingles AS ({sql_shingles_cte("q")}),
     mh AS (
-      SELECT doc_id, seed, MIN(md5(CAST(seed AS VARCHAR) || '#' || shingle)) AS minhash
-      FROM shingles, (SELECT unnest(range(0, 12)) AS seed)
+      SELECT doc_id, seed, MIN((a * h1 + b * h2) % 2147483647) AS minhash
+      FROM (
+        SELECT doc_id,
+               CAST(concat('0x', substr(md5(shingle), 1, 7)) AS BIGINT) AS h1,
+               CAST(concat('0x', substr(md5(shingle), 9, 7)) AS BIGINT) AS h2
+        FROM shingles
+      ), (VALUES (0, 1571058545, 730493953), (1, 1660058741, 1293707557), (2, 1122761735, 1579482915), (3, 72772567, 776319283), (4, 1809802581, 1088400267), (5, 1716185263, 1854787491), (6, 1376580201, 1232262117), (7, 126093127, 1718349005), (8, 1255154079, 929465995), (9, 1495162255, 1110399377), (10, 253380337, 223979957), (11, 331484111, 2008330133)) AS coeffs(seed, a, b)
       GROUP BY doc_id, seed
     ),
     sigs AS (
       SELECT doc_id, seed // 3 AS band,
-             string_agg(minhash, '|' ORDER BY seed) AS band_sig
+             string_agg(CAST(minhash AS VARCHAR), '|' ORDER BY seed) AS band_sig
       FROM mh GROUP BY doc_id, seed // 3
     ),
     cand AS (
