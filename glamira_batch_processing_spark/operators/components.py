@@ -63,11 +63,19 @@ def connected_components(
         .localCheckpoint()
     )
     for round_no in range(max_iter):
-        # neighbor labels: for each edge a->b, b's current label offered to a
-        offers = bidir.join(
-            labels.withColumnRenamed("node", "b"), "b"
-        ).select(F.col("a").alias("node"), "component")
-        candidates = labels.unionByName(offers)
+        # neighbor labels: for each edge a->b, b's current label offered
+        # to a. The node's own current label rides along tagged is_self
+        # so the SAME min-aggregate that computes the new label also
+        # recovers the old one — change detection then reads the
+        # materialized round output instead of launching a second
+        # shuffle job (join new-vs-old) per round.
+        own = labels.withColumn("is_self", F.lit(True))
+        offers = (
+            bidir.join(labels.withColumnRenamed("node", "b"), "b")
+            .select(F.col("a").alias("node"), "component")
+            .withColumn("is_self", F.lit(False))
+        )
+        candidates = own.unionByName(offers)
         if round_no > 0:
             # pointer-jump: each node also considers its label's label.
             # Invariant: component(v) is always a node id inside v's
@@ -77,26 +85,30 @@ def connected_components(
             # round 0 labels are the identity map, so the jump would be
             # a no-op join — skipped; dedup-shaped near-cliques that
             # close in 2 rounds never pay for it.
-            jumps = labels.join(
-                labels.select(
-                    F.col("node").alias("component"),
-                    F.col("component").alias("grand"),
-                ),
-                "component",
-            ).select("node", F.col("grand").alias("component"))
+            jumps = (
+                labels.join(
+                    labels.select(
+                        F.col("node").alias("component"),
+                        F.col("component").alias("grand"),
+                    ),
+                    "component",
+                )
+                .select("node", F.col("grand").alias("component"))
+                .withColumn("is_self", F.lit(False))
+            )
             candidates = candidates.unionByName(jumps)
-        new_labels = (
+        agg = (
             candidates.groupBy("node")
-            .agg(F.min("component").alias("component"))
+            .agg(
+                F.min("component").alias("component"),
+                F.min(F.when(F.col("is_self"), F.col("component"))).alias("old"),
+            )
             .localCheckpoint()  # eager: materialized once, lineage cut
         )
-        changed = (
-            new_labels.join(labels.withColumnRenamed("component", "old"), "node")
-            .filter(F.col("component") != F.col("old"))
-            .limit(1)
-            .count()
-        )
-        labels = new_labels
+        # min over candidates can only lower the label, so "changed"
+        # is component < old; scans the checkpointed partitions only.
+        changed = agg.filter(F.col("component") < F.col("old")).limit(1).count()
+        labels = agg.select("node", "component")
         if changed == 0:
             return labels
     raise RuntimeError(f"connected_components did not converge in {max_iter} rounds")

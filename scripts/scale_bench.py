@@ -49,6 +49,11 @@ MEASURED = [
     "dedup_minhash_lsh",
     "dedup_minhash_lsh_fast",
     "dedup_cluster_components",
+    "dedup_substring_spans",
+    "text_winnow_fingerprints",
+    "bpe_encode_stats",
+    "pii_luhn_validate",
+    "url_canonicalize_dedup",
     "pii_redact",
     "chunk_token_windows",
     "heavy_hitters_by_lang",
