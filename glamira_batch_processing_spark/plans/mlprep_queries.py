@@ -549,7 +549,8 @@ def datapipe_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     contamination_stats, hash_split, predict_lang — chained exactly as
     a real 100 TB prep run would chain them.
 
-    This oracle-checked entry keeps the md5 minhash fold: its DuckDB
+    This oracle-checked entry keeps the md5-derived minhash fold
+    (one md5 per shingle, universal-hash seed family): its DuckDB
     twin (and the sf0.1 differential in tests/test_e2e_sf01.py) pins
     value-equality, and LSH recall on borderline pairs is hash-family-
     dependent, so a hash swap is a (tiny, by banding math) semantic
