@@ -172,6 +172,68 @@ def winnow_fingerprints(
     )
 
 
+def strip_boilerplate_lines(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    line_sep: str = " <br> ",
+    min_docs: int = 30,
+) -> DataFrame:
+    """Remove lines that occur in >= min_docs distinct docs (CCNet-style
+    boilerplate stripping: footers, cookie banners, nav chrome repeat
+    across a crawl; real content doesn't).
+
+    Shape: split -> posexplode (scan-fused) -> one groupBy shuffle on
+    the 60-bit line hash counting distinct docs -> semi-join of the
+    boilerplate hash set back onto the lines -> per-doc ordered
+    reassembly (one window-free groupBy with sort_array). The
+    boilerplate set is tiny by definition (lines frequent enough to
+    cross the threshold), so at scale it broadcasts into the filter
+    join. Output: per doc, line counts and the md5 of the cleaned,
+    order-preserving reassembly.
+    """
+    lines = df.select(
+        id_col, F.posexplode(F.split(F.col(text_col), line_sep)).alias("pos0", "line")
+    ).select(
+        id_col,
+        (F.col("pos0") + 1).alias("pos"),
+        F.col("line"),
+        F.conv(F.substring(F.md5(F.col("line")), 1, 15), 16, 10)
+        .cast("long")
+        .alias("lhash"),
+    )
+    boiler = (
+        lines.groupBy("lhash")
+        .agg(F.count_distinct(id_col).alias("n_docs"))
+        .filter(F.col("n_docs") >= min_docs)
+        .select("lhash")
+    )
+    kept = lines.join(boiler, "lhash", "left_anti")
+    rebuilt = kept.groupBy(id_col).agg(
+        F.count("*").alias("n_kept"),
+        F.md5(
+            F.concat_ws(
+                line_sep,
+                F.transform(
+                    F.sort_array(F.collect_list(F.struct("pos", "line"))),
+                    lambda s: s.getField("line"),
+                ),
+            )
+        ).alias("cleaned_md5"),
+    )
+    totals = lines.groupBy(id_col).agg(F.count("*").alias("n_lines"))
+    return (
+        totals.join(rebuilt, id_col, "left")
+        .select(
+            id_col,
+            "n_lines",
+            F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
+            # all-boilerplate docs reassemble to the empty string
+            F.coalesce("cleaned_md5", F.md5(F.lit(""))).alias("cleaned_md5"),
+        )
+    )
+
+
 def sql_word_windows_cte(corpus: str, w: int = 8) -> str:
     """DuckDB CTE body producing (doc_id, pos, whash) for w-word windows
     — the oracle twin of ``word_windows`` (same 60-bit BIGINT hash)."""

@@ -17,6 +17,7 @@ from ..operators.bpe import bpe_encode_stats
 from ..operators.spans import (
     duplicated_span_stats,
     sql_word_windows_cte,
+    strip_boilerplate_lines,
     winnow_fingerprints,
 )
 from .registry import query, table
@@ -411,6 +412,142 @@ def pii_luhn_validate(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.concat(F.lit("************"), F.substring("num", 13, 4)).alias("card_masked"),
         luhn16.cast("int").alias("luhn_total"),
         (luhn16 % 10 == 0).alias("is_valid_luhn"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Boilerplate line stripping (CCNet-style).
+# ---------------------------------------------------------------------------
+
+# The flat synthetic texts carry no page chrome, so the contract query
+# builds a deterministic "page" per doc: the real text plus a per-source
+# footer and a universal cookie line, joined by an explicit separator.
+# The stripper must remove exactly the lines shared across >= 30 docs.
+_PAGE_SUFFIX_SQL = (
+    "' <br> footer ' || source || ' all rights reserved subscribe now"
+    " <br> cookie notice please accept to continue'"
+)
+_BOILER_MIN_DOCS = 30
+
+
+@query(
+    "boilerplate_strip_lines",
+    oracle=f"""
+    WITH pages AS (
+      SELECT doc_id,
+             text || {_PAGE_SUFFIX_SQL} AS text
+      FROM documents
+    ),
+    lines AS (
+      SELECT doc_id, (u).p AS pos, (u).l AS line,
+             CAST(concat('0x', substr(md5((u).l), 1, 15)) AS BIGINT) AS lhash
+      FROM (
+        SELECT doc_id,
+               unnest(list_transform(range(1, len(ls) + 1),
+                                     i -> {{'p': i, 'l': ls[i]}})) AS u
+        FROM (SELECT doc_id, str_split(text, ' <br> ') AS ls FROM pages)
+      )
+    ),
+    boiler AS (
+      SELECT lhash FROM lines
+      GROUP BY lhash HAVING COUNT(DISTINCT doc_id) >= {_BOILER_MIN_DOCS}
+    ),
+    kept AS (
+      SELECT * FROM lines WHERE lhash NOT IN (SELECT lhash FROM boiler)
+    ),
+    rebuilt AS (
+      SELECT doc_id, COUNT(*) AS n_kept,
+             md5(string_agg(line, ' <br> ' ORDER BY pos)) AS cleaned_md5
+      FROM kept GROUP BY doc_id
+    ),
+    totals AS (SELECT doc_id, COUNT(*) AS n_lines FROM lines GROUP BY doc_id)
+    SELECT t.doc_id, t.n_lines,
+           COALESCE(r.n_kept, 0) AS n_kept,
+           COALESCE(r.cleaned_md5, md5('')) AS cleaned_md5
+    FROM totals t LEFT JOIN rebuilt r USING (doc_id)
+    """,
+)
+def boilerplate_strip_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style boilerplate removal (``operators/spans.py::
+    strip_boilerplate_lines``): lines occurring in >= 30 distinct docs
+    (footers, cookie banners) are dropped and each doc reassembled in
+    line order. The detect side is the spans shape (one groupBy on the
+    60-bit line hash); the strip side is an anti-join against the
+    tiny-by-definition boilerplate hash set — broadcastable at any
+    scale. cleaned_md5 pins the exact reconstruction, separators and
+    order included."""
+    d = table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" <br> footer "),
+            F.col("source"),
+            F.lit(" all rights reserved subscribe now"),
+            F.lit(" <br> cookie notice please accept to continue"),
+        ).alias("text"),
+    )
+    return strip_boilerplate_lines(d, min_docs=_BOILER_MIN_DOCS)
+
+
+# ---------------------------------------------------------------------------
+# Bigram familiarity (n-gram-LM quality proxy).
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "quality_bigram_familiarity",
+    oracle=f"""
+    WITH bg AS ({sql_word_windows_cte("documents", 2)}),
+    cc AS (SELECT whash, COUNT(*) AS cnt FROM bg GROUP BY whash),
+    scored AS (
+      SELECT doc_id, COUNT(*) AS n_bigrams,
+             CAST(SUM(cnt) AS BIGINT) AS sum_bigram_count
+      FROM bg JOIN cc USING (whash)
+      GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+           COALESCE(s.n_bigrams, 0) AS n_bigrams,
+           COALESCE(s.sum_bigram_count, 0) AS sum_bigram_count,
+           CASE WHEN s.n_bigrams > 0
+                THEN CAST(s.sum_bigram_count AS DOUBLE) / s.n_bigrams
+           END AS familiarity
+    FROM (SELECT DISTINCT doc_id FROM documents) d
+    LEFT JOIN scored s USING (doc_id)
+    """,
+)
+def quality_bigram_familiarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-LM quality proxy (the engine-exact analog of a KenLM
+    perplexity filter, CCNet): score each doc by the mean corpus
+    frequency of its word bigrams — gibberish and boilerplate-free
+    machine text sit far below fluent text. Two shuffles (corpus bigram
+    count, then an equi-join of doc bigrams to those counts) — the
+    count table grows with the corpus so it is NOT broadcast, exactly
+    the 100 TB shape. All accumulation is exact integer; the only
+    float op is one final division, so the score is bit-identical
+    across engines (a log-prob variant would be the production scorer
+    but ln() is not cross-engine ulp-stable)."""
+    d = table(spark, sf_dir, "documents").select("doc_id", "text")
+    from ..operators.spans import word_windows
+
+    bg = word_windows(d, "text", "doc_id", 2)
+    cc = bg.groupBy("whash").agg(F.count("*").alias("cnt"))
+    scored = (
+        bg.join(cc, "whash")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_bigrams"),
+            F.sum("cnt").alias("sum_bigram_count"),
+        )
+    )
+    base = d.select("doc_id").distinct()
+    return base.join(scored, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("n_bigrams", F.lit(0)).alias("n_bigrams"),
+        F.coalesce("sum_bigram_count", F.lit(0)).alias("sum_bigram_count"),
+        F.when(
+            F.col("n_bigrams") > 0,
+            F.col("sum_bigram_count").cast("double") / F.col("n_bigrams"),
+        ).alias("familiarity"),
     )
 
 

@@ -185,6 +185,62 @@ def test_winnow_partition_invariance(spark):
 
 
 # ---------------------------------------------------------------------------
+# Boilerplate line stripping
+# ---------------------------------------------------------------------------
+
+
+def test_boilerplate_strips_shared_lines_keeps_content(spark):
+    from glamira_batch_processing_spark.operators.spans import (
+        strip_boilerplate_lines,
+    )
+
+    footer = "all rights reserved"
+    rows = [(i, f"unique content {i} <br> {footer}") for i in range(1, 11)]
+    rows.append((99, "standalone page no footer"))
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r.doc_id: r for r in strip_boilerplate_lines(df, min_docs=10).collect()}
+    import hashlib
+
+    md5 = lambda s: hashlib.md5(s.encode()).hexdigest()  # noqa: E731
+    for i in range(1, 11):
+        assert out[i].n_lines == 2 and out[i].n_kept == 1
+        assert out[i].cleaned_md5 == md5(f"unique content {i}")
+    assert out[99].n_kept == 1
+    assert out[99].cleaned_md5 == md5("standalone page no footer")
+
+
+def test_boilerplate_all_lines_stripped_yields_empty(spark):
+    from glamira_batch_processing_spark.operators.spans import (
+        strip_boilerplate_lines,
+    )
+
+    rows = [(i, "only boilerplate here") for i in range(5)]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = strip_boilerplate_lines(df, min_docs=5).collect()
+    import hashlib
+
+    for r in out:
+        assert r.n_kept == 0
+        assert r.cleaned_md5 == hashlib.md5(b"").hexdigest()
+
+
+def test_boilerplate_reassembly_preserves_order(spark):
+    from glamira_batch_processing_spark.operators.spans import (
+        strip_boilerplate_lines,
+    )
+
+    shared = "cookie banner"
+    text = f"first part <br> {shared} <br> middle bit <br> last words"
+    rows = [(1, text)] + [(i, f"filler {i} <br> {shared}") for i in range(2, 12)]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r.doc_id: r for r in strip_boilerplate_lines(df, min_docs=11).collect()}
+    import hashlib
+
+    expect = "first part <br> middle bit <br> last words"
+    assert out[1].cleaned_md5 == hashlib.md5(expect.encode()).hexdigest()
+
+
+# ---------------------------------------------------------------------------
 # Plan shape: the hygiene operators stay scan-fused / bounded-shuffle.
 # ---------------------------------------------------------------------------
 
