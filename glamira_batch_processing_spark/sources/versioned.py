@@ -45,11 +45,65 @@ class VersionConflictError(RuntimeError):
     """Another writer committed this version first — re-read and retry."""
 
 
-class VersionedTable:
-    """A path-addressed, versioned parquet table with atomic commits."""
+def _json_stat(v):
+    """Footer min/max -> JSON-storable value (None = not storable)."""
+    if isinstance(v, bool) or v is None:
+        return None
+    if isinstance(v, (int, float, str)):
+        return v
+    if isinstance(v, bytes):
+        try:
+            return v.decode("utf-8")
+        except UnicodeDecodeError:
+            return None
+    return None
 
-    def __init__(self, path: str | Path):
+
+def _file_column_stats(path: str, columns: tuple[str, ...]):
+    """(path, n_rows, {col: [min, max]}) from ONE parquet footer —
+    metadata only, no data pages. A column is omitted when any row
+    group lacks min/max stats (pruning must stay sound)."""
+    import pyarrow.parquet as pq
+
+    md = pq.ParquetFile(path).metadata
+    idx = {md.schema.column(i).path: i for i in range(md.num_columns)}
+    stats: dict[str, list] = {}
+    for col in columns:
+        if col not in idx:
+            continue
+        lo = hi = None
+        ok = True
+        for rg in range(md.num_row_groups):
+            s = md.row_group(rg).column(idx[col]).statistics
+            if s is None or not s.has_min_max:
+                ok = False
+                break
+            mn, mx = _json_stat(s.min), _json_stat(s.max)
+            if mn is None or mx is None:
+                ok = False
+                break
+            lo = mn if lo is None or mn < lo else lo
+            hi = mx if hi is None or mx > hi else hi
+        if ok and lo is not None:
+            stats[col] = [lo, hi]
+    return path, md.num_rows, stats
+
+
+class VersionedTable:
+    """A path-addressed, versioned parquet table with atomic commits.
+
+    ``stat_columns``: record per-FILE min/max for these columns in each
+    commit's manifest (the Delta/Iceberg data-skipping analog — footer
+    metadata only, no extra data pass). :meth:`read_pruned` then plans
+    a scan over just the files whose range can intersect a predicate —
+    after a ZORDER :meth:`compact` on the same columns, a point/range
+    query touches a small fraction of files before Spark even opens
+    them.
+    """
+
+    def __init__(self, path: str | Path, stat_columns: tuple[str, ...] = ()):
         self.path = Path(path)
+        self.stat_columns = tuple(stat_columns)
 
     # -- control plane ----------------------------------------------------
 
@@ -75,24 +129,27 @@ class VersionedTable:
         data_dir: Path,
         operation: str,
         txn_id: str | None = None,
+        files: list[dict] | None = None,
     ) -> None:
         """Make ``version`` visible. Atomic: the manifest file either
         exists completely or not at all; O_EXCL create serializes
         racing writers. ``txn_id`` is an optional idempotence token
-        recorded in the manifest (see :meth:`merge`)."""
+        recorded in the manifest (see :meth:`merge`); ``files`` is the
+        optional per-file stats list (see ``stat_columns``)."""
         import os
 
         mdir = self.path / _MANIFEST_DIR
         mdir.mkdir(parents=True, exist_ok=True)
-        body = json.dumps(
-            {
-                "version": version,
-                "data_dir": str(data_dir.relative_to(self.path)),
-                "operation": operation,
-                "txn_id": txn_id,
-                "committed_at_unix": time.time(),
-            }
-        )
+        record = {
+            "version": version,
+            "data_dir": str(data_dir.relative_to(self.path)),
+            "operation": operation,
+            "txn_id": txn_id,
+            "committed_at_unix": time.time(),
+        }
+        if files is not None:
+            record["files"] = files
+        body = json.dumps(record)
         # Two-phase: write the body to a private tmp file, then link it
         # to the manifest name. link() is atomic AND fails with EEXIST,
         # so the version either appears with its complete body or not
@@ -127,7 +184,29 @@ class VersionedTable:
         # race decides, and the loser removes its own orphan.
         data_dir = self.path / _DATA_DIR / f"v{version:05d}-{uuid.uuid4().hex[:8]}"
         df.write.mode("errorifexists").parquet(str(data_dir))
-        self._commit(version, data_dir, operation, txn_id=txn_id)
+        files = None
+        if self.stat_columns:
+            # Footer-only stats pass over the files just written. Local
+            # threads here; past readers._RDD_FOOTER_THRESHOLD files the
+            # same map belongs on the cluster (sources/readers.py
+            # _list_footers precedent) — footers are KBs, so either way
+            # no data pages are re-read.
+            from concurrent.futures import ThreadPoolExecutor
+
+            parts = sorted(str(p) for p in data_dir.glob("part-*.parquet"))
+            with ThreadPoolExecutor(max_workers=min(32, max(1, len(parts)))) as pool:
+                results = list(
+                    pool.map(lambda p: _file_column_stats(p, self.stat_columns), parts)
+                )
+            files = [
+                {
+                    "path": str(Path(p).relative_to(data_dir)),
+                    "rows": rows,
+                    "stats": stats,
+                }
+                for p, rows, stats in results
+            ]
+        self._commit(version, data_dir, operation, txn_id=txn_id, files=files)
         return version
 
     def create(self, df: DataFrame) -> int:
@@ -155,6 +234,70 @@ class VersionedTable:
                 raise FileNotFoundError(f"no committed version at {self.path}")
         m = self.manifest(version)
         return spark.read.parquet(str(self.path / m["data_dir"]))
+
+    def read_pruned(
+        self,
+        spark: SparkSession,
+        column: str,
+        lower=None,
+        upper=None,
+        version: int | None = None,
+    ) -> tuple[DataFrame, dict]:
+        """Snapshot read planning only the files whose recorded
+        [min, max] for ``column`` can intersect [lower, upper] (either
+        bound may be None = unbounded). Returns (df, info) where info
+        reports files_total / files_read; the value predicate is STILL
+        applied to the result — manifest pruning is an optimization,
+        never the filter itself, so a file lacking stats for the column
+        is conservatively read.
+
+        After ``compact(cluster_by=[column])`` file ranges are disjoint
+        and a point lookup opens ~1 file; on an unclustered commit
+        ranges overlap and pruning degrades gracefully toward the full
+        list. Bounds must be the same primitive type the footer stats
+        recorded (int/float/str).
+        """
+        from pyspark.sql import functions as F
+
+        if version is None:
+            version = self.latest_version()
+            if version is None:
+                raise FileNotFoundError(f"no committed version at {self.path}")
+        m = self.manifest(version)
+        data_dir = self.path / m["data_dir"]
+
+        def _pred(df: DataFrame) -> DataFrame:
+            if lower is not None:
+                df = df.filter(F.col(column) >= F.lit(lower))
+            if upper is not None:
+                df = df.filter(F.col(column) <= F.lit(upper))
+            return df
+
+        files = m.get("files")
+        if not files:
+            df = _pred(spark.read.parquet(str(data_dir)))
+            return df, {"files_total": None, "files_read": None, "pruned": False}
+
+        def _keep(f: dict) -> bool:
+            rng = f.get("stats", {}).get(column)
+            if rng is None:
+                return True  # no stats -> must read (soundness)
+            lo, hi = rng
+            if upper is not None and lo > upper:
+                return False
+            if lower is not None and hi < lower:
+                return False
+            return True
+
+        kept = [f for f in files if _keep(f)]
+        info = {"files_total": len(files), "files_read": len(kept), "pruned": True}
+        if not kept:
+            # preserve schema: full-dir scan with a false predicate
+            # (parquet footers only; no data pages are read)
+            df = spark.read.parquet(str(data_dir)).filter(F.lit(False))
+            return df, info
+        paths = [str(data_dir / f["path"]) for f in kept]
+        return _pred(spark.read.parquet(*paths)), info
 
     def merge(
         self,

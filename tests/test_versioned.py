@@ -323,3 +323,73 @@ def test_compact_with_zorder_clusters_files(spark, tmp_path):
         spans.append(row.sx)
     # clustered: average per-file x-span well under the global span
     assert sum(spans) / len(spans) < 0.6 * global_span, spans
+
+
+# ---------------------------------------------------------------------------
+# Manifest column stats + file pruning (data skipping)
+# ---------------------------------------------------------------------------
+
+
+def _mk_stats_table(spark, path, n=10000, files=8):
+    """Clustered table: create -> ZORDER compact on k so file ranges
+    are disjoint and pruning has something to skip."""
+    t = VersionedTable(path, stat_columns=("k",))
+    df = spark.range(n).selectExpr("id AS k", "CAST(id % 97 AS STRING) AS v")
+    t.create(df.repartition(4))
+    t.compact(spark, target_files=files, cluster_by=["k"])
+    return t
+
+
+def test_stats_recorded_in_manifest(spark, tmp_path):
+    t = _mk_stats_table(spark, tmp_path / "tbl")
+    m = t.manifest(t.latest_version())
+    files = m["files"]
+    assert len(files) >= 2
+    assert sum(f["rows"] for f in files) == 10000
+    for f in files:
+        lo, hi = f["stats"]["k"]
+        assert 0 <= lo <= hi <= 9999
+
+
+def test_read_pruned_point_lookup_skips_files(spark, tmp_path):
+    t = _mk_stats_table(spark, tmp_path / "tbl")
+    df, info = t.read_pruned(spark, "k", lower=12, upper=12)
+    assert info["pruned"] and info["files_total"] >= 2
+    # ZORDER on a single column = range-clustered: a point hits ~1 file
+    assert info["files_read"] < info["files_total"]
+    assert [(r.k, r.v) for r in df.collect()] == [(12, str(12 % 97))]
+
+
+def test_read_pruned_equals_full_filter(spark, tmp_path):
+    t = _mk_stats_table(spark, tmp_path / "tbl")
+    for lo, hi in [(None, 100), (9900, None), (4000, 4100), (None, None), (20000, None)]:
+        pruned, info = t.read_pruned(spark, "k", lower=lo, upper=hi)
+        full = t.read(spark)
+        if lo is not None:
+            full = full.filter(full.k >= lo)
+        if hi is not None:
+            full = full.filter(full.k <= hi)
+        assert sorted(map(tuple, pruned.collect())) == sorted(map(tuple, full.collect()))
+
+
+def test_read_pruned_empty_interval_preserves_schema(spark, tmp_path):
+    t = _mk_stats_table(spark, tmp_path / "tbl")
+    df, info = t.read_pruned(spark, "k", lower=50000)
+    assert info["files_read"] == 0
+    assert df.columns == ["k", "v"]
+    assert df.count() == 0
+
+
+def test_read_pruned_without_stats_falls_back(spark, tmp_path):
+    t = VersionedTable(tmp_path / "tbl")  # no stat_columns
+    t.create(spark.createDataFrame([(1, "a"), (2, "b")], "k long, v string"))
+    df, info = t.read_pruned(spark, "k", lower=2)
+    assert info["pruned"] is False
+    assert [(r.k, r.v) for r in df.collect()] == [(2, "b")]
+
+
+def test_read_pruned_unknown_stat_column_reads_all(spark, tmp_path):
+    t = _mk_stats_table(spark, tmp_path / "tbl")
+    # v is a string column with no recorded stats -> conservative full read
+    df, info = t.read_pruned(spark, "v", lower="5")
+    assert info["files_read"] == info["files_total"]
