@@ -10,8 +10,10 @@ from .asof import asof_join
 from .behavior import funnel_counts, funnel_user_flags
 from .audit import column_profile, null_rates, orphan_rates, qa_flags
 from .dedup import (
+    band_signatures,
     doc_shingles,
     exact_dedup_stats,
+    incremental_lsh_pairs,
     lsh_candidate_pairs,
     lsh_candidate_pairs_fast,
     minhash_signatures,
@@ -53,8 +55,10 @@ __all__ = [
     "column_profile",
     "orphan_rates",
     "qa_flags",
+    "band_signatures",
     "doc_shingles",
     "exact_dedup_stats",
+    "incremental_lsh_pairs",
     "lsh_candidate_pairs",
     "lsh_candidate_pairs_fast",
     "minhash_signatures_fast",

@@ -204,6 +204,25 @@ def lsh_candidate_pairs(
     """
     sh = doc_shingles(df, text_col, id_col, n, distinct=False)
     mh = minhash_signatures(sh, id_col, num_hashes)
+    sigs = band_signatures(mh, id_col, num_hashes, band_rows)
+    a = sigs.select(F.col(id_col).alias("doc_a"), "band", "band_sig")
+    b = sigs.select(F.col(id_col).alias("doc_b"), "band", "band_sig")
+    return (
+        a.join(b, ["band", "band_sig"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+
+
+def band_signatures(
+    mh: DataFrame,
+    id_col: str = "doc_id",
+    num_hashes: int = 12,
+    band_rows: int = 3,
+) -> DataFrame:
+    """(id, band, band_sig) rows from an mh0..mh{k-1} signature table —
+    the LSH banding step, shared by one-shot and incremental dedup."""
     n_bands = num_hashes // band_rows
     band_cols = []
     for b in range(n_bands):
@@ -215,17 +234,62 @@ def lsh_candidate_pairs(
             ],
         )
         band_cols.append(F.struct(F.lit(b).alias("band"), sig.alias("band_sig")))
-    sigs = mh.select(
-        id_col, F.explode(F.array(*band_cols)).alias("bs")
-    ).select(id_col, F.col("bs.band").alias("band"), F.col("bs.band_sig").alias("band_sig"))
-    a = sigs.select(F.col(id_col).alias("doc_a"), "band", "band_sig")
-    b = sigs.select(F.col(id_col).alias("doc_b"), "band", "band_sig")
-    return (
-        a.join(b, ["band", "band_sig"])
-        .filter(F.col("doc_a") < F.col("doc_b"))
-        .select("doc_a", "doc_b")
+    return mh.select(id_col, F.explode(F.array(*band_cols)).alias("bs")).select(
+        id_col, F.col("bs.band").alias("band"), F.col("bs.band_sig").alias("band_sig")
+    )
+
+
+def incremental_lsh_pairs(
+    spark,
+    sig_table,
+    new_docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    num_hashes: int = 12,
+    band_rows: int = 3,
+    txn_id: str | None = None,
+):
+    """Dedup-at-ingest: returns (version, pairs) where ``pairs`` are
+    the candidate pairs INVOLVING the new batch, and the new batch's
+    minhash signatures are merged into ``sig_table`` (a VersionedTable
+    keyed on ``id_col``) as one atomic commit.
+
+    The 100 TB ingest shape: the corpus is never re-shingled — each
+    batch computes its own signatures (linear in the batch), MERGEs
+    them into the persistent signature table, then probes band buckets
+    with the BATCH side as the small build input. Cost per batch is
+    O(batch + matching buckets), independent of corpus size; the
+    signature table is ~(k longs)/doc, orders of magnitude below the
+    corpus. ``txn_id`` passes through to the MERGE, so a replayed batch
+    (stream retry) neither duplicates signatures nor re-reports pairs
+    from a double-merge. Pair semantics match lsh_candidate_pairs on
+    the union corpus, restricted to pairs touching the batch: both
+    sides band with the same universal-hash minhashes.
+    """
+    sh = doc_shingles(new_docs, text_col, id_col, n, distinct=False)
+    new_mh = minhash_signatures(sh, id_col, num_hashes)
+    if sig_table.latest_version() is None:
+        version = sig_table.create(new_mh)
+    else:
+        version = sig_table.merge(spark, new_mh, keys=[id_col], txn_id=txn_id)
+    all_mh = sig_table.read(spark, version)
+    new_bands = band_signatures(new_mh, id_col, num_hashes, band_rows).select(
+        F.col(id_col).alias("doc_b"), "band", "band_sig"
+    )
+    all_bands = band_signatures(all_mh, id_col, num_hashes, band_rows).select(
+        F.col(id_col).alias("doc_a"), "band", "band_sig"
+    )
+    pairs = (
+        all_bands.join(F.broadcast(new_bands), ["band", "band_sig"])
+        .filter(F.col("doc_a") != F.col("doc_b"))
+        .select(
+            F.least("doc_a", "doc_b").alias("doc_a"),
+            F.greatest("doc_a", "doc_b").alias("doc_b"),
+        )
         .distinct()
     )
+    return version, pairs
 
 
 def doc_shingle_words(

@@ -54,6 +54,55 @@ def sessionize_gap30m(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "sessionize_builtin_window",
+    oracle="""
+    WITH s AS (
+      SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+             CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+                       OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000
+                  THEN 1 ELSE 0 END AS is_start
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    seq AS (
+      SELECT *, CAST(SUM(is_start) OVER (
+        PARTITION BY user_id ORDER BY ts_us, event_id
+        ROWS UNBOUNDED PRECEDING
+      ) AS BIGINT) AS session_seq
+      FROM s
+    )
+    SELECT user_id,
+           COUNT(*) AS n_events,
+           min(ts_us) AS session_start_us,
+           max(ts_us) + 1800000000 AS session_end_us
+    FROM seq
+    GROUP BY user_id, session_seq
+    """,
+)
+def sessionize_builtin_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization via Spark's NATIVE session_window aggregate —
+    the same 30-min-gap semantics as sessionize_gap30m but expressed
+    as one groupBy(user, session_window(ts)) instead of lag+cumsum
+    (boundary check: events exactly gap-apart MERGE in both forms, so
+    the lag oracle's strict '>' matches). One shuffle on user_id, with
+    the session merge running inside the aggregate — also the exact
+    form Structured Streaming accepts for watermarked streaming
+    sessions, where the lag+cumsum formulation is inexpressible.
+    session_end = last event + gap, per session_window's definition."""
+    e = table(spark, sf_dir, "events")
+    return (
+        e.groupBy("user_id", F.session_window("ts", "30 minutes").alias("w"))
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            "user_id",
+            "n_events",
+            F.unix_micros("w.start").alias("session_start_us"),
+            F.unix_micros("w.end").alias("session_end_us"),
+        )
+    )
+
+
+@query(
     "asof_join_last_purchase",
     oracle="""
     WITH purchases AS (

@@ -269,3 +269,68 @@ def test_luhn_and_url_queries_no_udf(spark):
         )
         assert "Python" not in plan, name
         assert "BatchEvalPython" not in plan, name
+
+
+# ---------------------------------------------------------------------------
+# Incremental LSH dedup-at-ingest
+# ---------------------------------------------------------------------------
+
+
+def test_incremental_lsh_matches_full_recompute(spark, tmp_path):
+    """Batch-wise ingest dedup reports exactly the full-corpus LSH
+    pairs that involve each batch, without re-shingling the corpus."""
+    from glamira_batch_processing_spark.operators.dedup import (
+        incremental_lsh_pairs,
+        lsh_candidate_pairs,
+    )
+    from glamira_batch_processing_spark.sources.versioned import VersionedTable
+
+    base = (
+        spark.read.parquet(f"{SF_MEDIUM}/documents.parquet")
+        .select("doc_id", "text")
+        .limit(120)
+    )
+    batch1 = base.filter("doc_id % 3 != 0")
+    batch2 = base.filter("doc_id % 3 = 0").unionByName(
+        # exact dup of a batch1 doc, under a new id -> must pair cross-batch
+        batch1.limit(1).selectExpr("doc_id + 1000000 AS doc_id", "text")
+    )
+    t = VersionedTable(tmp_path / "sigs")
+    v1, p1 = incremental_lsh_pairs(spark, t, batch1)
+    assert v1 == 0
+    v2, p2 = incremental_lsh_pairs(spark, t, batch2)
+    assert v2 == 1
+
+    union = batch1.unionByName(batch2)
+    full = {tuple(r) for r in lsh_candidate_pairs(union).collect()}
+    batch2_ids = {r.doc_id for r in batch2.select("doc_id").collect()}
+    expected2 = {p for p in full if p[0] in batch2_ids or p[1] in batch2_ids}
+    got2 = {tuple(r) for r in p2.collect()}
+    assert got2 == expected2
+    # the planted exact dup must be among them
+    assert any(b >= 1000000 for _, b in got2)
+
+    batch1_ids = {r.doc_id for r in batch1.select("doc_id").collect()}
+    expected1 = {p for p in full if p[0] in batch1_ids and p[1] in batch1_ids}
+    got1 = {tuple(r) for r in p1.collect()}
+    assert got1 == expected1
+
+
+def test_incremental_lsh_replay_is_idempotent(spark, tmp_path):
+    from glamira_batch_processing_spark.operators.dedup import (
+        incremental_lsh_pairs,
+    )
+    from glamira_batch_processing_spark.sources.versioned import VersionedTable
+
+    docs = (
+        spark.read.parquet(f"{SF_MEDIUM}/documents.parquet")
+        .select("doc_id", "text")
+        .limit(40)
+    )
+    t = VersionedTable(tmp_path / "sigs")
+    incremental_lsh_pairs(spark, t, docs.limit(20))
+    batch = docs.filter("doc_id >= 20")
+    v_a, p_a = incremental_lsh_pairs(spark, t, batch, txn_id="batch-2")
+    v_b, p_b = incremental_lsh_pairs(spark, t, batch, txn_id="batch-2")
+    assert v_a == v_b  # replayed merge detected, no new version
+    assert {tuple(r) for r in p_a.collect()} == {tuple(r) for r in p_b.collect()}
