@@ -88,17 +88,19 @@ def sessionize_builtin_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     the session merge running inside the aggregate — also the exact
     form Structured Streaming accepts for watermarked streaming
     sessions, where the lag+cumsum formulation is inexpressible.
-    session_end = last event + gap, per session_window's definition."""
+    session_end = last event + gap, per session_window's definition.
+    This IS streaming/sessionize.py::sessionize_session_window run on
+    batch input (the watermark is a no-op there), so the oracle check
+    covers the streaming operator's aggregation logic too."""
+    from ..streaming.sessionize import sessionize_session_window
+
     e = table(spark, sf_dir, "events")
-    return (
-        e.groupBy("user_id", F.session_window("ts", "30 minutes").alias("w"))
-        .agg(F.count("*").alias("n_events"))
-        .select(
-            "user_id",
-            "n_events",
-            F.unix_micros("w.start").alias("session_start_us"),
-            F.unix_micros("w.end").alias("session_end_us"),
-        )
+    s = sessionize_session_window(e, gap="30 minutes")
+    return s.select(
+        "user_id",
+        "n_events",
+        F.unix_micros("session_start").alias("session_start_us"),
+        F.unix_micros("session_end").alias("session_end_us"),
     )
 
 

@@ -3,9 +3,15 @@
 Batch form: pure window expressions (lag -> gap flag -> running sum),
 SQL-expressible and oracle-checkable.
 
-Streaming form: a custom stateful operator via applyInPandasWithState —
-the Arrow-batched stateful path the built-in operators can't express
-(per-key session counters carried across micro-batches).
+Streaming forms, two tiers:
+- ``sessionize_session_window``: Spark's NATIVE session_window
+  aggregate + watermark — the built-in merging-session-state operator;
+  use it whenever per-session aggregates are all you need (state is
+  managed, late data handled by the watermark).
+- ``sessionize_stateful``: applyInPandasWithState — the Arrow-batched
+  custom-state path for what session_window can't express (per-key
+  session COUNTERS carried across a user's whole lifetime, custom
+  emission policies).
 """
 
 from __future__ import annotations
@@ -61,6 +67,37 @@ SESSION_OUTPUT_SCHEMA = StructType(
         StructField("n_events", LongType()),
     ]
 )
+
+
+def sessionize_session_window(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    gap: str = "30 minutes",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Streaming sessionization with the built-in session_window
+    aggregate: per (user, session) event counts and bounds.
+
+    Watermarked, so session state is bounded: a session finalizes (and
+    becomes emittable in append mode) once the watermark passes its
+    close; events later than the watermark are dropped by Spark's
+    standard late-data rule. Works identically on a batch DataFrame
+    (the watermark is a no-op there) — the contract query
+    ``sessionize_builtin_window`` is exactly this operator on batch
+    input, oracle-checked against the lag+cumsum formulation.
+    """
+    return (
+        events.withWatermark(ts_col, watermark)
+        .groupBy(user_col, F.session_window(ts_col, gap).alias("w"))
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            user_col,
+            "n_events",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+        )
+    )
 
 
 def sessionize_stateful(grouped, gap_us: int = DEFAULT_GAP_US):

@@ -409,3 +409,46 @@ def test_streaming_mv_survives_base_vacuum(spark, tmp_path):
         .collect()
     }
     assert got == want
+
+
+def test_streaming_session_window(spark, tmp_path):
+    """Native session_window as a real watermarked stream: sessions
+    merge across events <= gap apart and split past the gap, per user."""
+    from glamira_batch_processing_spark.streaming.sessionize import (
+        sessionize_session_window,
+    )
+
+    src = str(tmp_path / "sess_events")
+    schema = StructType(
+        [StructField("ts", StringType()), StructField("user_id", LongType())]
+    )
+    rows = [
+        ("2024-01-01 00:00:00", 1),
+        ("2024-01-01 00:10:00", 1),   # same session (10m gap)
+        ("2024-01-01 01:00:00", 1),   # 50m gap -> new session
+        ("2024-01-01 00:05:00", 2),   # user 2, one session
+    ]
+    spark.createDataFrame(rows, schema).coalesce(1).write.parquet(src)
+
+    stream = (
+        spark.readStream.schema(schema)
+        .parquet(src)
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+    )
+    out = sessionize_session_window(stream, gap="30 minutes")
+    q = (
+        out.writeStream.format("memory")
+        .queryName("sess_win")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {
+        (r.user_id, str(r.session_start)): (r.n_events, str(r.session_end))
+        for r in spark.sql("SELECT * FROM sess_win").collect()
+    }
+    assert got[(1, "2024-01-01 00:00:00")] == (2, "2024-01-01 00:40:00")
+    assert got[(1, "2024-01-01 01:00:00")] == (1, "2024-01-01 01:30:00")
+    assert got[(2, "2024-01-01 00:05:00")] == (1, "2024-01-01 00:35:00")
+    assert len(got) == 3
