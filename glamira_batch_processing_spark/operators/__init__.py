@@ -23,6 +23,7 @@ from .dedup import (
 )
 from .clustering import kmeans_fit, lloyd_step_quantized, seed_centroids
 from .incremental import merge_upsert
+from .pq import pq_adc_topk, pq_codebooks, pq_encode_expr
 from .rangejoin import range_lookup_join
 from .similarity import (
     cosine,
@@ -82,6 +83,9 @@ __all__ = [
     "kmv_sketch",
     "cms_sketch",
     "cms_estimate",
+    "pq_adc_topk",
+    "pq_codebooks",
+    "pq_encode_expr",
     "salted_agg",
     "with_salt",
     "dedupe_latest",

@@ -1,0 +1,177 @@
+"""Product quantization (PQ) for approximate nearest neighbor search.
+
+The third ANN tier next to brute-force cosine and IVF
+(``operators/similarity.py``): compress each d-dim vector into m
+small codes (one per d/m-dim subspace, nearest of ks codebook
+centroids), then score queries against CODES via asymmetric distance
+computation (ADC): the query precomputes a ks-entry distance table per
+subspace and a candidate's distance is the sum of m table lookups
+(Jegou et al., "Product Quantization for Nearest Neighbor Search",
+TPAMI 2011). At 100 TB this is the memory-resident path: m bytes per
+vector instead of d floats (64x smaller at d=64/m=8), so the scored
+index fits executor memory where raw vectors cannot.
+
+Engine-exact determinism (the repo's standard tricks):
+- codebooks are md5-derived literals (``pq_codebooks``) — embeddable
+  in any engine; swap in kmeans_fit-trained codebooks per subspace for
+  production recall, the algebra is unchanged;
+- every subspace distance is an ordered double fold QUANTIZED to
+  integer micros (floor(x*1e6 + 0.5)) before any comparison or sum, so
+  argmin ties, ADC sums, and rankings are bit-identical in DuckDB
+  (float sums reorder across partitions; bigint sums cannot);
+- encode runs as a scan-fused Column expression tree in Spark (zero
+  shuffles, no join) while the oracle reformulates it relationally
+  (cross join x arg-min) — both reduce to the same quantized argmin
+  with lower-code tie-break.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+QUANT = 1_000_000  # micro-quantization, same as the warehouse money math
+
+
+def pq_codebooks(dim: int, m: int = 8, ks: int = 16) -> list[list[list[float]]]:
+    """[m][ks][dim/m] deterministic md5-derived codebook centroids
+    (same construction as seed_centroids / the hyperplane planes)."""
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m {m}")
+    ds = dim // m
+    books = []
+    for s in range(m):
+        book = []
+        for c in range(ks):
+            row = []
+            for i in range(ds):
+                h = hashlib.md5(f"pq_{s}_{c}_{i}".encode()).hexdigest()
+                row.append(int(h[:8], 16) / 4294967296.0 - 0.5)
+            book.append(row)
+        books.append(book)
+    return books
+
+
+def _subdist_q(vec: Column, s: int, centroid: list[float]) -> Column:
+    """Quantized squared L2 between subspace s of ``vec`` and a literal
+    centroid: ordered fold -> floor(x*1e6 + 0.5) bigint."""
+    ds = len(centroid)
+    sl = F.slice(vec, s * ds + 1, ds)
+    cent = F.array(*[F.lit(x) for x in centroid])
+    fold = F.aggregate(
+        F.zip_with(
+            sl, cent, lambda x, y: (x.cast("double") - y) * (x.cast("double") - y)
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    return F.floor(fold * QUANT + F.lit(0.5)).cast("long")
+
+
+def pq_encode_expr(vec: Column, codebooks: list[list[list[float]]]) -> list[Column]:
+    """m code Columns (nearest centroid per subspace, quantized-distance
+    argmin, ties -> lower code) — a pure expression tree that fuses
+    into the scan: encoding 100 TB is a zero-shuffle projection.
+
+    The argmin is array_min over (dist, code) structs — each distance
+    subtree appears ONCE, keeping the plan linear in ks (a chained
+    when()-argmin duplicates the running best per step: 2^ks nodes,
+    which OOMs the driver at ks=16)."""
+    codes = []
+    for s, book in enumerate(codebooks):
+        pairs = F.array(
+            *[
+                F.struct(
+                    _subdist_q(vec, s, cent).alias("d"), F.lit(c).alias("c")
+                )
+                for c, cent in enumerate(book)
+            ]
+        )
+        codes.append(F.array_min(pairs).getField("c").alias(f"code{s}"))
+    return codes
+
+
+def pq_centroids_df(spark: SparkSession, codebooks: list[list[list[float]]]) -> DataFrame:
+    """(s, c, cent) rows — m*ks tiny rows for the relational/ADC side."""
+    rows = [
+        (s, c, cent)
+        for s, book in enumerate(codebooks)
+        for c, cent in enumerate(book)
+    ]
+    return spark.createDataFrame(rows, "s int, c int, cent array<double>")
+
+
+def sql_pq_centroid_values(codebooks: list[list[list[float]]]) -> str:
+    """DuckDB VALUES list matching :func:`pq_centroids_df` exactly."""
+    rows = []
+    for s, book in enumerate(codebooks):
+        for c, cent in enumerate(book):
+            lst = ", ".join(repr(x) for x in cent)
+            rows.append(f"({s}, {c}, [{lst}])")
+    return "(VALUES " + ", ".join(rows) + ") AS cents(s, c, cent)"
+
+
+def pq_adc_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    codebooks: list[list[list[float]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 10,
+) -> DataFrame:
+    """(query_id, neighbor_id, rank, adc_q1e6): top-k candidates per
+    query by ADC distance over PQ codes.
+
+    ``queries`` must have (query_id, qvec). The corpus side never
+    touches raw query vectors: candidates are scored by joining their
+    (s, code) rows to the query's broadcast distance table (m*ks rows
+    per query) and summing m exact bigint partials. Shuffle budget:
+    one exchange for the (query, candidate) partial sum, one for the
+    per-query top-k window — independent of dim.
+    """
+    from pyspark.sql import Window
+
+    spark = embeddings.sparkSession
+    m = len(codebooks)
+    ds = len(codebooks[0][0])
+
+    codes_wide = embeddings.select(
+        F.col(id_col).alias("neighbor_id"), *pq_encode_expr(F.col(vec_col), codebooks)
+    )
+    code_arr = F.array(*[F.col(f"code{s}") for s in range(m)])
+    codes = codes_wide.select(
+        "neighbor_id", F.posexplode(code_arr).alias("s", "code")
+    )
+
+    cents = pq_centroids_df(spark, codebooks)
+    sl = F.slice(F.col("qvec"), F.col("s") * ds + 1, ds)
+    fold = F.aggregate(
+        F.zip_with(
+            sl,
+            F.col("cent"),
+            lambda x, y: (x.cast("double") - y) * (x.cast("double") - y),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    qtab = queries.crossJoin(F.broadcast(cents)).select(
+        "query_id",
+        "s",
+        F.col("c").alias("code"),
+        F.floor(fold * QUANT + F.lit(0.5)).cast("long").alias("partial_q"),
+    )
+
+    scored = (
+        codes.join(F.broadcast(qtab), ["s", "code"])
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .groupBy("query_id", "neighbor_id")
+        .agg(F.sum("partial_q").alias("adc_q1e6"))
+    )
+    w = Window.partitionBy("query_id").orderBy("adc_q1e6", "neighbor_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "adc_q1e6")
+    )

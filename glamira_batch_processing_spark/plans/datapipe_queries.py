@@ -607,6 +607,79 @@ def ann_lsh_hyperplane(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# ANN: product quantization + asymmetric distance (the memory-resident
+# tier: m bytes/vector instead of d floats).
+# ---------------------------------------------------------------------------
+
+from ..operators.pq import (  # noqa: E402
+    pq_adc_topk,
+    pq_codebooks,
+    sql_pq_centroid_values,
+)
+
+_PQ_M, _PQ_KS, _PQ_DS = 8, 16, 8
+_PQ_BOOKS = pq_codebooks(64, _PQ_M, _PQ_KS)
+
+_PQ_SUBDIST = (
+    "CAST(floor(list_reduce(list_transform(range(1, {ds1}), "
+    "i -> (CAST({vec}[s * {ds} + i] AS DOUBLE) - cent[i]) "
+    "* (CAST({vec}[s * {ds} + i] AS DOUBLE) - cent[i])), "
+    "(a, b) -> a + b) * 1000000 + 0.5) AS BIGINT)"
+)
+
+
+@query(
+    "ann_pq_adc_topk",
+    oracle=f"""
+    WITH cents AS (SELECT * FROM {sql_pq_centroid_values(_PQ_BOOKS)}),
+    codes AS (
+      SELECT e.vec_id AS neighbor_id, s,
+             CAST(min({_PQ_SUBDIST.format(vec="e.embedding", ds=_PQ_DS, ds1=_PQ_DS + 1)}
+                      * {_PQ_KS} + c) % {_PQ_KS} AS INT) AS code
+      FROM embeddings e CROSS JOIN cents
+      GROUP BY e.vec_id, s
+    ),
+    qtab AS (
+      SELECT q.vec_id AS query_id, s, c AS code,
+             {_PQ_SUBDIST.format(vec="q.embedding", ds=_PQ_DS, ds1=_PQ_DS + 1)} AS partial_q
+      FROM embeddings q CROSS JOIN cents
+      WHERE q.vec_id % 100 = 0
+    ),
+    scored AS (
+      SELECT query_id, neighbor_id,
+             CAST(SUM(partial_q) AS BIGINT) AS adc_q1e6
+      FROM codes JOIN qtab USING (s, code)
+      WHERE query_id != neighbor_id
+      GROUP BY 1, 2
+    )
+    SELECT query_id, neighbor_id, rank, adc_q1e6 FROM (
+      SELECT *, row_number() OVER (
+        PARTITION BY query_id ORDER BY adc_q1e6, neighbor_id
+      ) AS rank
+      FROM scored
+    )
+    WHERE rank <= 10
+    """,
+)
+def ann_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ + ADC top-10 (``operators/pq.py``, Jegou et al. 2011): encode
+    the corpus to 8 codes/vector via a scan-fused quantized-argmin
+    expression (zero shuffles — no join touches raw vectors), then
+    score every 100th vector as query by summing 8 exact bigint table
+    lookups per candidate. The oracle reformulates the same quantized
+    argmin relationally (cross join + min(dist_q*ks + c)), so code
+    assignment and ranking are bit-identical. 100 TB story: the scored
+    index is m bytes/vector (64x smaller than raw), queries broadcast
+    as m*ks-row tables, and the only wide ops are the partial-sum
+    exchange and the per-query top-k window."""
+    e = table(spark, sf_dir, "embeddings")
+    queries = e.filter(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
+    )
+    return pq_adc_topk(e, queries, _PQ_BOOKS, id_col="vec_id", k=10)
+
+
+# ---------------------------------------------------------------------------
 # Text analysis.
 # ---------------------------------------------------------------------------
 def _lang_counts_sql() -> dict[str, str]:

@@ -836,3 +836,68 @@ def test_quantile_sample_error_bound_and_merge(spark):
         for r in shard_a.unionByName(shard_b).orderBy("tag").limit(256).collect()
     }
     assert merged == single
+
+
+def test_pq_encode_and_adc_match_numpy_reference(spark):
+    """PQ codes and ADC rankings equal an independent driver-side numpy
+    reimplementation (round-half-up micro-quantization, lower-code
+    ties), on real embeddings."""
+    import numpy as np
+
+    from glamira_batch_processing_spark.operators.pq import (
+        QUANT,
+        pq_adc_topk,
+        pq_codebooks,
+        pq_encode_expr,
+    )
+    from tests.conftest import SF_MEDIUM
+
+    e = (
+        spark.read.parquet(f"{SF_MEDIUM}/embeddings.parquet")
+        .select("vec_id", "embedding")
+        .limit(60)
+    )
+    books = pq_codebooks(64, 8, 16)
+    B = np.array(books)  # [m][ks][ds]
+
+    rows = e.collect()
+    vecs = {r.vec_id: np.array(r.embedding, dtype=np.float64) for r in rows}
+
+    def subdist_q(v, s, cent):
+        d = 0.0
+        for x, y in zip(v[s * 8 : s * 8 + 8], cent):
+            d += (x - y) * (x - y)
+        return int(np.floor(d * QUANT + 0.5))
+
+    def encode(v):
+        return [
+            min(range(16), key=lambda c: (subdist_q(v, s, B[s][c]), c))
+            for s in range(8)
+        ]
+
+    got_codes = {
+        r.vec_id: [r[f"code{s}"] for s in range(8)]
+        for r in e.select("vec_id", *pq_encode_expr(F.col("embedding"), books)).collect()
+    }
+    for vid, v in vecs.items():
+        assert got_codes[vid] == encode(v), vid
+
+    # ADC: query = the first two vectors
+    qids = sorted(vecs)[:2]
+    queries = e.filter(F.col("vec_id").isin([int(q) for q in qids])).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
+    )
+    out = pq_adc_topk(e, queries, books, k=5).collect()
+    got = {(r.query_id, r.neighbor_id): (r.rank, r.adc_q1e6) for r in out}
+
+    for q in qids:
+        scores = {}
+        for vid, v in vecs.items():
+            if vid == q:
+                continue
+            scores[vid] = sum(
+                subdist_q(vecs[q], s, B[s][got_codes[vid][s]]) for s in range(8)
+            )
+        top = sorted(scores.items(), key=lambda kv: (kv[1], kv[0]))[:5]
+        for rank, (vid, sc) in enumerate(top, start=1):
+            assert got[(q, vid)] == (rank, sc)
