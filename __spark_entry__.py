@@ -62,7 +62,7 @@ from glamira_batch_processing_spark.plans.registry import ORACLE, QUERIES
 # dedup_substring_spans, text_winnow_fingerprints,
 # url_canonicalize_dedup, pii_luhn_validate,
 # boilerplate_strip_lines, quality_bigram_familiarity,
-# sessionize_builtin_window, ann_pq_adc_topk,
+# sessionize_builtin_window, ann_pq_adc_topk, bpe_train_merges,
 # cluster_label_purity, ohlc_hourly_bars, gapfill_forward_fill,
 # stats_correlation — swap them in for names holding >=2 green rounds
 # once the 11 round-4 rotations have their r4 rows.

@@ -21,6 +21,7 @@ from .dedup import (
     ngram_jaccard_pairs,
     simhash_bits,
 )
+from .bpe import bpe_encode_stats, bpe_train, encode_text
 from .clustering import kmeans_fit, lloyd_step_quantized, seed_centroids
 from .incremental import merge_upsert
 from .pq import pq_adc_topk, pq_codebooks, pq_encode_expr
@@ -57,6 +58,9 @@ __all__ = [
     "orphan_rates",
     "qa_flags",
     "band_signatures",
+    "bpe_encode_stats",
+    "bpe_train",
+    "encode_text",
     "doc_shingles",
     "exact_dedup_stats",
     "incremental_lsh_pairs",

@@ -90,33 +90,10 @@ _RANKS: dict[tuple[str, str], int] = {pair: i for i, pair in enumerate(MERGES)}
 
 
 def encode_word(word: str, cache: dict[str, list[str]] | None = None) -> list[str]:
-    """Greedy BPE encode of one word: repeatedly apply the lowest-rank
-    merge present until none applies (the GPT-2 encode loop)."""
-    if cache is not None and word in cache:
-        return cache[word]
-    seq = list(word)
-    while len(seq) > 1:
-        best_rank: int | None = None
-        for i in range(len(seq) - 1):
-            r = _RANKS.get((seq[i], seq[i + 1]))
-            if r is not None and (best_rank is None or r < best_rank):
-                best_rank = r
-        if best_rank is None:
-            break
-        a, b = MERGES[best_rank]
-        out: list[str] = []
-        i = 0
-        while i < len(seq):
-            if i < len(seq) - 1 and seq[i] == a and seq[i + 1] == b:
-                out.append(a + b)
-                i += 2
-            else:
-                out.append(seq[i])
-                i += 1
-        seq = out
-    if cache is not None:
-        cache[word] = seq
-    return seq
+    """Greedy BPE encode of one word against the module merge table:
+    repeatedly apply the lowest-rank merge present until none applies
+    (the GPT-2 encode loop)."""
+    return _encode_with(word, MERGES, _RANKS, cache if cache is not None else {})
 
 
 def encode_text(text: str, cache: dict[str, list[str]] | None = None) -> list[str]:
@@ -127,6 +104,109 @@ def encode_text(text: str, cache: dict[str, list[str]] | None = None) -> list[st
         if w:
             toks.extend(encode_word(w, cache))
     return toks
+
+
+PAIR_SCHEMA = StructType(
+    [
+        StructField("a", StringType()),
+        StructField("b", StringType()),
+        StructField("cnt", LongType()),
+    ]
+)
+
+
+def bpe_train(
+    df: DataFrame,
+    n_merges: int,
+    text_col: str = "text",
+    min_count: int = 2,
+) -> list[tuple[str, str]]:
+    """Learn a BPE merge table from the corpus: n_merges rounds, each
+    taking the globally most frequent adjacent token pair (ties break
+    deterministically on (count desc, a, b)).
+
+    Distributed shape per round: one Arrow-batched mapInPandas pass
+    re-encodes each batch with the merges learned so far and emits
+    per-batch partial pair counts (vocab-bounded rows, NOT per-token),
+    then one groupBy sums them and the driver takes row 1 — the
+    classic iterative trainer with map-side combining. Re-encoding
+    from scratch each round costs O(rounds x corpus); production
+    trainers keep a pair-index and apply deltas, but the learned table
+    is identical and rounds here are bounded (merge tables are small).
+    Deterministic: no sampling, total tie order, partition-invariant
+    (counts are exact sums).
+    """
+    from pyspark.sql import functions as F
+
+    merges: list[tuple[str, str]] = []
+    texts = df.select(F.col(text_col).alias("text"))
+
+    for _ in range(n_merges):
+        ranks = {pair: i for i, pair in enumerate(merges)}
+        frozen = list(merges)  # closure snapshot for this round
+
+        def count_pairs(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            counts: dict[tuple[str, str], int] = {}
+            cache: dict[str, list[str]] = {}
+            for pdf in batches:
+                for text in pdf["text"].fillna(""):
+                    for w in text.lower().split(" "):
+                        if not w:
+                            continue
+                        seq = _encode_with(w, frozen, ranks, cache)
+                        for i in range(len(seq) - 1):
+                            p = (seq[i], seq[i + 1])
+                            counts[p] = counts.get(p, 0) + 1
+            if counts:
+                a, b, c = zip(*[(k[0], k[1], v) for k, v in counts.items()])
+                yield pd.DataFrame({"a": a, "b": b, "cnt": c})
+
+        top = (
+            texts.mapInPandas(count_pairs, PAIR_SCHEMA)
+            .groupBy("a", "b")
+            .agg(F.sum("cnt").alias("cnt"))
+            .orderBy(F.desc("cnt"), "a", "b")
+            .limit(1)
+            .collect()
+        )
+        if not top or top[0].cnt < min_count:
+            break
+        merges.append((top[0].a, top[0].b))
+    return merges
+
+
+def _encode_with(
+    word: str,
+    merges: list[tuple[str, str]],
+    ranks: dict[tuple[str, str], int],
+    cache: dict[str, list[str]],
+) -> list[str]:
+    """encode_word against an arbitrary merge table (the trainer's
+    in-progress table rather than the module constant)."""
+    if word in cache:
+        return cache[word]
+    seq = list(word)
+    while len(seq) > 1:
+        best_rank: int | None = None
+        for i in range(len(seq) - 1):
+            r = ranks.get((seq[i], seq[i + 1]))
+            if r is not None and (best_rank is None or r < best_rank):
+                best_rank = r
+        if best_rank is None:
+            break
+        a, b = merges[best_rank]
+        out: list[str] = []
+        i = 0
+        while i < len(seq):
+            if i < len(seq) - 1 and seq[i] == a and seq[i + 1] == b:
+                out.append(a + b)
+                i += 2
+            else:
+                out.append(seq[i])
+                i += 1
+        seq = out
+    cache[word] = seq
+    return seq
 
 
 BPE_SCHEMA = StructType(

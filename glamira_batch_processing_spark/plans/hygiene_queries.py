@@ -13,7 +13,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..operators.bpe import bpe_encode_stats
+from ..operators.bpe import bpe_encode_stats, bpe_train
 from ..operators.spans import (
     duplicated_span_stats,
     sql_word_windows_cte,
@@ -554,6 +554,21 @@ def quality_bigram_familiarity(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 # BPE tokenization (no SQL form — pytest parity + partition invariance).
 # ---------------------------------------------------------------------------
+
+
+@query("bpe_train_merges")
+def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE TRAINING on the corpus (``operators/bpe.py::bpe_train``):
+    8 rounds, each = one Arrow-batched partial pair-count pass + one
+    sum-and-argmax, returning the learned merge table as (rank, a, b)
+    rows. Deterministic (exact counts, total tie order) and
+    partition-invariant — pinned by pytest; rows-only driver check (an
+    iterative trainer has no single SQL form)."""
+    d = table(spark, sf_dir, "documents").select("text")
+    merges = bpe_train(d, n_merges=8)
+    return spark.createDataFrame(
+        [(i, a, b) for i, (a, b) in enumerate(merges)], "rank int, a string, b string"
+    )
 
 
 @query("bpe_encode_stats")

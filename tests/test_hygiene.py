@@ -334,3 +334,62 @@ def test_incremental_lsh_replay_is_idempotent(spark, tmp_path):
     v_b, p_b = incremental_lsh_pairs(spark, t, batch, txn_id="batch-2")
     assert v_a == v_b  # replayed merge detected, no new version
     assert {tuple(r) for r in p_a.collect()} == {tuple(r) for r in p_b.collect()}
+
+
+# ---------------------------------------------------------------------------
+# BPE training
+# ---------------------------------------------------------------------------
+
+
+def test_bpe_train_hand_computable():
+    """On a corpus of 'abab' words: round 1 learns (a,b) (6 vs 3 for
+    (b,a)); round 2 learns (ab,ab); round 3 finds no pair >= min_count
+    and stops early."""
+    from glamira_batch_processing_spark.operators.bpe import bpe_train
+    from glamira_batch_processing_spark import get_spark
+
+    spark = get_spark("t")
+    df = spark.createDataFrame([("abab abab",), ("abab",)], ["text"])
+    merges = bpe_train(df, n_merges=5)
+    assert merges == [("a", "b"), ("ab", "ab")]
+
+
+def test_bpe_train_partition_invariant_and_tie_deterministic(spark):
+    from glamira_batch_processing_spark.operators.bpe import bpe_train
+
+    d = (
+        spark.read.parquet(f"{SF_MEDIUM}/documents.parquet")
+        .select("text")
+        .limit(150)
+    )
+    m1 = bpe_train(d.coalesce(1), n_merges=6)
+    m2 = bpe_train(d.repartition(13), n_merges=6)
+    assert m1 == m2
+    assert len(m1) == 6
+
+
+def test_bpe_train_then_encode_compresses(spark):
+    """Merges learned from the corpus reduce its own token count vs
+    character-level encoding."""
+    from glamira_batch_processing_spark.operators.bpe import (
+        _encode_with,
+        bpe_train,
+    )
+
+    rows = (
+        spark.read.parquet(f"{SF_MEDIUM}/documents.parquet")
+        .select("text")
+        .limit(100)
+        .collect()
+    )
+    d = spark.createDataFrame(rows)
+    merges = bpe_train(d, n_merges=16)
+    ranks = {p: i for i, p in enumerate(merges)}
+    cache: dict = {}
+    n_chars = n_tokens = 0
+    for r in rows:
+        for w in r.text.lower().split(" "):
+            if w:
+                n_chars += len(w)
+                n_tokens += len(_encode_with(w, merges, ranks, cache))
+    assert n_tokens < 0.8 * n_chars
