@@ -49,6 +49,9 @@ HEADLINE = [
     "pii_redact",
     "chunk_token_windows",
     "text_winnow_fingerprints",
+    "boilerplate_strip_lines",
+    "quality_bigram_familiarity",
+    "ann_pq_adc_topk",
     "bpe_encode_stats",
     "text_tfidf_topterms",
     "funnel_view_click_purchase",

@@ -19,10 +19,13 @@ Engine-exact determinism (the repo's standard tricks):
   integer micros (floor(x*1e6 + 0.5)) before any comparison or sum, so
   argmin ties, ADC sums, and rankings are bit-identical in DuckDB
   (float sums reorder across partitions; bigint sums cannot);
-- encode runs as a scan-fused Column expression tree in Spark (zero
-  shuffles, no join) while the oracle reformulates it relationally
-  (cross join x arg-min) — both reduce to the same quantized argmin
-  with lower-code tie-break.
+- encode and oracle share ONE relational formulation (broadcast
+  centroids x quantized arg-min with lower-code tie-break);
+  ``pq_encode_expr`` is the equivalent scan-fused expression form,
+  kept for composition into projections — equivalence is pinned by the
+  numpy-reference test. (The expression form's m*ks distance subtrees
+  exceed the whole-stage-codegen method limit and run interpreted, so
+  the join form is also the faster one.)
 """
 
 from __future__ import annotations
@@ -56,18 +59,20 @@ def pq_codebooks(dim: int, m: int = 8, ks: int = 16) -> list[list[list[float]]]:
 
 def _subdist_q(vec: Column, s: int, centroid: list[float]) -> Column:
     """Quantized squared L2 between subspace s of ``vec`` and a literal
-    centroid: ordered fold -> floor(x*1e6 + 0.5) bigint."""
+    centroid: left-associated term sum -> floor(x*1e6 + 0.5) bigint.
+
+    UNROLLED element_at arithmetic, not aggregate()/zip_with():
+    higher-order array functions evaluate their lambda interpreted,
+    per element — with 128 centroid distances per row that measured
+    ~6x slower than the codegen'd explicit sum. The left-assoc order
+    ((t1+t2)+t3)... matches DuckDB's list_reduce fold exactly."""
     ds = len(centroid)
-    sl = F.slice(vec, s * ds + 1, ds)
-    cent = F.array(*[F.lit(x) for x in centroid])
-    fold = F.aggregate(
-        F.zip_with(
-            sl, cent, lambda x, y: (x.cast("double") - y) * (x.cast("double") - y)
-        ),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
-    return F.floor(fold * QUANT + F.lit(0.5)).cast("long")
+    total: Column | None = None
+    for i, c in enumerate(centroid):
+        x = F.element_at(vec, s * ds + i + 1).cast("double") - F.lit(c)
+        t = x * x
+        total = t if total is None else total + t
+    return F.floor(total * QUANT + F.lit(0.5)).cast("long")
 
 
 def pq_encode_expr(vec: Column, codebooks: list[list[list[float]]]) -> list[Column]:
@@ -136,26 +141,42 @@ def pq_adc_topk(
     spark = embeddings.sparkSession
     m = len(codebooks)
     ds = len(codebooks[0][0])
+    ks = len(codebooks[0])
 
-    codes_wide = embeddings.select(
-        F.col(id_col).alias("neighbor_id"), *pq_encode_expr(F.col(vec_col), codebooks)
-    )
-    code_arr = F.array(*[F.col(f"code{s}") for s in range(m)])
-    codes = codes_wide.select(
-        "neighbor_id", F.posexplode(code_arr).alias("s", "code")
-    )
-
+    # Relational encode: corpus x broadcast centroids (m*ks tiny rows),
+    # one quantized subspace distance per joined row, then a map-side-
+    # combinable min-agg on (vector, subspace). The expression-tree
+    # encode (pq_encode_expr) is semantically identical but its m*ks
+    # distance subtrees overflow the whole-stage-codegen method limit
+    # and fall back to interpreted eval — measured ~5x slower than this
+    # join at sf0.1. Shuffle volume here is m compact rows per vector
+    # (the size of the codes themselves).
     cents = pq_centroids_df(spark, codebooks)
-    sl = F.slice(F.col("qvec"), F.col("s") * ds + 1, ds)
-    fold = F.aggregate(
-        F.zip_with(
-            sl,
-            F.col("cent"),
-            lambda x, y: (x.cast("double") - y) * (x.cast("double") - y),
-        ),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
+    fold_c: Column | None = None
+    for i in range(ds):
+        x = F.element_at(F.col(vec_col), F.col("s") * ds + i + 1).cast(
+            "double"
+        ) - F.element_at(F.col("cent"), i + 1)
+        t = x * x
+        fold_c = t if fold_c is None else fold_c + t
+    dist_q = F.floor(fold_c * QUANT + F.lit(0.5)).cast("long")
+    codes = (
+        embeddings.crossJoin(F.broadcast(cents))
+        .select(
+            F.col(id_col).alias("neighbor_id"),
+            "s",
+            (dist_q * ks + F.col("c")).alias("key"),
+        )
+        .groupBy("neighbor_id", "s")
+        .agg((F.min("key") % ks).cast("int").alias("code"))
     )
+    fold: Column | None = None
+    for i in range(ds):
+        x = F.element_at(F.col("qvec"), F.col("s") * ds + i + 1).cast(
+            "double"
+        ) - F.element_at(F.col("cent"), i + 1)
+        t = x * x
+        fold = t if fold is None else fold + t
     qtab = queries.crossJoin(F.broadcast(cents)).select(
         "query_id",
         "s",

@@ -663,16 +663,21 @@ _PQ_SUBDIST = (
 )
 def ann_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PQ + ADC top-10 (``operators/pq.py``, Jegou et al. 2011): encode
-    the corpus to 8 codes/vector via a scan-fused quantized-argmin
-    expression (zero shuffles — no join touches raw vectors), then
-    score every 100th vector as query by summing 8 exact bigint table
-    lookups per candidate. The oracle reformulates the same quantized
-    argmin relationally (cross join + min(dist_q*ks + c)), so code
-    assignment and ranking are bit-identical. 100 TB story: the scored
-    index is m bytes/vector (64x smaller than raw), queries broadcast
-    as m*ks-row tables, and the only wide ops are the partial-sum
-    exchange and the per-query top-k window."""
-    e = table(spark, sf_dir, "embeddings")
+    the corpus to 8 codes/vector (broadcast-centroid join + map-side-
+    combinable quantized argmin — shuffle volume is the codes
+    themselves), then score every 100th vector as query by summing 8
+    exact bigint table lookups per candidate. The oracle states the
+    same quantized argmin in SQL (cross join + min(dist_q*ks + c)), so
+    code assignment and ranking are bit-identical. 100 TB story: the
+    scored index is m bytes/vector (64x smaller than raw), queries
+    broadcast as m*ks-row tables, and the only wide ops are the
+    partial-sum exchange and the per-query top-k window.
+
+    The single-file local scan repartitions before the 128-centroid
+    distance projection (dedup_minhash_lsh precedent)."""
+    e = table(spark, sf_dir, "embeddings").repartition(
+        spark.sparkContext.defaultParallelism, F.col("vec_id")
+    )
     queries = e.filter(F.col("vec_id") % 100 == 0).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
     )

@@ -525,8 +525,15 @@ def quality_bigram_familiarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     the 100 TB shape. All accumulation is exact integer; the only
     float op is one final division, so the score is bit-identical
     across engines (a log-prob variant would be the production scorer
-    but ln() is not cross-engine ulp-stable)."""
-    d = table(spark, sf_dir, "documents").select("doc_id", "text")
+    but ln() is not cross-engine ulp-stable).
+
+    Single-file local scan repartitions before the bigram explode
+    (dedup_minhash_lsh precedent)."""
+    d = (
+        table(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .repartition(spark.sparkContext.defaultParallelism, F.col("doc_id"))
+    )
     from ..operators.spans import word_windows
 
     bg = word_windows(d, "text", "doc_id", 2)
