@@ -51,6 +51,10 @@ MEASURED = [
     "dedup_cluster_components",
     "dedup_substring_spans",
     "text_winnow_fingerprints",
+    "boilerplate_strip_lines",
+    "quality_bigram_familiarity",
+    "ann_pq_adc_topk",
+    "sessionize_builtin_window",
     "bpe_encode_stats",
     "pii_luhn_validate",
     "url_canonicalize_dedup",
