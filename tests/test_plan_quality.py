@@ -335,3 +335,20 @@ def test_quantile_sample_is_take_ordered(spark):
     partition heap), never a global sort of the corpus."""
     df = QUERIES["sketch_quantile_sample"](spark, SF_SMALL)
     assert "TakeOrderedAndProject" in plan_of(df)
+
+
+def test_pq_adc_plan_broadcast_only_no_sort_merge(spark):
+    """PQ encode/score must never shuffle raw vectors for a join: the
+    only cross joins are broadcast-of-tiny (m*ks = 128 centroid rows),
+    there is no CartesianProduct or SortMergeJoin, and the exchange
+    budget is bounded (repartition + two compact aggs + top-k window)."""
+    plan = (
+        QUERIES["ann_pq_adc_topk"](spark, SF_SMALL)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert plan.count("CartesianProduct") == 0
+    assert plan.count("SortMergeJoin") == 0
+    assert plan.count("BroadcastNestedLoopJoin") <= 2  # the two x128 cross joins
+    assert plan.count("Exchange") - plan.count("BroadcastExchange") <= 7
