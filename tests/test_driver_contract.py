@@ -60,8 +60,11 @@ GATE_FAMILIES: dict[str, tuple[str, ...]] = {
     "localized_parse": ("f3_parse_localized_prices",),
     "currency": ("f4_currency_resolution",),
     "surrogate_keys": ("f5_surrogate_key_inputs", "f5_surrogate_key_consistency"),
-    "date_dim": ("f6_date_dimension",),
-    "time_arithmetic": ("f6_time_arithmetic",),
+    # date_dim + time_arithmetic merged round 5: both are f6_* scalar
+    # date/time coverage; f6_time_arithmetic (a round-4 never-gated
+    # rotation) represents the pair while f6_date_dimension (green r1+r3)
+    # freed its slot for the graph family.
+    "date_time": ("f6_date_dimension", "f6_time_arithmetic"),
     "json_extract": ("f8_json_extract",),
     "dedup_exact": ("dedup_exact",),
     "dedup_near": ("dedup_minhash_lsh", "dedup_simhash", "dedup_ngram_jaccard"),
@@ -84,6 +87,9 @@ GATE_FAMILIES: dict[str, tuple[str, ...]] = {
     "histogram": ("stats_histogram", "stats_percentiles"),
     "zorder": ("zorder_key_orders",),
     "range_join": ("range_lookup_ip_geo",),
+    # Round-5 families: lexical retrieval and iterative graph ranking.
+    "retrieval": ("search_bm25_topk",),
+    "graph_rank": ("graph_pagerank_parts",),
 }
 
 

@@ -1,0 +1,148 @@
+"""Round-5 retrieval / graph-ranking operators: BM25, fixed-point
+PageRank, Gopher filter gate, ANN recall evaluation.
+
+The contract queries are oracle-checked in test_driver_contract; these
+tests pin hand-computed semantics on tiny inputs and the physical plan
+shapes the 100 TB posture depends on.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+import __spark_entry__  # noqa: F401  (populates the registry)
+from glamira_batch_processing_spark.operators.graph import (
+    PR_SCALE,
+    pagerank_fixed_point,
+)
+from glamira_batch_processing_spark.plans.registry import QUERIES
+from tests.conftest import SF_SMALL
+from tests.test_plan_quality import plan_of
+
+
+# ---------------------------------------------------------------------------
+# PageRank semantics on hand-computed graphs.
+# ---------------------------------------------------------------------------
+
+
+def _ranks(spark, edges, iters):
+    df = spark.createDataFrame(edges, "src long, dst long")
+    out = pagerank_fixed_point(df, iters=iters)
+    return {r["node"]: r["rank_fp"] for r in out.collect()}
+
+
+def test_pagerank_cycle_is_uniform(spark):
+    """On a k-cycle every node has outdeg 1 and indeg 1: the mass map
+    is the identity, so ranks stay exactly at the fixed point."""
+    got = _ranks(spark, [(1, 2), (2, 3), (3, 1)], iters=3)
+    init = PR_SCALE // 3
+    expect = (15 * init) // 100 + (85 * init) // 100
+    # One round maps init -> expect; expect is then stationary (up to
+    # integer-truncation drift of < 100 fixed-point units per round).
+    assert set(got) == {1, 2, 3}
+    assert len(set(got.values())) == 1
+    assert abs(next(iter(got.values())) - expect) <= 300
+
+
+def test_pagerank_star_center_wins(spark):
+    """a->c, b->c: the sink c accumulates both contributions and must
+    out-rank the sources; exact fixed-point value is hand-checkable."""
+    got = _ranks(spark, [(1, 3), (2, 3)], iters=1)
+    init = PR_SCALE // 3
+    base = (15 * init) // 100
+    assert got[1] == base
+    assert got[2] == base
+    assert got[3] == base + (85 * (init + init)) // 100
+    assert got[3] > got[1]
+
+
+def test_pagerank_dedupes_and_drops_self_loops(spark):
+    """Duplicate edges count once; self-loops are removed entirely."""
+    plain = _ranks(spark, [(1, 2), (2, 1)], iters=2)
+    noisy = _ranks(
+        spark, [(1, 2), (1, 2), (2, 1), (1, 1), (2, 2)], iters=2
+    )
+    assert plain == noisy
+
+
+def test_pagerank_mass_is_conserved_without_dangling(spark):
+    """With no dangling nodes, total mass stays within integer-
+    truncation loss (< 100 fp units per node per round) of SCALE."""
+    got = _ranks(spark, [(1, 2), (2, 3), (3, 1), (1, 3)], iters=4)
+    total = sum(got.values())
+    assert abs(total - PR_SCALE) < 100 * 3 * 5
+
+
+# ---------------------------------------------------------------------------
+# BM25 semantics + plan shape.
+# ---------------------------------------------------------------------------
+
+
+def test_bm25_topk_scores_descend_and_terms_present(spark):
+    rows = QUERIES["search_bm25_topk"](spark, SF_SMALL).collect()
+    assert 0 < len(rows) <= 10
+    scores = [r["bm25"] for r in rows]
+    assert scores == sorted(scores, reverse=True)
+    # A ranked doc must contain at least one query term.
+    assert all(r["tf0"] + r["tf1"] + r["tf2"] > 0 for r in rows)
+
+
+def test_bm25_plan_topk_no_shuffle_join(spark):
+    """Scoring is a broadcast of the 1-row stats + TakeOrdered top-k:
+    no sort-merge join and no global Sort+Exchange materialises."""
+    df = QUERIES["search_bm25_topk"](spark, SF_SMALL)
+    plan = plan_of(df)
+    assert "TakeOrderedAndProject" in plan
+    assert "SortMergeJoin" not in plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+
+
+# ---------------------------------------------------------------------------
+# Gopher filter gate: zero-shuffle plan + flag consistency.
+# ---------------------------------------------------------------------------
+
+
+def test_gopher_filter_zero_shuffle(spark):
+    """The whole gate is a scan-fused projection: no Exchange at all."""
+    df = QUERIES["quality_gopher_filter"](spark, SF_SMALL)
+    plan = plan_of(df)
+    assert "Exchange" not in plan
+    assert "pythonUDF" not in plan and "BatchEvalPython" not in plan
+
+
+def test_gopher_flags_consistent(spark):
+    rows = QUERIES["quality_gopher_filter"](spark, SF_SMALL).collect()
+    assert rows
+    for r in rows:
+        assert r["pass_n_words"] == (40 <= r["n_words"] <= 100_000)
+        assert r["pass_mean_word_len"] == (3.0 <= r["mean_word_len"] <= 10.0)
+        assert r["pass_stopwords"] == (r["n_stop"] >= 2)
+        assert r["pass_distinct"] == (r["distinct_ratio"] >= 0.2)
+        assert r["keep"] == (
+            r["pass_n_words"]
+            and r["pass_mean_word_len"]
+            and r["pass_stopwords"]
+            and r["pass_distinct"]
+        )
+
+
+# ---------------------------------------------------------------------------
+# ANN recall evaluation invariants.
+# ---------------------------------------------------------------------------
+
+
+def test_ann_recall_bounds(spark):
+    rows = QUERIES["ann_recall_eval"](spark, SF_SMALL).collect()
+    assert rows
+    for r in rows:
+        assert 0 <= r["n_hits"] <= r["k"]
+        assert abs(r["recall_at_k"] - r["n_hits"] / r["k"]) < 1e-15
+
+
+def test_ann_recall_no_cartesian_on_corpus(spark):
+    """The only nested-loop join allowed is the broadcast of the tiny
+    query/centroid sets; the corpus side must never cross-join itself
+    un-broadcast."""
+    df = QUERIES["ann_recall_eval"](spark, SF_SMALL)
+    plan = plan_of(df)
+    assert "CartesianProduct" not in plan
