@@ -62,6 +62,7 @@ HEADLINE = [
     "search_bm25_topk",
     "graph_pagerank_parts",
     "quality_gopher_filter",
+    "mix_importance_weights",
 ]
 
 

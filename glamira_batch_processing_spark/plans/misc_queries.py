@@ -480,3 +480,56 @@ def stats_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
             / (F.sqrt(n * sxx - sx * sx) * F.sqrt(n * syy - sy * sy))
         ).alias("corr_price_discount"),
     )
+
+
+@query(
+    "skew_salted_agg",
+    oracle="""
+    SELECT event_type,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(FLOOR(value * 100.0) AS BIGINT)) AS BIGINT)
+             AS sum_cents,
+           MIN(CAST(FLOOR(value * 100.0) AS BIGINT)) AS min_cents,
+           MAX(CAST(FLOOR(value * 100.0) AS BIGINT)) AS max_cents
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def skew_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Salted two-phase aggregation (``operators/skew.py``) under a
+    WORST-CASE skew profile: the events table has only a handful of
+    event_type values, so a naive groupBy pins each hot key on one
+    reducer. ``salted_agg`` splits every group across 16 deterministic
+    salt buckets (phase 1: partial count/sum/min/max per (key, salt)),
+    then merges the bounded per-salt partials by key (phase 2) — two
+    small shuffles instead of one unbounded reducer. The oracle is the
+    PLAIN group-by: salting must be answer-invariant, which holds for
+    any algebraic aggregate.
+
+    Money math stays engine-exact: double values go through an explicit
+    floor(value*100) before the BIGINT cast (Spark truncates
+    double->long where DuckDB rounds, so the integral floor is taken
+    first; both engines then sum exact integers).
+    """
+    from ..operators.skew import salted_agg
+
+    cents = F.floor(F.col("value") * 100.0).cast("bigint")
+    e = table(spark, sf_dir, "events").select(
+        "event_type", cents.alias("cents")
+    )
+    return salted_agg(
+        e,
+        ["event_type"],
+        [
+            F.count("*").alias("pn"),
+            F.sum("cents").alias("ps"),
+            F.min("cents").alias("pmin"),
+            F.max("cents").alias("pmax"),
+        ],
+        [
+            F.sum("pn").alias("n_events"),
+            F.sum("ps").cast("bigint").alias("sum_cents"),
+            F.min("pmin").alias("min_cents"),
+            F.max("pmax").alias("max_cents"),
+        ],
+    )

@@ -1,13 +1,17 @@
-"""Retrieval / graph-ranking contract queries: BM25 keyword search,
-fixed-point PageRank, and Gopher-style hard document filtering.
+"""Retrieval / graph-ranking / data-selection contract queries: BM25
+keyword search, fixed-point PageRank, Gopher-style hard document
+filtering, IVF recall evaluation, and DSIR importance weighting.
 
 These close the last training-data-pipeline gaps the earlier rounds
 left: full-text *retrieval* over the corpus (BM25 is the standard
 first-stage ranker before embedding rerank), an *iterative graph
 algorithm* beyond connected components (PageRank is the canonical
 importance measure for crawl frontiers and citation-style corpus
-weighting), and the Gopher *hard filter gate* (Rae et al. 2021) that
-large-scale text pipelines run before any soft quality scoring.
+weighting), the Gopher *hard filter gate* (Rae et al. 2021) that
+large-scale text pipelines run before any soft quality scoring, the
+recall@k harness that qualifies the approximate ANN index against
+exact ground truth, and DSIR-style importance weighting (Xie et al.
+2023) for steering the training mix toward a target domain.
 
 Every query keeps the registry's engine-exactness convention: all
 accumulation is exact integer; doubles appear only in explicitly
@@ -489,5 +493,155 @@ def ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             (
                 F.coalesce("n_hits", F.lit(0)).cast("double") / float(_RECALL_K)
             ).alias("recall_at_k"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# DSIR-style importance weighting for data selection.
+# ---------------------------------------------------------------------------
+
+# Target domain: three of the twenty sources stand in for the
+# "high-quality" distribution (in DSIR terms: the target corpus whose
+# n-gram distribution training data should be steered toward).
+_DSIR_TARGETS = ("src0", "src1", "src2")
+
+
+@query(
+    "mix_importance_weights",
+    oracle=f"""
+    WITH w AS (
+      SELECT doc_id,
+             source IN {_DSIR_TARGETS} AS is_target,
+             str_split(lower(text), ' ') AS ws
+      FROM documents
+    ),
+    bg AS (
+      SELECT doc_id, is_target,
+             CAST(concat('0x', substr(md5(ws[i] || ' ' || ws[i+1]), 1, 15))
+                  AS BIGINT) AS whash
+      FROM w, unnest(range(1, len(ws))) AS t(i)
+      WHERE len(ws) >= 2
+    ),
+    cc AS (
+      SELECT whash,
+             COUNT(*) AS r_cnt,
+             SUM(CASE WHEN is_target THEN 1 ELSE 0 END) AS t_cnt
+      FROM bg GROUP BY whash
+    ),
+    totals AS (
+      SELECT SUM(r_cnt) AS r_total, SUM(t_cnt) AS t_total FROM cc
+    ),
+    scored AS (
+      SELECT b.doc_id,
+             COUNT(*) AS n_bigrams,
+             CAST(SUM(c.t_cnt) AS BIGINT) AS sum_target_count,
+             CAST(SUM(c.r_cnt) AS BIGINT) AS sum_raw_count
+      FROM bg b JOIN cc c USING (whash)
+      GROUP BY b.doc_id
+    )
+    SELECT d.doc_id,
+           COALESCE(s.n_bigrams, 0) AS n_bigrams,
+           COALESCE(s.sum_target_count, 0) AS sum_target_count,
+           COALESCE(s.sum_raw_count, 0) AS sum_raw_count,
+           CASE WHEN s.sum_raw_count > 0 THEN
+             (CAST(s.sum_target_count AS DOUBLE)
+              * CAST(t2.r_total AS DOUBLE))
+             / (CAST(s.sum_raw_count AS DOUBLE)
+                * CAST(t2.t_total AS DOUBLE))
+           END AS importance,
+           CASE WHEN s.sum_raw_count > 0 THEN
+             ((CAST(s.sum_target_count AS DOUBLE)
+               * CAST(t2.r_total AS DOUBLE))
+              / (CAST(s.sum_raw_count AS DOUBLE)
+                 * CAST(t2.t_total AS DOUBLE))) >= 1.0
+           END AS selected
+    FROM (SELECT DISTINCT doc_id FROM documents) d
+    LEFT JOIN scored s USING (doc_id)
+    CROSS JOIN totals t2
+    """,
+)
+def mix_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data Selection via Importance Resampling (Xie et al. 2023) —
+    the engine-exact analog: weight each raw document by how much its
+    bigram distribution looks like a target domain (here: three of the
+    twenty sources). The weight is the expected-count ratio
+
+        (sum of target bigram counts / sum of corpus bigram counts)
+        normalised by (t_total / r_total),
+
+    i.e. the ratio form of DSIR's hashed-n-gram likelihood ratio —
+    DSIR sums per-bigram log-probabilities, but ln() is not
+    cross-engine ulp-stable, so the contract form accumulates EXACT
+    integer counts and performs one fixed-order double expression at
+    the end; `selected` (weight >= 1) is the resampling gate.
+
+    Scale shape: ONE bigram count pass produces both the raw and the
+    target counts (conditional sum — no second scan), the count table
+    shuffles and is never broadcast (it grows with the corpus), the
+    per-doc score joins doc bigrams to counts by hash — identical to
+    ``quality_bigram_familiarity``'s proven 100 TB shape plus a 1-row
+    totals broadcast.
+    """
+    from ..operators.spans import word_windows
+
+    docs = table(spark, sf_dir, "documents")
+    flagged = docs.select(
+        "doc_id",
+        F.col("source").isin(*_DSIR_TARGETS).alias("is_target"),
+        "text",
+    )
+    # word_windows keeps only (id, pos, whash); inline the same
+    # construction with the is_target flag riding along.
+    ws = F.split(F.lower(F.col("text")), " ")
+    sz = F.greatest(F.size(ws) - 1, F.lit(0))
+    z = F.arrays_zip(F.slice(ws, 1, sz), F.slice(ws, 2, sz))
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat_ws(" ", F.col("g.0"), F.col("g.1"))), 1, 15
+        ),
+        16,
+        10,
+    ).cast("long")
+    bg = flagged.select(
+        "doc_id", "is_target", F.explode(z).alias("g")
+    ).select("doc_id", "is_target", h.alias("whash"))
+    cc = bg.groupBy("whash").agg(
+        F.count("*").alias("r_cnt"),
+        F.sum(F.when(F.col("is_target"), 1).otherwise(0)).alias("t_cnt"),
+    )
+    totals = cc.agg(
+        F.sum("r_cnt").alias("r_total"), F.sum("t_cnt").alias("t_total")
+    )
+    scored = (
+        bg.join(cc, "whash")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_bigrams"),
+            F.sum("t_cnt").cast("bigint").alias("sum_target_count"),
+            F.sum("r_cnt").cast("bigint").alias("sum_raw_count"),
+        )
+    )
+    imp = (
+        F.col("sum_target_count").cast("double")
+        * F.col("r_total").cast("double")
+    ) / (
+        F.col("sum_raw_count").cast("double")
+        * F.col("t_total").cast("double")
+    )
+    return (
+        docs.select("doc_id")
+        .distinct()
+        .join(scored, "doc_id", "left")
+        .crossJoin(F.broadcast(totals))
+        .select(
+            "doc_id",
+            F.coalesce("n_bigrams", F.lit(0)).alias("n_bigrams"),
+            F.coalesce("sum_target_count", F.lit(0)).alias(
+                "sum_target_count"
+            ),
+            F.coalesce("sum_raw_count", F.lit(0)).alias("sum_raw_count"),
+            F.when(F.col("sum_raw_count") > 0, imp).alias("importance"),
+            F.when(F.col("sum_raw_count") > 0, imp >= 1.0).alias("selected"),
         )
     )

@@ -64,6 +64,9 @@ MEASURED = [
     "text_langid",
     "text_tfidf_topterms",
     "funnel_view_click_purchase",
+    "search_bm25_topk",
+    "graph_pagerank_parts",
+    "quality_gopher_filter",
 ]
 
 

@@ -146,3 +146,62 @@ def test_ann_recall_no_cartesian_on_corpus(spark):
     df = QUERIES["ann_recall_eval"](spark, SF_SMALL)
     plan = plan_of(df)
     assert "CartesianProduct" not in plan
+
+
+# ---------------------------------------------------------------------------
+# DSIR importance weighting invariants.
+# ---------------------------------------------------------------------------
+
+
+def test_importance_weights_mean_is_one(spark):
+    """The normalised expected-count ratio averages ~1 over the corpus
+    when weighted by raw counts: sum(sum_target * r_total) ==
+    sum(sum_raw * t_total) exactly (both sides count every (doc bigram,
+    matching corpus bigram) pair once)."""
+    rows = QUERIES["mix_importance_weights"](spark, SF_SMALL).collect()
+    assert rows
+    t_sum = sum(r["sum_target_count"] for r in rows)
+    r_sum = sum(r["sum_raw_count"] for r in rows)
+    assert t_sum > 0 and r_sum > t_sum
+    for r in rows:
+        if r["sum_raw_count"] > 0:
+            assert r["importance"] is not None
+            assert r["selected"] == (r["importance"] >= 1.0)
+            # target occurrences are a subset of raw occurrences
+            assert r["sum_target_count"] <= r["sum_raw_count"]
+
+
+def test_importance_weights_target_docs_score_higher(spark):
+    """Docs FROM the target sources must average a higher importance
+    than non-target docs — the signal DSIR selection relies on."""
+    import duckdb
+
+    df = QUERIES["mix_importance_weights"](spark, SF_SMALL)
+    con = duckdb.connect()
+    src = con.sql(
+        f"SELECT doc_id, source FROM '{SF_SMALL}/documents.parquet'"
+    ).df()
+    is_target = dict(
+        zip(src["doc_id"], src["source"].isin(["src0", "src1", "src2"]))
+    )
+    tgt, other = [], []
+    for r in df.collect():
+        if r["importance"] is None:
+            continue
+        (tgt if is_target[r["doc_id"]] else other).append(r["importance"])
+    assert tgt and other
+    assert sum(tgt) / len(tgt) > sum(other) / len(other)
+
+
+# ---------------------------------------------------------------------------
+# Salted aggregation plan shape.
+# ---------------------------------------------------------------------------
+
+
+def test_salted_agg_two_phase_plan(spark):
+    """The salted aggregate must plan exactly two hash-aggregation
+    exchanges — (key, salt) then key — never a single unbounded one."""
+    df = QUERIES["skew_salted_agg"](spark, SF_SMALL)
+    plan = plan_of(df)
+    assert plan.count("Exchange") == 2
+    assert "__salt" in plan
