@@ -205,3 +205,42 @@ def test_salted_agg_two_phase_plan(spark):
     plan = plan_of(df)
     assert plan.count("Exchange") == 2
     assert "__salt" in plan
+
+
+def test_pagerank_matches_python_reference_on_random_graphs(spark):
+    """Exact equality (not tolerance) against a pure-Python
+    re-implementation of the same integer recurrence, over seeded
+    pseudo-random digraphs — distribution and arithmetic must both
+    match, edge case by edge case (sinks, sources, multi-edges)."""
+
+    def py_pagerank(edges, iters, scale=PR_SCALE):
+        es = {(s, d) for s, d in edges if s != d}
+        nodes = sorted({n for e in es for n in e})
+        out = {}
+        for s, _ in es:
+            out[s] = out.get(s, 0) + 1
+        n = len(nodes)
+        init = scale // n
+        base = (15 * init) // 100
+        r = {v: init for v in nodes}
+        for _ in range(iters):
+            mass = {v: 0 for v in nodes}
+            for s, d in es:
+                mass[d] += r[s] // out[s]
+            r = {v: base + (85 * mass[v]) // 100 for v in nodes}
+        return r
+
+    seed = 0xC0FFEE
+    for trial in range(3):
+        # xorshift-ish deterministic edge list, no RNG imports needed
+        edges = []
+        x = seed + trial * 7919
+        for _ in range(60):
+            x = (x * 1103515245 + 12345) % (2**31)
+            s = x % 12
+            x = (x * 1103515245 + 12345) % (2**31)
+            d = x % 12
+            edges.append((s, d))
+        expected = py_pagerank(edges, iters=4)
+        got = _ranks(spark, edges, iters=4)
+        assert got == expected
