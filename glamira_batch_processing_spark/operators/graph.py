@@ -77,15 +77,17 @@ def pagerank_fixed_point(
         .distinct()
         .localCheckpoint(eager=False)
     )
-    consts = nodes.agg(F.count("*").alias("n")).select(
-        F.expr(f"CAST({scale} AS BIGINT) div n").alias("init"),
-        F.expr(
-            f"({base_pct} * (CAST({scale} AS BIGINT) div n)) div 100"
-        ).alias("base"),
-    )
-    ranks = nodes.crossJoin(F.broadcast(consts)).select(
-        "node", F.col("init").alias("r")
-    )
+    # init/base are two scalars of pure integer arithmetic over the
+    # node count — computed once control-plane (k-means-centroid
+    # precedent: k rows to the driver, never data-plane). Inlining them
+    # as literals removes a 1-row broadcast nested-loop join from EVERY
+    # round; the count() also eagerly materializes the checkpointed
+    # node table that all rounds reuse. Same truncating integer ops as
+    # the SQL oracle's consts CTE.
+    n = nodes.count()
+    init = scale // n
+    base = (base_pct * init) // 100
+    ranks = nodes.select("node", F.lit(init).cast("long").alias("r"))
     for it in range(iters):
         contrib = (
             edges_w.join(ranks, edges_w.src == ranks.node)
@@ -93,15 +95,12 @@ def pagerank_fixed_point(
             .groupBy(F.col("dst").alias("node"))
             .agg(F.sum("c").alias("m"))
         )
-        ranks = (
-            nodes.join(contrib, "node", "left")
-            .crossJoin(F.broadcast(consts))
-            .select(
-                "node",
-                F.expr(
-                    f"base + ({keep_pct} * COALESCE(m, 0)) div 100"
-                ).alias("r"),
-            )
+        ranks = nodes.join(contrib, "node", "left").select(
+            "node",
+            F.expr(
+                f"CAST({base} AS BIGINT)"
+                f" + ({keep_pct} * COALESCE(m, 0)) div 100"
+            ).alias("r"),
         )
         if (it + 1) % 3 == 0 and (it + 1) < iters:
             ranks = ranks.localCheckpoint(eager=False)

@@ -10,11 +10,14 @@ environment, so everything here is pure stdlib):
   which is all the declared ``IMAGE_META_SCHEMA`` requires;
 - audio metadata decode (channels/sample-rate/frames/duration) is REAL
   for WAV via the stdlib ``wave`` module;
-- pixel/sample-level transforms (rasterize, resample) remain stubbed:
-  ``_decode_pixels_real`` raises NotImplementedError, and unknown
-  containers fall back to a clearly-labeled deterministic fake
-  (``format='fake'``) so text-derived test payloads stay end-to-end
-  runnable.
+- pixel rasterization (``_decode_pixels_real``) is REAL for BMP
+  (24bpp raw), PNG (8-bit RGB: zlib inflate + all five scanline
+  unfilters) and GIF (full LZW: variable-width codes, KwKwK rule,
+  interlace, local/global palettes); only JPEG's Huffman+DCT pixel
+  path still needs a codec library and raises NotImplementedError.
+  Unknown containers fall back to a clearly-labeled deterministic
+  fake (``format='fake'``) so text-derived test payloads stay
+  end-to-end runnable.
 
 At scale: mapInPandas streams Arrow record batches through Python once
 per partition (not per row); decode cost dominates, so parallelism is
@@ -243,18 +246,73 @@ def _png_unfilter(raw: bytes, width: int, height: int, channels: int = 3):
     return out.reshape(height, width, channels)
 
 
+def _gif_lzw_decode(min_code_size: int, data: bytes, expected: int) -> list[int]:
+    """GIF-variant LZW: variable-width codes (min+1 .. 12 bits), LSB-
+    first bit packing, CLEAR/END control codes, the KwKwK rule for a
+    code equal to the next unassigned entry. Returns color indices."""
+    clear = 1 << min_code_size
+    end = clear + 1
+    code_size = min_code_size + 1
+    table: dict[int, tuple[int, ...]] = {i: (i,) for i in range(clear)}
+    next_code = end + 1
+    out: list[int] = []
+    prev: tuple[int, ...] | None = None
+    bitpos = 0
+    total_bits = len(data) * 8
+    while bitpos + code_size <= total_bits and len(out) < expected:
+        byte = bitpos >> 3
+        chunk = int.from_bytes(data[byte : byte + 3], "little")
+        code = (chunk >> (bitpos & 7)) & ((1 << code_size) - 1)
+        bitpos += code_size
+        if code == clear:
+            table = {i: (i,) for i in range(clear)}
+            next_code = end + 1
+            code_size = min_code_size + 1
+            prev = None
+            continue
+        if code == end:
+            break
+        if prev is None:
+            if code not in table:
+                raise ValueError("gif: first code after clear not a root")
+            entry = table[code]
+        elif code in table:
+            entry = table[code]
+            if next_code <= 4095:
+                table[next_code] = prev + (entry[0],)
+                next_code += 1
+        elif code == next_code:  # KwKwK
+            entry = prev + (prev[0],)
+            table[next_code] = entry
+            next_code += 1
+        else:
+            raise ValueError("gif: LZW code out of sequence")
+        out.extend(entry)
+        prev = entry
+        if next_code == (1 << code_size) and code_size < 12:
+            code_size += 1
+    return out
+
+
+# GIF interlace passes: (row offset, row step) in order.
+_GIF_INTERLACE = ((0, 8), (4, 8), (2, 4), (1, 2))
+
+
 def _decode_pixels_real(payload: bytes):
     """Pixel-level rasterization: (h, w, 3) uint8 RGB ndarray.
 
-    REAL pure-stdlib decoders for the two containers whose pixel data
-    needs no external codec:
+    REAL pure-stdlib decoders for the three containers whose pixel
+    data needs no external codec:
     - BMP: uncompressed 24bpp BITMAPINFOHEADER (bottom-up or top-down
       row order, 4-byte row padding, BGR -> RGB);
     - PNG: 8-bit RGB (color type 2), concatenated IDAT zlib streams,
-      full scanline unfiltering (None/Sub/Up/Average/Paeth).
+      full scanline unfiltering (None/Sub/Up/Average/Paeth);
+    - GIF: full LZW decode of the first image (variable-width codes,
+      KwKwK rule, interlace passes, local/global color tables) —
+      proven by an in-test LZW round trip.
 
-    GIF (LZW) and JPEG (DCT) genuinely need codec libraries — those
-    raise NotImplementedError, honestly.
+    JPEG (Huffman + DCT) genuinely needs a codec library — it raises
+    NotImplementedError, honestly.
     """
     import zlib
 
@@ -292,7 +350,64 @@ def _decode_pixels_real(payload: bytes):
                 break
             pos += 12 + length
         return _png_unfilter(zlib.decompress(idat), w, h)
-    raise NotImplementedError("pixel decode: only BMP(24bpp raw) and PNG(8-bit RGB)")
+    if payload[:6] in (b"GIF87a", b"GIF89a"):
+        packed = payload[10]
+        pos = 13
+        gct = None
+        if packed & 0x80:
+            n = 2 << (packed & 0x07)
+            gct = payload[pos : pos + 3 * n]
+            pos += 3 * n
+        while pos < len(payload):
+            block = payload[pos]
+            if block == 0x21:  # extension: label + sub-blocks
+                pos += 2
+                while pos < len(payload) and payload[pos] != 0:
+                    pos += 1 + payload[pos]
+                pos += 1
+            elif block == 0x2C:  # image descriptor (first frame only)
+                w, h = struct.unpack("<HH", payload[pos + 5 : pos + 9])
+                ipacked = payload[pos + 9]
+                pos += 10
+                ct = gct
+                if ipacked & 0x80:
+                    n = 2 << (ipacked & 0x07)
+                    ct = payload[pos : pos + 3 * n]
+                    pos += 3 * n
+                if ct is None:
+                    raise ValueError("gif: no color table")
+                min_code = payload[pos]
+                pos += 1
+                data = bytearray()
+                while pos < len(payload) and payload[pos] != 0:
+                    ln = payload[pos]
+                    data += payload[pos + 1 : pos + 1 + ln]
+                    pos += 1 + ln
+                idx = _gif_lzw_decode(min_code, bytes(data), w * h)
+                if len(idx) < w * h:
+                    raise ValueError("gif: truncated LZW stream")
+                pal = np.frombuffer(ct, dtype=np.uint8).reshape(-1, 3)
+                ind = np.asarray(idx[: w * h], dtype=np.int32)
+                if ind.max(initial=0) >= len(pal):
+                    raise ValueError("gif: color index out of palette")
+                px = pal[ind].reshape(h, w, 3)
+                if ipacked & 0x40:  # interlaced: reorder rows
+                    out = np.empty_like(px)
+                    src = 0
+                    for off, step in _GIF_INTERLACE:
+                        for y in range(off, h, step):
+                            out[y] = px[src]
+                            src += 1
+                    px = out
+                return px.copy()
+            elif block == 0x3B:
+                break
+            else:
+                raise ValueError(f"gif: unknown block 0x{block:02x}")
+        raise ValueError("gif: no image descriptor")
+    raise NotImplementedError(
+        "pixel decode: BMP(24bpp raw), PNG(8-bit RGB), GIF(LZW) only"
+    )
 
 
 def _decode_image_fake(payload: bytes) -> tuple[int, int, str]:
@@ -404,12 +519,14 @@ def image_bytes(fmt: str, width: int, height: int) -> bytes:
       per-row filter bytes, IEND, real CRCs);
     - ``bmp``: complete valid 24bpp BITMAPINFOHEADER file (bottom-up
       rows, BGR byte order, 4-byte row padding);
-    - ``gif``: GIF89a container with logical screen descriptor and
-      trailer (no frames — structurally valid, header-true).
+    - ``gif``: complete single-frame GIF89a (256-entry global palette,
+      real LZW-coded pixel data, trailer) carrying the deterministic
+      indexed raster :func:`gif_test_pattern`.
 
     PNG and BMP carry the same deterministic RGB gradient
-    (:func:`test_pattern`), so pixel decoders can be verified to
-    recover identical rasters from both containers.
+    (:func:`test_pattern`); GIF carries its palette-indexed analog —
+    so pixel decoders can be verified to recover exact rasters from
+    all three containers.
     """
     import zlib
 
@@ -434,7 +551,45 @@ def image_bytes(fmt: str, width: int, height: int) -> bytes:
             + chunk(b"IEND", b"")
         )
     if fmt == "gif":
-        return b"GIF89a" + struct.pack("<HH", width, height) + b"\x00\x00\x00" + b"\x3b"
+        # Real single-frame GIF89a: 256-entry global palette, pixel
+        # indices (x + 3y) mod 256, LZW-coded with a CLEAR before every
+        # symbol (spec-legal — code width stays fixed at 9 bits, which
+        # keeps the encoder tiny; the decoder handles general streams).
+        pal = b"".join(
+            bytes((i, (i * 3) % 256, (i * 7) % 256)) for i in range(256)
+        )
+        clear, end = 256, 257
+        codes: list[int] = [clear]
+        for y in range(height):
+            for x in range(width):
+                codes += [(x + 3 * y) % 256, clear]
+        codes[-1] = end
+        bits = bytearray()
+        acc = n_acc = 0
+        for code in codes:
+            acc |= code << n_acc
+            n_acc += 9
+            while n_acc >= 8:
+                bits.append(acc & 0xFF)
+                acc >>= 8
+                n_acc -= 8
+        if n_acc:
+            bits.append(acc & 0xFF)
+        blocks = b""
+        for i in range(0, len(bits), 255):
+            chunk = bytes(bits[i : i + 255])
+            blocks += bytes([len(chunk)]) + chunk
+        return (
+            b"GIF89a"
+            + struct.pack("<HH", width, height)
+            + b"\xf7\x00\x00"  # GCT present, 256 entries
+            + pal
+            + b"\x2c"
+            + struct.pack("<HHHH", 0, 0, width, height)
+            + b"\x00\x08"  # no LCT/interlace; min LZW code size 8
+            + blocks
+            + b"\x00\x3b"
+        )
     if fmt == "bmp":
         px = test_pattern(width, height)
         row = (width * 3 + 3) & ~3
@@ -460,6 +615,20 @@ def test_pattern(width: int, height: int):
     return np.stack(
         [(x * 3 + y * 7) % 256, (x + y) % 256, (x * 5 + y * 11) % 256], axis=-1
     ).astype(np.uint8)
+
+
+def gif_test_pattern(width: int, height: int):
+    """The raster :func:`image_bytes` encodes for GIF: palette entry
+    (i, 3i mod 256, 7i mod 256) at index (x + 3y) mod 256."""
+    import numpy as np
+
+    y, x = np.mgrid[0:height, 0:width]
+    idx = (x + 3 * y) % 256
+    pal = np.array(
+        [(i, (i * 3) % 256, (i * 7) % 256) for i in range(256)],
+        dtype=np.uint8,
+    )
+    return pal[idx]
 
 
 RASTER_SCHEMA = StructType(

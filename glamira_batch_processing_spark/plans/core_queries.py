@@ -568,3 +568,68 @@ def u2_intersect_except(spark: SparkSession, sf_dir: str) -> DataFrame:
     both = m1.intersect(m2).select(F.lit("both_months").alias("cohort"), "o_custkey")
     jan_only = m1.exceptAll(m2).select(F.lit("jan_only").alias("cohort"), "o_custkey")
     return both.unionByName(jan_only)
+
+
+@query(
+    "q5_local_supplier_volume",
+    oracle="""
+    SELECT n.n_name AS nation,
+           CAST(SUM(CAST(floor(l.l_extendedprice*100 + 0.5) AS BIGINT)
+                    * (100 - CAST(floor(l.l_discount*100 + 0.5) AS BIGINT)))
+                AS DOUBLE) / 10000 AS revenue
+    FROM customer c
+    JOIN orders o ON o.o_custkey = c.c_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+                   AND s.s_nationkey = c.c_nationkey
+    JOIN nation n ON n.n_nationkey = s.s_nationkey
+    JOIN region r ON r.r_regionkey = n.n_regionkey
+    WHERE r.r_name = 'ASIA'
+      AND CAST(o.o_orderdate AS DATE) >= DATE '1997-01-01'
+      AND CAST(o.o_orderdate AS DATE) < DATE '1998-01-01'
+    GROUP BY n.n_name
+    """,
+)
+def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape: the six-table local-supplier-volume star join —
+    the classic join-ordering stress test. Region/nation/supplier/
+    customer are dimensions and broadcast (supplier and customer grow
+    sublinearly vs the fact; at sizes past the broadcast budget AQE
+    falls back per side); the date predicate pushes into the orders
+    scan; the ONLY fact-sized work is lineitem streaming through
+    broadcast hash joins into one map-side-combinable aggregate of
+    exact integer cents. The s_nationkey = c_nationkey "local
+    supplier" condition rides the supplier join as a post-join filter
+    on two broadcast columns — no extra shuffle.
+
+    Catalyst is free to reorder the dimension joins (declarative star
+    join, no hints besides the broadcasts); the oracle states the same
+    relational algebra in SQL."""
+    c = table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    o = table(spark, sf_dir, "orders").filter(
+        (F.to_date("o_orderdate") >= F.lit("1997-01-01").cast("date"))
+        & (F.to_date("o_orderdate") < F.lit("1998-01-01").cast("date"))
+    )
+    l = table(spark, sf_dir, "lineitem")
+    s = table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n = table(spark, sf_dir, "nation")
+    r = table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    price_c = cents(F.col("l_extendedprice"))
+    disc_c = cents(F.col("l_discount"))
+    return (
+        l.join(o.select("o_orderkey", "o_custkey"), l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), F.col("o_custkey") == c.c_custkey)
+        .join(
+            F.broadcast(s),
+            (l.l_suppkey == s.s_suppkey)
+            & (s.s_nationkey == c.c_nationkey),
+        )
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(F.sum(_dec38(price_c * (100 - disc_c))).alias("rev_units"))
+        .select(
+            "nation",
+            (F.col("rev_units").cast("double") / 10000).alias("revenue"),
+        )
+    )

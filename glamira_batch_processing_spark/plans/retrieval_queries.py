@@ -645,3 +645,209 @@ def mix_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(F.col("sum_raw_count") > 0, imp >= 1.0).alias("selected"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Multi-probe recall curve: recall@5 as a function of nprobe.
+# ---------------------------------------------------------------------------
+
+_PROBE_LEVELS = (1, 2, 4)
+
+
+def _recall_multiprobe_oracle() -> str:
+    levels = []
+    for p in _PROBE_LEVELS:
+        levels.append(
+            f"""
+      SELECT {p} AS nprobe, query_id, neighbor_id FROM (
+        SELECT q.query_id, c.vec_id AS neighbor_id,
+               row_number() OVER (
+                 PARTITION BY q.query_id
+                 ORDER BY {sql_dot("q.embedding", "c.embedding")}
+                          / (q.nrm * c.nrm) DESC, c.vec_id
+               ) AS rank
+        FROM (
+          SELECT a.vec_id AS query_id, a.embedding, a.nrm, pr.centroid_id
+          FROM assigned a
+          JOIN probes pr ON pr.query_id = a.vec_id AND pr.rn <= {p}
+          WHERE a.vec_id % 100 = 0
+        ) q
+        JOIN assigned c
+          ON c.centroid_id = q.centroid_id AND c.vec_id != q.query_id
+      ) WHERE rank <= {_RECALL_K}"""
+        )
+    approx_union = "\n      UNION ALL".join(levels)
+    return f"""
+    WITH normed AS (
+      SELECT vec_id, embedding, sqrt({sql_dot("embedding", "embedding")}) AS nrm
+      FROM embeddings
+    ),
+    exact AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+               row_number() OVER (
+                 PARTITION BY q.vec_id
+                 ORDER BY {sql_dot("q.embedding", "c.embedding")}
+                          / (q.nrm * c.nrm) DESC, c.vec_id
+               ) AS rank
+        FROM normed q JOIN normed c ON q.vec_id != c.vec_id
+        WHERE q.vec_id % 100 = 0
+      ) WHERE rank <= {_RECALL_K}
+    ),
+    centroids AS (SELECT * FROM normed WHERE vec_id < 8),
+    ranked AS (
+      SELECT v.vec_id, v.embedding, v.nrm, c.vec_id AS centroid_id,
+             row_number() OVER (
+               PARTITION BY v.vec_id
+               ORDER BY {sql_dot("v.embedding", "c.embedding")}
+                        / (v.nrm * c.nrm) DESC, c.vec_id
+             ) AS rn
+      FROM normed v CROSS JOIN centroids c
+    ),
+    assigned AS (
+      SELECT vec_id, embedding, nrm, centroid_id FROM ranked WHERE rn = 1
+    ),
+    probes AS (
+      SELECT vec_id AS query_id, centroid_id, rn FROM ranked
+      WHERE rn <= {max(_PROBE_LEVELS)}
+    ),
+    approx AS ({approx_union}
+    ),
+    hits AS (
+      SELECT a.nprobe, e.query_id, COUNT(*) AS n_hits
+      FROM exact e JOIN approx a
+        ON a.query_id = e.query_id AND a.neighbor_id = e.neighbor_id
+      GROUP BY a.nprobe, e.query_id
+    ),
+    grid AS (
+      SELECT p.nprobe, q.query_id
+      FROM (SELECT DISTINCT query_id FROM exact) q
+      CROSS JOIN (SELECT unnest({list(_PROBE_LEVELS)}) AS nprobe) p
+    )
+    SELECT g.nprobe, g.query_id,
+           CAST(COALESCE(h.n_hits, 0) AS BIGINT) AS n_hits,
+           CAST(COALESCE(h.n_hits, 0) AS DOUBLE) / {_RECALL_K}.0
+             AS recall_at_k
+    FROM grid g
+    LEFT JOIN hits h
+      ON h.nprobe = g.nprobe AND h.query_id = g.query_id
+    """
+
+
+@query("ann_recall_multiprobe", oracle=_recall_multiprobe_oracle())
+def ann_recall_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The IVF TUNING CURVE: recall@5 per query at nprobe in {1, 2, 4}
+    — each query probes its nprobe nearest centroids' buckets instead
+    of only the closest, trading candidate volume for recall. This is
+    the measurement that picks the production nprobe; recall must rise
+    monotonically in expectation and reaches 1.0 at nprobe = K
+    (pinned separately for the Arrow ``ivf_search`` in pytest).
+
+    Scale shape: identical to ``ann_recall_eval`` except the probe
+    side fans out nprobe-fold (still query-sample-sized); the corpus
+    is scanned and bucketed ONCE — probe levels reuse the same
+    assignment, and the candidate join stays a bucket equi-join.
+    """
+    from pyspark.sql import Window
+    from ..operators.similarity import dot, norm
+
+    from .datapipe_queries import ann_cosine_topk
+
+    exact = (
+        ann_cosine_topk(spark, sf_dir)
+        .filter(F.col("rank") <= _RECALL_K)
+        .select("query_id", "neighbor_id")
+    )
+    e = table(spark, sf_dir, "embeddings")
+    normed = e.withColumn("nrm", norm(F.col("embedding")))
+    cents = normed.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("centroid_id"),
+        F.col("embedding").alias("cvec"),
+        F.col("nrm").alias("cnrm"),
+    )
+    sim_c = dot(F.col("embedding"), F.col("cvec")) / (
+        F.col("nrm") * F.col("cnrm")
+    )
+    w_assign = Window.partitionBy("vec_id").orderBy(
+        F.desc("c_sim"), F.col("centroid_id")
+    )
+    ranked = (
+        normed.crossJoin(F.broadcast(cents))
+        .withColumn("c_sim", sim_c)
+        .withColumn("rn", F.row_number().over(w_assign))
+    )
+    assigned = ranked.filter(F.col("rn") == 1).select(
+        "vec_id", "embedding", "nrm", "centroid_id"
+    )
+    probes = ranked.filter(
+        (F.col("rn") <= max(_PROBE_LEVELS)) & (F.col("vec_id") % 100 == 0)
+    ).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("centroid_id").alias("probe_centroid"),
+        "rn",
+    )
+    q_side = assigned.filter(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qvec"),
+        F.col("nrm").alias("qnrm"),
+    )
+    c_side = assigned.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").alias("cvec2"),
+        F.col("nrm").alias("cnrm2"),
+        F.col("centroid_id").alias("c2"),
+    )
+    per_level = []
+    for p in _PROBE_LEVELS:
+        cand = (
+            q_side.join(
+                probes.filter(F.col("rn") <= p), "query_id"
+            )
+            .join(
+                c_side,
+                (F.col("probe_centroid") == F.col("c2"))
+                & (F.col("query_id") != F.col("neighbor_id")),
+            )
+            .withColumn(
+                "cosine_sim",
+                dot(F.col("qvec"), F.col("cvec2"))
+                / (F.col("qnrm") * F.col("cnrm2")),
+            )
+        )
+        w = Window.partitionBy("query_id").orderBy(
+            F.desc("cosine_sim"), F.col("neighbor_id")
+        )
+        per_level.append(
+            cand.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= _RECALL_K)
+            .select(
+                F.lit(p).alias("nprobe"), "query_id", "neighbor_id"
+            )
+        )
+    approx = per_level[0]
+    for lvl in per_level[1:]:
+        approx = approx.unionByName(lvl)
+    hits = (
+        exact.join(approx, ["query_id", "neighbor_id"])
+        .groupBy("nprobe", "query_id")
+        .agg(F.count("*").alias("n_hits"))
+    )
+    grid = (
+        exact.select("query_id")
+        .distinct()
+        .crossJoin(
+            F.broadcast(
+                spark.createDataFrame(
+                    [(p,) for p in _PROBE_LEVELS], "nprobe int"
+                )
+            )
+        )
+    )
+    return grid.join(hits, ["nprobe", "query_id"], "left").select(
+        "nprobe",
+        "query_id",
+        F.coalesce("n_hits", F.lit(0)).cast("bigint").alias("n_hits"),
+        (
+            F.coalesce("n_hits", F.lit(0)).cast("double") / float(_RECALL_K)
+        ).alias("recall_at_k"),
+    )

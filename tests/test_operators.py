@@ -304,15 +304,20 @@ def test_pixel_decode_roundtrip_png_bmp():
         test_pattern,
     )
 
+    from glamira_batch_processing_spark.operators.multimodal import (
+        gif_test_pattern,
+    )
+
     for fmt in ("png", "bmp"):
         for w, h in ((7, 5), (33, 17)):  # odd widths exercise BMP padding
             px = _decode_pixels_real(image_bytes(fmt, w, h))
             assert px.shape == (h, w, 3)
             assert np.array_equal(px, test_pattern(w, h)), fmt
-    import pytest as _pytest
-
-    with _pytest.raises(NotImplementedError):
-        _decode_pixels_real(image_bytes("gif", 4, 4))
+    # GIF round-trips through the in-engine LZW encoder + decoder
+    for w, h in ((7, 5), (33, 17)):
+        px = _decode_pixels_real(image_bytes("gif", w, h))
+        assert px.shape == (h, w, 3)
+        assert np.array_equal(px, gif_test_pattern(w, h))
 
 
 def test_png_unfilter_all_filter_types():
@@ -369,10 +374,27 @@ def test_rasterize_resize_operator(spark):
         test_pattern,
     )
 
+    import struct as st
+
+    from glamira_batch_processing_spark.operators.multimodal import (
+        gif_test_pattern,
+    )
+
+    # minimal JPEG: SOI + SOF0 header (dims decode; pixels need a codec)
+    jpeg = (
+        b"\xff\xd8"
+        + b"\xff\xc0"
+        + st.pack(">H", 8 + 9)
+        + b"\x08"
+        + st.pack(">HH", 50, 50)
+        + b"\x03" + b"\x00" * 9
+        + b"\xff\xd9"
+    )
     rows = [
         (1, bytearray(image_bytes("png", 120, 80))),
         (2, bytearray(image_bytes("bmp", 40, 30))),   # already fits
-        (3, bytearray(image_bytes("gif", 50, 50))),   # needs a real codec
+        (3, bytearray(image_bytes("gif", 50, 50))),   # real LZW decode
+        (4, bytearray(jpeg)),                         # needs a real codec
     ]
     df = spark.createDataFrame(rows, "doc_id long, payload binary")
     got = {r.doc_id: r for r in rasterize_resize(df, max_side=96).collect()}
@@ -386,7 +408,13 @@ def test_rasterize_resize_operator(spark):
     r2 = got[2]
     assert (r2.target_width, r2.target_height) == (40, 30)
     assert len(bytes(r2.pixels)) == 40 * 30 * 3
-    assert got[3].format == "error" and got[3].pixels is None
+    r3 = got[3]
+    assert r3.format == "gif" and r3.pixels is not None
+    gpx = np.frombuffer(bytes(r3.pixels), dtype=np.uint8).reshape(
+        r3.target_height, r3.target_width, 3
+    )
+    assert np.array_equal(gpx[0, 0], gif_test_pattern(50, 50)[0, 0])
+    assert got[4].format == "error" and got[4].pixels is None
 
 
 def test_range_lookup_join_semantics(spark):
@@ -901,3 +929,145 @@ def test_pq_encode_and_adc_match_numpy_reference(spark):
         top = sorted(scores.items(), key=lambda kv: (kv[1], kv[0]))[:5]
         for rank, (vid, sc) in enumerate(top, start=1):
             assert got[(q, vid)] == (rank, sc)
+
+
+# ---------------------------------------------------------------------------
+# GIF pixel decode (round-5): in-test LZW encoder round trip.
+# ---------------------------------------------------------------------------
+
+
+def _lzw_pack(codes, code_size):
+    """LSB-first bit packing of fixed-width LZW codes."""
+    bits = []
+    for code in codes:
+        for i in range(code_size):
+            bits.append((code >> i) & 1)
+    out = bytearray()
+    for i in range(0, len(bits), 8):
+        b = 0
+        for j, bit in enumerate(bits[i : i + 8]):
+            b |= bit << j
+        out.append(b)
+    return bytes(out)
+
+
+def _gif_bytes(w, h, indices, palette, interlaced=False, min_code=2):
+    """Minimal valid GIF89a: clear-code-per-symbol LZW (code width never
+    grows, so fixed-width packing is spec-correct)."""
+    import struct as st
+
+    clear, end = 1 << min_code, (1 << min_code) + 1
+    codes = [clear]
+    for ix in indices:
+        codes += [ix, clear]
+    codes[-1] = end  # replace the trailing clear with END
+    data = _lzw_pack(codes, min_code + 1)
+    gct_bits = 1  # 4-entry global color table
+    pal = b"".join(bytes(c) for c in palette)
+    assert len(palette) == 4
+    flags = 0x40 if interlaced else 0
+    blocks = b""
+    for i in range(0, len(data), 255):
+        chunk = data[i : i + 255]
+        blocks += bytes([len(chunk)]) + chunk
+    return (
+        b"GIF89a"
+        + st.pack("<HH", w, h)
+        + bytes([0x80 | gct_bits, 0, 0])
+        + pal
+        + b"\x2c"
+        + st.pack("<HHHH", 0, 0, w, h)
+        + bytes([flags])
+        + bytes([min_code])
+        + blocks
+        + b"\x00\x3b"
+    )
+
+
+_PALETTE4 = [(0, 0, 0), (255, 0, 0), (0, 255, 0), (0, 0, 255)]
+
+
+def test_gif_pixel_decode_round_trip():
+    import numpy as np
+
+    from glamira_batch_processing_spark.operators.multimodal import (
+        _decode_pixels_real,
+    )
+
+    idx = [0, 1, 2, 3, 3, 2, 1, 0, 1, 1, 2, 2]  # 4x3
+    px = _decode_pixels_real(_gif_bytes(4, 3, idx, _PALETTE4))
+    assert px.shape == (3, 4, 3)
+    expect = np.array([_PALETTE4[i] for i in idx], dtype=np.uint8).reshape(
+        3, 4, 3
+    )
+    assert (px == expect).all()
+
+
+def test_gif_interlaced_rows_reordered():
+    import numpy as np
+
+    from glamira_batch_processing_spark.operators.multimodal import (
+        _decode_pixels_real,
+    )
+
+    # display rows 0,1,2 -> interlace source order 0, 2, 1
+    rows_display = [[1, 1], [2, 2], [3, 3]]
+    src_order = [rows_display[0], rows_display[2], rows_display[1]]
+    idx = [i for row in src_order for i in row]
+    px = _decode_pixels_real(_gif_bytes(2, 3, idx, _PALETTE4, interlaced=True))
+    expect = np.array(
+        [[_PALETTE4[i] for i in row] for row in rows_display], dtype=np.uint8
+    )
+    assert (px == expect).all()
+
+
+def test_gif_lzw_kwkwk_case():
+    """The code-equals-next-entry (KwKwK) rule: codes [CLEAR, 0, 6, END]
+    at min_code_size=2 decode to indices [0, 0, 0]."""
+    import struct as st
+
+    import numpy as np
+
+    from glamira_batch_processing_spark.operators.multimodal import (
+        _decode_pixels_real,
+        _gif_lzw_decode,
+    )
+
+    data = _lzw_pack([4, 0, 6, 5], 3)
+    assert _gif_lzw_decode(2, data, 3) == [0, 0, 0]
+    pal = b"".join(bytes(c) for c in _PALETTE4)
+    payload = (
+        b"GIF89a"
+        + st.pack("<HH", 3, 1)
+        + bytes([0x81, 0, 0])
+        + pal
+        + b"\x2c"
+        + st.pack("<HHHH", 0, 0, 3, 1)
+        + b"\x00\x02"
+        + bytes([len(data)])
+        + data
+        + b"\x00\x3b"
+    )
+    px = _decode_pixels_real(payload)
+    assert (px == np.zeros((1, 3, 3), dtype=np.uint8)).all()
+
+
+def test_gif_decode_skips_extensions_and_validates():
+    import pytest as _pytest
+    import struct as st
+
+    from glamira_batch_processing_spark.operators.multimodal import (
+        _decode_pixels_real,
+    )
+
+    # graphic-control extension before the image descriptor is skipped
+    base = _gif_bytes(2, 1, [1, 2], _PALETTE4)
+    head, rest = base[: 13 + 12], base[13 + 12 :]
+    ext = b"\x21\xf9\x04\x00\x00\x00\x00\x00"
+    assert rest[0] == 0x2C
+    px = _decode_pixels_real(head + ext + rest)
+    assert px.shape == (1, 2, 3)
+    # truncated LZW stream -> ValueError, not garbage pixels
+    trunc = _gif_bytes(4, 3, [0] * 2, _PALETTE4)
+    with _pytest.raises(ValueError):
+        _decode_pixels_real(trunc)

@@ -244,3 +244,27 @@ def test_pagerank_matches_python_reference_on_random_graphs(spark):
         expected = py_pagerank(edges, iters=4)
         got = _ranks(spark, edges, iters=4)
         assert got == expected
+
+
+def test_q5_star_join_all_dims_broadcast(spark):
+    """Q5's four dimension joins must all be broadcast; lineitem is the
+    only side allowed to shuffle (for its aggregate)."""
+    df = QUERIES["q5_local_supplier_volume"](spark, SF_SMALL)
+    plan = plan_of(df)
+    assert plan.count("BroadcastHashJoin") >= 4
+    assert "SortMergeJoin" not in plan
+    assert "PushedFilters" in plan
+
+
+def test_multiprobe_recall_is_monotone_per_query(spark):
+    """More probes can only add candidates: per query, recall@5 at
+    nprobe=2 >= nprobe=1, and nprobe=4 >= nprobe=2 (exact dominance,
+    not just on average — candidate sets are supersets)."""
+    rows = QUERIES["ann_recall_multiprobe"](spark, SF_SMALL).collect()
+    assert rows
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r["query_id"], {})[r["nprobe"]] = r["n_hits"]
+    for q, levels in by_q.items():
+        assert set(levels) == {1, 2, 4}
+        assert levels[1] <= levels[2] <= levels[4], (q, levels)
