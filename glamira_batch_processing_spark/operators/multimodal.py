@@ -10,14 +10,15 @@ environment, so everything here is pure stdlib):
   which is all the declared ``IMAGE_META_SCHEMA`` requires;
 - audio metadata decode (channels/sample-rate/frames/duration) is REAL
   for WAV via the stdlib ``wave`` module;
-- pixel rasterization (``_decode_pixels_real``) is REAL for BMP
-  (24bpp raw), PNG (8-bit RGB: zlib inflate + all five scanline
-  unfilters) and GIF (full LZW: variable-width codes, KwKwK rule,
-  interlace, local/global palettes); only JPEG's Huffman+DCT pixel
-  path still needs a codec library and raises NotImplementedError.
-  Unknown containers fall back to a clearly-labeled deterministic
-  fake (``format='fake'``) so text-derived test payloads stay
-  end-to-end runnable.
+- pixel rasterization (``_decode_pixels_real``) is REAL for all four
+  containers: BMP (24bpp raw), PNG (8-bit RGB: zlib inflate + all
+  five scanline unfilters), GIF (full LZW: variable-width codes,
+  KwKwK rule, interlace, local/global palettes) and baseline JPEG
+  (``jpegcodec.py``: Huffman + IDCT + chroma upsampling; progressive/
+  arithmetic/12-bit honestly raise NotImplementedError). Unknown
+  containers fall back to a clearly-labeled deterministic fake
+  (``format='fake'``) so text-derived test payloads stay end-to-end
+  runnable.
 
 At scale: mapInPandas streams Arrow record batches through Python once
 per partition (not per row); decode cost dominates, so parallelism is
@@ -301,18 +302,19 @@ _GIF_INTERLACE = ((0, 8), (4, 8), (2, 4), (1, 2))
 def _decode_pixels_real(payload: bytes):
     """Pixel-level rasterization: (h, w, 3) uint8 RGB ndarray.
 
-    REAL pure-stdlib decoders for the three containers whose pixel
-    data needs no external codec:
+    REAL pure-stdlib(+numpy) decoders for all four containers:
     - BMP: uncompressed 24bpp BITMAPINFOHEADER (bottom-up or top-down
       row order, 4-byte row padding, BGR -> RGB);
     - PNG: 8-bit RGB (color type 2), concatenated IDAT zlib streams,
       full scanline unfiltering (None/Sub/Up/Average/Paeth);
     - GIF: full LZW decode of the first image (variable-width codes,
       KwKwK rule, interlace passes, local/global color tables) —
-      proven by an in-test LZW round trip.
-
-    JPEG (Huffman + DCT) genuinely needs a codec library — it raises
-    NotImplementedError, honestly.
+      proven by an in-test LZW round trip;
+    - JPEG: baseline sequential SOF0 (``jpegcodec.py``: Huffman entropy
+      decode with stuffing + restart markers, dequantize, float64
+      matrix IDCT, 4:2:0/4:2:2 upsampling, BT.601 YCbCr->RGB) — proven
+      by encode->decode round trips; progressive/arithmetic/12-bit
+      raise NotImplementedError, honestly.
     """
     import zlib
 
@@ -405,8 +407,15 @@ def _decode_pixels_real(payload: bytes):
             else:
                 raise ValueError(f"gif: unknown block 0x{block:02x}")
         raise ValueError("gif: no image descriptor")
+    if payload[:2] == b"\xff\xd8":
+        from .jpegcodec import decode_baseline_jpeg
+
+        # baseline SOF0 Huffman+DCT decode; progressive/arithmetic/12-bit
+        # raise NotImplementedError inside the codec, honestly.
+        return decode_baseline_jpeg(payload)
     raise NotImplementedError(
-        "pixel decode: BMP(24bpp raw), PNG(8-bit RGB), GIF(LZW) only"
+        "pixel decode: BMP(24bpp raw), PNG(8-bit RGB), GIF(LZW), "
+        "JPEG(baseline SOF0) only"
     )
 
 

@@ -1,0 +1,93 @@
+"""Baseline JPEG codec (operators/jpegcodec.py): encode->decode round
+trips across sampling modes, restart markers, quantization levels, odd
+dimensions; honest failures for unsupported variants."""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+import pytest
+
+from glamira_batch_processing_spark.operators.jpegcodec import (
+    decode_baseline_jpeg,
+    encode_baseline_jpeg,
+)
+from glamira_batch_processing_spark.operators.multimodal import (
+    _decode_pixels_real,
+)
+from glamira_batch_processing_spark.operators.multimodal import (
+    test_pattern as _pattern,
+)
+
+
+def _smooth(w, h):
+    """2x2-constant raster: chroma pooling is exact, so 4:2:0 round
+    trips are bounded only by DCT float rounding."""
+    base = _pattern((w + 1) // 2, (h + 1) // 2)
+    return np.repeat(np.repeat(base, 2, axis=0), 2, axis=1)[:h, :w]
+
+
+def test_jpeg_444_round_trip_tight():
+    px = _pattern(24, 16)
+    out = decode_baseline_jpeg(encode_baseline_jpeg(px))
+    assert out.shape == px.shape
+    assert np.abs(out.astype(int) - px.astype(int)).max() <= 3
+
+
+def test_jpeg_420_subsampled_round_trip():
+    px = _smooth(20, 14)
+    out = decode_baseline_jpeg(encode_baseline_jpeg(px, subsample=True))
+    assert out.shape == px.shape
+    assert np.abs(out.astype(int) - px.astype(int)).max() <= 3
+
+
+def test_jpeg_restart_markers_resync():
+    px = _pattern(40, 24)  # 15 MCUs at 4:4:4
+    data = encode_baseline_jpeg(px, restart_interval=2)
+    assert b"\xff\xdd" in data  # DRI present
+    assert any(bytes([0xFF, 0xD0 + k]) in data for k in range(8))
+    out = decode_baseline_jpeg(data)
+    assert np.abs(out.astype(int) - px.astype(int)).max() <= 3
+
+
+def test_jpeg_quantization_trades_size_for_error():
+    px = _pattern(32, 32)
+    d1 = encode_baseline_jpeg(px, quant=1)
+    d8 = encode_baseline_jpeg(px, quant=8)
+    assert len(d8) < len(d1)
+    e1 = np.abs(
+        decode_baseline_jpeg(d1).astype(int) - px.astype(int)
+    ).max()
+    e8 = np.abs(
+        decode_baseline_jpeg(d8).astype(int) - px.astype(int)
+    ).max()
+    assert e1 <= 3 and e1 <= e8 <= 40
+
+
+def test_jpeg_odd_dimensions_crop_exact():
+    for w, h in ((19, 13), (9, 25)):
+        px = _pattern(w, h)
+        out = decode_baseline_jpeg(encode_baseline_jpeg(px))
+        assert out.shape == (h, w, 3)
+        assert np.abs(out.astype(int) - px.astype(int)).max() <= 3
+
+
+def test_jpeg_progressive_raises_not_implemented():
+    px = _pattern(8, 8)
+    data = bytearray(encode_baseline_jpeg(px))
+    i = data.index(b"\xff\xc0")
+    data[i + 1] = 0xC2  # rewrite SOF0 -> SOF2 (progressive)
+    with pytest.raises(NotImplementedError):
+        decode_baseline_jpeg(bytes(data))
+
+
+def test_jpeg_truncated_raises_value_error():
+    with pytest.raises(ValueError):
+        decode_baseline_jpeg(b"\xff\xd8\xff\xc0" + struct.pack(">H", 8))
+
+
+def test_multimodal_pixel_path_decodes_jpeg():
+    px = _pattern(16, 16)
+    out = _decode_pixels_real(encode_baseline_jpeg(px))
+    assert np.abs(out.astype(int) - px.astype(int)).max() <= 3

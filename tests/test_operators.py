@@ -374,27 +374,22 @@ def test_rasterize_resize_operator(spark):
         test_pattern,
     )
 
-    import struct as st
-
+    from glamira_batch_processing_spark.operators.jpegcodec import (
+        encode_baseline_jpeg,
+    )
     from glamira_batch_processing_spark.operators.multimodal import (
         gif_test_pattern,
     )
 
-    # minimal JPEG: SOI + SOF0 header (dims decode; pixels need a codec)
-    jpeg = (
-        b"\xff\xd8"
-        + b"\xff\xc0"
-        + st.pack(">H", 8 + 9)
-        + b"\x08"
-        + st.pack(">HH", 50, 50)
-        + b"\x03" + b"\x00" * 9
-        + b"\xff\xd9"
-    )
+    jpeg = bytearray(encode_baseline_jpeg(test_pattern(50, 50)))
+    progressive = bytearray(jpeg)
+    progressive[progressive.index(b"\xff\xc0") + 1] = 0xC2  # SOF0 -> SOF2
     rows = [
         (1, bytearray(image_bytes("png", 120, 80))),
         (2, bytearray(image_bytes("bmp", 40, 30))),   # already fits
         (3, bytearray(image_bytes("gif", 50, 50))),   # real LZW decode
-        (4, bytearray(jpeg)),                         # needs a real codec
+        (4, jpeg),                                    # real baseline decode
+        (5, progressive),                             # needs a real codec
     ]
     df = spark.createDataFrame(rows, "doc_id long, payload binary")
     got = {r.doc_id: r for r in rasterize_resize(df, max_side=96).collect()}
@@ -414,7 +409,13 @@ def test_rasterize_resize_operator(spark):
         r3.target_height, r3.target_width, 3
     )
     assert np.array_equal(gpx[0, 0], gif_test_pattern(50, 50)[0, 0])
-    assert got[4].format == "error" and got[4].pixels is None
+    r4 = got[4]
+    assert r4.format == "jpeg" and r4.pixels is not None
+    jpx = np.frombuffer(bytes(r4.pixels), dtype=np.uint8).reshape(
+        r4.target_height, r4.target_width, 3
+    )
+    assert abs(int(jpx[0, 0, 0]) - int(test_pattern(50, 50)[0, 0, 0])) <= 3
+    assert got[5].format == "error" and got[5].pixels is None
 
 
 def test_range_lookup_join_semantics(spark):
