@@ -613,6 +613,10 @@ def image_bytes(fmt: str, width: int, height: int) -> bytes:
             )
             + body
         )
+    if fmt == "jpeg":
+        from .jpegcodec import encode_baseline_jpeg
+
+        return encode_baseline_jpeg(test_pattern(width, height))
     raise ValueError(f"unsupported render format: {fmt}")
 
 

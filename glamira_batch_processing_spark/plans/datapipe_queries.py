@@ -834,8 +834,9 @@ def multimodal_decode_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     "multimodal_image_meta",
     oracle="""
     SELECT doc_id,
-      CAST(CASE WHEN doc_id % 3 = 0 THEN 'png' WHEN doc_id % 3 = 1 THEN 'gif'
-                ELSE 'bmp' END AS VARCHAR) AS format,
+      CAST(CASE WHEN doc_id % 4 = 0 THEN 'png' WHEN doc_id % 4 = 1 THEN 'gif'
+                WHEN doc_id % 4 = 2 THEN 'bmp' ELSE 'jpeg' END
+           AS VARCHAR) AS format,
       CAST(16 + doc_id % 48 AS INTEGER) AS width,
       CAST(16 + (doc_id * 7) % 48 AS INTEGER) AS height
     FROM documents WHERE doc_id % 10 = 0
@@ -843,10 +844,11 @@ def multimodal_decode_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def multimodal_image_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL image codec round-trip, in-engine: render genuine PNG/GIF/
-    BMP containers (stdlib struct/zlib) with dimensions derived from
-    doc_id, then header-decode them back with the real parser. The
-    oracle recomputes the dimensions arithmetically — matching proves
-    the decoder inverts the encoder on actual container bytes."""
+    BMP/JPEG containers (stdlib struct/zlib + the baseline JPEG
+    encoder) with dimensions derived from doc_id, then header-decode
+    them back with the real parser. The oracle recomputes the
+    dimensions arithmetically — matching proves the decoder inverts
+    the encoder on actual container bytes."""
     from ..operators.multimodal import decode_images, image_bytes
 
     d = table(spark, sf_dir, "documents").filter(F.col("doc_id") % 10 == 0).select("doc_id")
@@ -855,10 +857,10 @@ def multimodal_image_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
         import pandas as pd
 
         for pdf in batches:
-            fmts = ["png", "gif", "bmp"]
+            fmts = ["png", "gif", "bmp", "jpeg"]
             payloads = [
                 image_bytes(
-                    fmts[int(i) % 3], 16 + int(i) % 48, 16 + (int(i) * 7) % 48
+                    fmts[int(i) % 4], 16 + int(i) % 48, 16 + (int(i) * 7) % 48
                 )
                 for i in pdf["doc_id"]
             ]
