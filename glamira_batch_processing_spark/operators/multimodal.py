@@ -828,3 +828,92 @@ def with_text_payload(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Attach a binary payload column derived from text (the test stand-in
     for real image/audio bytes)."""
     return df.withColumn("payload", F.encode(F.col(text_col), "utf-8"))
+
+
+AUDIO_RESAMPLE_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("sample_rate_in", IntegerType()),
+        StructField("sample_rate_out", IntegerType()),
+        StructField("n_channels", IntegerType()),
+        StructField("n_frames_in", LongType()),
+        StructField("n_frames_out", LongType()),
+        StructField("payload_out", BinaryType()),
+        StructField("format", StringType()),
+    ]
+)
+
+
+def resample_audio(
+    df: DataFrame,
+    target_rate: int,
+    payload_col: str = "payload",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Nearest-neighbor PCM16 WAV resampling via Arrow-batched
+    mapInPandas — the audio analog of ``rasterize_resize``: decode the
+    real container, transform samples (output frame j takes input
+    frame ``j * rate_in // target_rate``; numpy fancy-index per batch,
+    no per-sample Python), re-encode a real WAV at the target rate.
+
+    ``n_frames_out = n_frames_in * target_rate // rate_in`` — exact
+    integer arithmetic, so the contract oracle can recompute every
+    structural field; sample-level correctness (decimation/repeat
+    against a numpy reference) is pinned in pytest. Non-WAV payloads
+    surface as ``format='error'`` rows, never a crashed scan.
+    """
+
+    def fn(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import io
+        import wave
+
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf[id_col], pdf[payload_col]):
+                b = bytes(payload)
+                try:
+                    with wave.open(io.BytesIO(b), "rb") as w:
+                        nch = w.getnchannels()
+                        rate = w.getframerate()
+                        nfr = w.getnframes()
+                        if w.getsampwidth() != 2:
+                            raise wave.Error("only PCM16")
+                        raw = w.readframes(nfr)
+                    samples = np.frombuffer(raw, dtype="<i2").reshape(
+                        nfr, nch
+                    )
+                    n_out = nfr * target_rate // rate
+                    idx = (
+                        np.arange(n_out, dtype=np.int64) * rate // target_rate
+                    )
+                    out = samples[idx]
+                    buf = io.BytesIO()
+                    with wave.open(buf, "wb") as w2:
+                        w2.setnchannels(nch)
+                        w2.setsampwidth(2)
+                        w2.setframerate(target_rate)
+                        w2.writeframes(out.astype("<i2").tobytes())
+                    rows.append(
+                        (
+                            int(doc_id),
+                            rate,
+                            target_rate,
+                            nch,
+                            nfr,
+                            int(n_out),
+                            buf.getvalue(),
+                            "wav",
+                        )
+                    )
+                except (wave.Error, EOFError):
+                    rows.append(
+                        (int(doc_id), None, target_rate, None, None, None, None, "error")
+                    )
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in AUDIO_RESAMPLE_SCHEMA.fields]
+            )
+
+    return df.select(id_col, payload_col).mapInPandas(fn, AUDIO_RESAMPLE_SCHEMA)

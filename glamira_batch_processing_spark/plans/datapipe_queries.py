@@ -980,3 +980,58 @@ def cluster_label_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n").over(wc).cast("long").alias("cluster_total"),
         (F.max("n").over(wc).cast("double") / F.sum("n").over(wc)).alias("purity"),
     )
+
+
+@query(
+    "multimodal_audio_resample",
+    oracle="""
+    SELECT doc_id,
+      8000 AS sample_rate_in,
+      4000 AS sample_rate_out,
+      CAST(1 + doc_id % 2 AS INTEGER) AS n_channels,
+      CAST(100 + doc_id % 400 AS BIGINT) AS n_frames_in,
+      CAST((100 + doc_id % 400) * 4000 // 8000 AS BIGINT) AS n_frames_out,
+      CAST(44 + ((100 + doc_id % 400) * 4000 // 8000) * 2 * (1 + doc_id % 2)
+           AS BIGINT) AS n_bytes_out,
+      'wav' AS format
+    FROM documents WHERE doc_id % 10 = 0
+    """,
+)
+def multimodal_audio_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL audio transform round-trip (the audio analog of
+    rasterize_resize): render genuine PCM16 WAVs, nearest-neighbor
+    resample 8 kHz -> 4 kHz inside ``resample_audio`` (Arrow-batched
+    mapInPandas, numpy fancy-index — no per-sample Python), re-encode
+    a real WAV, and decode ITS header fields back. The oracle
+    recomputes every structural field arithmetically (output frames =
+    n_in * target // source; output bytes = 44-byte canonical header +
+    2 bytes x frames x channels), so a resampler that drops or pads
+    frames, or re-encodes a malformed container, fails the value hash.
+    Sample-level decimation/repeat correctness is pinned in pytest
+    against a numpy reference."""
+    from ..operators.multimodal import resample_audio, wav_bytes
+
+    d = table(spark, sf_dir, "documents").filter(F.col("doc_id") % 10 == 0).select("doc_id")
+
+    def gen(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            payloads = [
+                wav_bytes(100 + int(i) % 400, 8000, 1 + int(i) % 2, seed=int(i))
+                for i in pdf["doc_id"]
+            ]
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+    payloads = d.mapInPandas(gen, "doc_id long, payload binary")
+    out = resample_audio(payloads, target_rate=4000)
+    return out.select(
+        "doc_id",
+        "sample_rate_in",
+        "sample_rate_out",
+        "n_channels",
+        "n_frames_in",
+        "n_frames_out",
+        (F.octet_length("payload_out")).cast("bigint").alias("n_bytes_out"),
+        "format",
+    )

@@ -91,3 +91,43 @@ def test_multimodal_pixel_path_decodes_jpeg():
     px = _pattern(16, 16)
     out = _decode_pixels_real(encode_baseline_jpeg(px))
     assert np.abs(out.astype(int) - px.astype(int)).max() <= 3
+
+
+# ---------------------------------------------------------------------------
+# Audio resampling (multimodal transform analog).
+# ---------------------------------------------------------------------------
+
+
+def test_resample_audio_decimation_and_upsample(spark):
+    import io
+    import wave
+
+    from glamira_batch_processing_spark.operators.multimodal import (
+        resample_audio,
+        wav_bytes,
+    )
+
+    src = wav_bytes(100, 8000, 2, seed=7)
+    with wave.open(io.BytesIO(src), "rb") as w:
+        raw = np.frombuffer(w.readframes(100), dtype="<i2").reshape(100, 2)
+    df = spark.createDataFrame([(1, bytearray(src))], "doc_id long, payload binary")
+    # 2:1 decimation picks every other frame
+    out = resample_audio(df, target_rate=4000).collect()[0]
+    assert (out.n_frames_in, out.n_frames_out) == (100, 50)
+    with wave.open(io.BytesIO(bytes(out.payload_out)), "rb") as w:
+        assert (w.getframerate(), w.getnchannels()) == (4000, 2)
+        got = np.frombuffer(w.readframes(50), dtype="<i2").reshape(50, 2)
+    assert np.array_equal(got, raw[::2])
+    # 3:2 upsample repeats frames per the floor-index map
+    up = resample_audio(df, target_rate=12000).collect()[0]
+    assert up.n_frames_out == 150
+    with wave.open(io.BytesIO(bytes(up.payload_out)), "rb") as w:
+        gup = np.frombuffer(w.readframes(150), dtype="<i2").reshape(150, 2)
+    idx = np.arange(150) * 8000 // 12000
+    assert np.array_equal(gup, raw[idx])
+    # non-WAV payload -> error row, no crash
+    bad = spark.createDataFrame(
+        [(2, bytearray(b"not audio"))], "doc_id long, payload binary"
+    )
+    err = resample_audio(bad, target_rate=4000).collect()[0]
+    assert err.format == "error" and err.payload_out is None
