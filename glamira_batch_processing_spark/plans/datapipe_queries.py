@@ -1035,3 +1035,85 @@ def multimodal_audio_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.octet_length("payload_out")).cast("bigint").alias("n_bytes_out"),
         "format",
     )
+
+
+@query(
+    "multimodal_pixel_digest",
+    oracle="""
+    WITH docs AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 3 = 0 THEN 'png'
+                  WHEN doc_id % 3 = 1 THEN 'bmp' ELSE 'gif' END AS format,
+             CAST(8 + doc_id % 16 AS INTEGER) AS width,
+             CAST(8 + (doc_id * 3) % 16 AS INTEGER) AS height
+      FROM documents WHERE doc_id % 10 = 0
+    ),
+    px AS (
+      SELECT d.doc_id, d.format, d.width, d.height, y.y, x.x,
+        CASE WHEN d.format = 'gif' THEN (x.x + 3 * y.y) % 256
+             ELSE (x.x * 3 + y.y * 7) % 256 END AS r,
+        CASE WHEN d.format = 'gif' THEN (((x.x + 3 * y.y) % 256) * 3) % 256
+             ELSE (x.x + y.y) % 256 END AS g,
+        CASE WHEN d.format = 'gif' THEN (((x.x + 3 * y.y) % 256) * 7) % 256
+             ELSE (x.x * 5 + y.y * 11) % 256 END AS b
+      FROM docs d, range(0, 24) y(y), range(0, 24) x(x)
+      WHERE y.y < d.height AND x.x < d.width
+    )
+    SELECT doc_id, format, width, height,
+           md5(string_agg(
+             CAST(r AS VARCHAR) || ',' || CAST(g AS VARCHAR)
+               || ',' || CAST(b AS VARCHAR),
+             ';' ORDER BY y, x)) AS pixel_digest
+    FROM px
+    GROUP BY doc_id, format, width, height
+    """,
+)
+def multimodal_pixel_digest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PIXEL-level decode proof, externally checkable: render each doc's
+    container (PNG / BMP / GIF — the lossless trio; JPEG is excluded
+    because DCT rounding makes its digest content-approximate), decode
+    it back to the raw raster with the real pure-stdlib decoders, and
+    digest the row-major 'r,g,b;...' pixel string. The DuckDB oracle
+    REGENERATES the expected raster arithmetically (the test-pattern /
+    palette formulas are pure integer expressions over x, y) and
+    digests the same string — so a decoder that misreads any single
+    pixel, channel order, row order, scanline filter, LZW code, or
+    palette entry fails the value hash. This lifts pixel correctness
+    from pytest-only into the external correctness gate.
+
+    Scale shape: one mapInPandas pass (Arrow-batched; render+decode
+    cost is per-payload, parallelism = input partitioning); the digest
+    is computed inside the same batch, so only (doc_id, 4 small
+    columns) ever shuffle."""
+    from ..operators.multimodal import _decode_pixels_real, image_bytes
+
+    d = table(spark, sf_dir, "documents").filter(F.col("doc_id") % 10 == 0).select("doc_id")
+
+    def gen(batches):
+        import hashlib
+
+        import pandas as pd
+
+        fmts = ["png", "bmp", "gif"]
+        for pdf in batches:
+            rows = []
+            for i in pdf["doc_id"]:
+                i = int(i)
+                fmt = fmts[i % 3]
+                w, h = 8 + i % 16, 8 + (i * 3) % 16
+                px = _decode_pixels_real(image_bytes(fmt, w, h))
+                s = ";".join(
+                    f"{r},{g},{b}" for row in px for (r, g, b) in row
+                )
+                rows.append(
+                    (i, fmt, w, h, hashlib.md5(s.encode()).hexdigest())
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "format", "width", "height", "pixel_digest"],
+            )
+
+    return d.mapInPandas(
+        gen,
+        "doc_id long, format string, width int, height int, pixel_digest string",
+    )

@@ -73,7 +73,11 @@ GATE_FAMILIES: dict[str, tuple[str, ...]] = {
     "clustering": ("kmeans_lloyd_step",),
     "langid": ("text_langid",),
     "text_quality": ("text_repetition_stats", "text_quality_score"),
-    "multimodal_image": ("multimodal_image_meta", "multimodal_decode_meta"),
+    "multimodal_image": (
+        "multimodal_image_meta",
+        "multimodal_decode_meta",
+        "multimodal_pixel_digest",
+    ),
     "multimodal_audio": ("multimodal_audio_meta",),
     "asof": ("asof_join_last_purchase",),
     "split": ("split_train_val_test",),
