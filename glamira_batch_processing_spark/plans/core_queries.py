@@ -633,3 +633,56 @@ def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("rev_units").cast("double") / 10000).alias("revenue"),
         )
     )
+
+
+@query(
+    "q10_returned_items",
+    oracle="""
+    SELECT c.c_custkey, c.c_name, n.n_name AS nation,
+           CAST(SUM(CAST(floor(l.l_extendedprice*100 + 0.5) AS BIGINT)
+                    * (100 - CAST(floor(l.l_discount*100 + 0.5) AS BIGINT)))
+                AS DOUBLE) / 10000 AS revenue
+    FROM customer c
+    JOIN orders o ON o.o_custkey = c.c_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN nation n ON n.n_nationkey = c.c_nationkey
+    WHERE l.l_returnflag = 'R'
+      AND CAST(o.o_orderdate AS DATE) >= DATE '1997-01-01'
+      AND CAST(o.o_orderdate AS DATE) < DATE '1997-04-01'
+    GROUP BY c.c_custkey, c.c_name, n.n_name
+    ORDER BY revenue DESC, c_custkey
+    LIMIT 20
+    """,
+)
+def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape: which customers returned the most revenue in a
+    quarter — returnflag filter pushed into the lineitem scan, the date
+    window pushed into orders, customer/nation broadcast, exact
+    integer-cents aggregation, TakeOrderedAndProject top-20. The
+    standard 'problem customers' operational report."""
+    c = table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_nationkey"
+    )
+    o = table(spark, sf_dir, "orders").filter(
+        (F.to_date("o_orderdate") >= F.lit("1997-01-01").cast("date"))
+        & (F.to_date("o_orderdate") < F.lit("1997-04-01").cast("date"))
+    )
+    l = table(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    n = table(spark, sf_dir, "nation")
+    price_c = cents(F.col("l_extendedprice"))
+    disc_c = cents(F.col("l_discount"))
+    return (
+        l.join(o.select("o_orderkey", "o_custkey"), l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), F.col("o_custkey") == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("c_custkey", "c_name", F.col("n_name").alias("nation"))
+        .agg(F.sum(_dec38(price_c * (100 - disc_c))).alias("rev_units"))
+        .select(
+            "c_custkey",
+            "c_name",
+            "nation",
+            (F.col("rev_units").cast("double") / 10000).alias("revenue"),
+        )
+        .orderBy(F.desc("revenue"), "c_custkey")
+        .limit(20)
+    )
