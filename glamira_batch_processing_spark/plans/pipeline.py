@@ -32,6 +32,7 @@ class Pipeline:
     sources: dict[str, DataFrame] = field(default_factory=dict)
     models: dict[str, Model] = field(default_factory=dict)
     _built: dict[str, DataFrame] = field(default_factory=dict)
+    _results: list[dict] = field(default_factory=list)
 
     def add_source(self, name: str, df: DataFrame) -> None:
         self.sources[name] = df
@@ -54,16 +55,46 @@ class Pipeline:
         if name not in self.models:
             raise KeyError(f"unknown model: {name}")
         m = self.models[name]
-        df = m.fn(self)
-        if m.materialized == "table" and self.workdir:
-            path = f"{self.workdir}/{m.name}"
-            writer = df.write.mode("overwrite")
-            if m.partition_by:
-                # Day-partitioned warehouse layout (ref: load_to_bigquery
-                # TimePartitioning) -> downstream partition pruning.
-                writer = writer.partitionBy(m.partition_by)
-            writer.parquet(path)
-            df = self.spark.read.parquet(path)
+        import time
+
+        t0 = time.perf_counter()
+        try:
+            df = m.fn(self)
+            rows: int | None = None
+            if m.materialized == "table" and self.workdir:
+                path = f"{self.workdir}/{m.name}"
+                writer = df.write.mode("overwrite")
+                if m.partition_by:
+                    # Day-partitioned warehouse layout (ref: load_to_bigquery
+                    # TimePartitioning) -> downstream partition pruning.
+                    writer = writer.partitionBy(m.partition_by)
+                writer.parquet(path)
+                df = self.spark.read.parquet(path)
+                rows = df.count()
+        except Exception as exc:
+            self._results.append(
+                {
+                    "model": m.name,
+                    "materialized": m.materialized,
+                    "status": "error",
+                    "rows": None,
+                    "elapsed_s": round(time.perf_counter() - t0, 4),
+                    "message": f"{type(exc).__name__}: {exc}",
+                }
+            )
+            raise
+        self._results.append(
+            {
+                "model": m.name,
+                "materialized": m.materialized,
+                "status": "success",
+                # views stay lazy (dbt likewise reports no row count for
+                # views); tables report the materialized row count.
+                "rows": rows,
+                "elapsed_s": round(time.perf_counter() - t0, 4),
+                "message": None,
+            }
+        )
         self._built[name] = df
         df.createOrReplaceTempView(m.name)
         return df
@@ -72,3 +103,26 @@ class Pipeline:
         for n in names or list(self.models):
             self.ref(n)
         return dict(self._built)
+
+    def run_results(self) -> list[dict]:
+        """Per-model build records in build order — the analog of dbt's
+        ``target/run_results.json`` (status / timing / materialization;
+        ref: SURVEY §3.1 dbt-run lifecycle). One entry per model built
+        in this pipeline instance; models pulled in transitively by
+        ``ref()`` appear before their dependents."""
+        return list(self._results)
+
+    def write_run_results(self) -> str:
+        """Persist ``run_results.json`` under the workdir (the dbt
+        artifact location analog). Returns the path written."""
+        import json
+        from pathlib import Path
+
+        if not self.workdir:
+            raise ValueError("write_run_results requires a workdir")
+        path = Path(self.workdir) / "run_results.json"
+        path.parent.mkdir(parents=True, exist_ok=True)
+        path.write_text(
+            json.dumps({"results": self._results}, indent=1) + "\n"
+        )
+        return str(path)

@@ -361,3 +361,51 @@ def test_incremental_fact_run(glamira, spark, tmp_path):
     a = sorted(r.item_key for r in merged.select("item_key").collect())
     b = sorted(r.item_key for r in full.select("item_key").collect())
     assert a == b
+
+
+def test_run_results_artifact(spark, tmp_path):
+    """dbt target/run_results.json parity (SURVEY §3.1): per-model
+    status, timing, materialization, dependency order, row counts for
+    tables, error capture for failing models."""
+    import json
+
+    from glamira_batch_processing_spark.plans.pipeline import Pipeline
+
+    p = Pipeline(spark, workdir=str(tmp_path))
+    p.add_source("src", spark.range(10).toDF("n"))
+
+    @p.model("base", materialized="view")
+    def base(pl):
+        return pl.source("src").filter("n < 8")
+
+    @p.model("agg", materialized="table")
+    def agg(pl):
+        from pyspark.sql import functions as F
+
+        return pl.ref("base").agg(F.count("*").alias("c"))
+
+    p.run(["agg"])
+    res = p.run_results()
+    assert [r["model"] for r in res] == ["base", "agg"]  # dependency order
+    assert all(r["status"] == "success" for r in res)
+    assert res[0]["rows"] is None and res[0]["materialized"] == "view"
+    assert res[1]["rows"] == 1 and res[1]["materialized"] == "table"
+    assert all(r["elapsed_s"] >= 0 for r in res)
+    path = p.write_run_results()
+    on_disk = json.loads(open(path).read())
+    assert [r["model"] for r in on_disk["results"]] == ["base", "agg"]
+
+    # error capture: the failing model records an error entry and raises
+    p2 = Pipeline(spark, workdir=str(tmp_path / "p2"))
+    p2.add_source("src", spark.range(3).toDF("n"))
+
+    @p2.model("bad", materialized="view")
+    def bad(pl):
+        raise RuntimeError("boom")
+
+    import pytest as _pytest
+
+    with _pytest.raises(RuntimeError):
+        p2.run(["bad"])
+    assert p2.run_results()[-1]["status"] == "error"
+    assert "boom" in p2.run_results()[-1]["message"]
