@@ -70,8 +70,13 @@ from glamira_batch_processing_spark.plans.registry import ORACLE, QUERIES
 # anomaly_error_spike, q3_shipping_priority, dedup_substring_spans,
 # text_winnow_fingerprints, url_canonicalize_dedup, pii_luhn_validate,
 # boilerplate_strip_lines, quality_bigram_familiarity, ann_pq_adc_topk,
-# ohlc_hourly_bars, gapfill_forward_fill, stats_correlation,
-# quality_gopher_filter, ann_recall_eval.
+# ohlc_hourly_bars, gapfill_forward_fill, stats_correlation, plus the
+# round-5 additions past the window: quality_gopher_filter,
+# ann_recall_eval, ann_recall_multiprobe, mix_importance_weights,
+# skew_salted_agg, q5_local_supplier_volume, q10_returned_items,
+# multimodal_pixel_digest (pixel-level gate proof — strong swap-in for
+# multimodal_image_meta once image_meta holds its r5 row),
+# multimodal_audio_resample.
 _PRIORITY: list[str] = [
     # Flagships: whole-warehouse DAG (staging -> SCD -> marts -> rollup)
     # and whole-training-data pipeline (quality -> dedup+components ->
