@@ -33,6 +33,9 @@ class Pipeline:
     models: dict[str, Model] = field(default_factory=dict)
     _built: dict[str, DataFrame] = field(default_factory=dict)
     _results: list[dict] = field(default_factory=list)
+    _deps: dict[str, set] = field(default_factory=dict)
+    _src_deps: dict[str, set] = field(default_factory=dict)
+    _build_stack: list[str] = field(default_factory=list)
 
     def add_source(self, name: str, df: DataFrame) -> None:
         self.sources[name] = df
@@ -45,11 +48,16 @@ class Pipeline:
         return deco
 
     def source(self, name: str) -> DataFrame:
+        if self._build_stack:
+            self._src_deps.setdefault(self._build_stack[-1], set()).add(name)
         return self.sources[name]
 
     def ref(self, name: str) -> DataFrame:
         """Build (once) and return a model; recursion builds the DAG in
         dependency order, like dbt's ref()."""
+        if self._build_stack:
+            # dependency edge: the model currently building referenced us
+            self._deps.setdefault(self._build_stack[-1], set()).add(name)
         if name in self._built:
             return self._built[name]
         if name not in self.models:
@@ -58,6 +66,7 @@ class Pipeline:
         import time
 
         t0 = time.perf_counter()
+        self._build_stack.append(name)
         try:
             df = m.fn(self)
             rows: int | None = None
@@ -83,6 +92,8 @@ class Pipeline:
                 }
             )
             raise
+        finally:
+            self._build_stack.pop()
         self._results.append(
             {
                 "model": m.name,
@@ -111,6 +122,36 @@ class Pipeline:
         in this pipeline instance; models pulled in transitively by
         ``ref()`` appear before their dependents."""
         return list(self._results)
+
+    def manifest(self) -> dict:
+        """The dbt ``manifest.json`` analog: every model with its
+        materialization and the model/source dependency edges observed
+        while building (edges are recorded by ``ref()``/``source()``
+        calls inside model functions, so the graph reflects what the
+        DAG actually used, not an annotation that can drift)."""
+        return {
+            "models": {
+                m.name: {
+                    "materialized": m.materialized,
+                    "partition_by": m.partition_by,
+                    "depends_on": sorted(self._deps.get(m.name, ())),
+                    "sources": sorted(self._src_deps.get(m.name, ())),
+                }
+                for m in self.models.values()
+            }
+        }
+
+    def write_manifest(self) -> str:
+        """Persist ``manifest.json`` under the workdir."""
+        import json
+        from pathlib import Path
+
+        if not self.workdir:
+            raise ValueError("write_manifest requires a workdir")
+        path = Path(self.workdir) / "manifest.json"
+        path.parent.mkdir(parents=True, exist_ok=True)
+        path.write_text(json.dumps(self.manifest(), indent=1) + "\n")
+        return str(path)
 
     def write_run_results(self) -> str:
         """Persist ``run_results.json`` under the workdir (the dbt

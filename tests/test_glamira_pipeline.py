@@ -409,3 +409,23 @@ def test_run_results_artifact(spark, tmp_path):
         p2.run(["bad"])
     assert p2.run_results()[-1]["status"] == "error"
     assert "boom" in p2.run_results()[-1]["message"]
+
+
+def test_manifest_records_observed_dag(glamira):
+    """manifest.json parity: dependency edges come from the ref()/
+    source() calls the build actually made — for the real Glamira DAG,
+    the fact mart must depend on its staging/dim models."""
+    import json
+
+    p, _ = glamira
+    man = p.manifest()
+    deps = man["models"]["mart_fact_order"]["depends_on"]
+    assert "stg_order" in deps or "int_order_qa" in deps or any(
+        d.startswith(("stg_", "int_", "dim_")) for d in deps
+    ), deps
+    # every recorded dependency is a declared model
+    for m, node in man["models"].items():
+        for d in node["depends_on"]:
+            assert d in man["models"], (m, d)
+    path = p.write_manifest()
+    assert json.loads(open(path).read())["models"]
