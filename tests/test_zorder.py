@@ -105,3 +105,30 @@ def test_training_shards_deterministic_and_complete(spark, tmp_path):
         F.col("shard") != F.pmod(F.xxhash64(F.col("doc_id")), F.lit(16)).cast("int")
     ).count()
     assert mismatch == 0
+
+
+def test_write_with_bloom_behavioral(spark, tmp_path):
+    """Bloom-filtered parquet: strictly larger files (the serialized
+    filter), identical content, identical point-filter results."""
+    import glob
+    import os
+
+    from glamira_batch_processing_spark.sources.writers import write_with_bloom
+
+    df = spark.range(50000).selectExpr(
+        "id", "cast(id * 2654435761 % 99991 as string) as key"
+    )
+    plain, bloomed = str(tmp_path / "plain"), str(tmp_path / "bloom")
+    df.coalesce(1).write.mode("overwrite").parquet(plain)
+    write_with_bloom(df.coalesce(1), bloomed, ["key"], expected_ndv=100_000)
+    size = lambda d: sum(
+        os.path.getsize(f) for f in glob.glob(d + "/*.parquet")
+    )
+    assert size(bloomed) > size(plain)
+    a = spark.read.parquet(plain)
+    b = spark.read.parquet(bloomed)
+    assert a.count() == b.count() == 50000
+    probe = "key = '12345'"
+    assert sorted(r.id for r in a.filter(probe).collect()) == sorted(
+        r.id for r in b.filter(probe).collect()
+    )
