@@ -603,9 +603,15 @@ def mix_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         16,
         10,
     ).cast("long")
-    bg = flagged.select(
-        "doc_id", "is_target", F.explode(z).alias("g")
-    ).select("doc_id", "is_target", h.alias("whash"))
+    bg = (
+        flagged.select("doc_id", "is_target", F.explode(z).alias("g"))
+        .select("doc_id", "is_target", h.alias("whash"))
+        # bg feeds BOTH the corpus count and the per-doc score join;
+        # without materialization the md5 bigram explode runs twice
+        # (measured 2x cost at sf0.1). Lazy local checkpoint = compute
+        # once, reuse (components/pagerank precedent).
+        .localCheckpoint(eager=False)
+    )
     cc = bg.groupBy("whash").agg(
         F.count("*").alias("r_cnt"),
         F.sum(F.when(F.col("is_target"), 1).otherwise(0)).alias("t_cnt"),
@@ -630,8 +636,9 @@ def mix_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         * F.col("t_total").cast("double")
     )
     return (
+        # doc_id is the documents PK — no distinct pass needed (the
+        # oracle's SELECT DISTINCT is a no-op on unique keys).
         docs.select("doc_id")
-        .distinct()
         .join(scored, "doc_id", "left")
         .crossJoin(F.broadcast(totals))
         .select(
