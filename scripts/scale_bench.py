@@ -67,6 +67,11 @@ MEASURED = [
     "search_bm25_topk",
     "graph_pagerank_parts",
     "quality_gopher_filter",
+    "mix_importance_weights",
+    "skew_salted_agg",
+    "q5_local_supplier_volume",
+    "q10_returned_items",
+    "multimodal_pixel_digest",
 ]
 
 
