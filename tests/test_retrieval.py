@@ -268,3 +268,30 @@ def test_multiprobe_recall_is_monotone_per_query(spark):
     for q, levels in by_q.items():
         assert set(levels) == {1, 2, 4}
         assert levels[1] <= levels[2] <= levels[4], (q, levels)
+
+
+def test_q10_plan_broadcast_and_pushdown(spark):
+    df = QUERIES["q10_returned_items"](spark, SF_SMALL)
+    plan = plan_of(df)
+    assert "TakeOrderedAndProject" in plan
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "SortMergeJoin" not in plan
+    assert "PushedFilters" in plan and "l_returnflag" in plan
+
+
+def test_mix_importance_weights_no_cartesian(spark):
+    """The count join shuffles (correct — the table grows with the
+    corpus); only the 1-row totals may nested-loop broadcast."""
+    df = QUERIES["mix_importance_weights"](spark, SF_SMALL)
+    plan = plan_of(df)
+    assert "CartesianProduct" not in plan
+
+
+def test_audio_resample_and_pixel_digest_zero_shuffle(spark):
+    """Both multimodal transforms are single mapInPandas passes — no
+    Exchange anywhere in the plan."""
+    for name in ("multimodal_audio_resample", "multimodal_pixel_digest"):
+        df = QUERIES[name](spark, SF_SMALL)
+        plan = plan_of(df)
+        assert "Exchange" not in plan, name
+        assert "ArrowEvalPython" in plan or "MapInPandas" in plan, name
