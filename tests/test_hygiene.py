@@ -393,3 +393,53 @@ def test_bpe_train_then_encode_compresses(spark):
                 n_chars += len(w)
                 n_tokens += len(_encode_with(w, merges, ranks, cache))
     assert n_tokens < 0.8 * n_chars
+
+
+def test_langid_train_learns_discriminative_profiles(spark):
+    """Trained language profiles must recover PLANTED function words
+    and classify a held-out split near-perfectly. (The synthetic
+    documents table shares one vocabulary across labels — no real
+    language signal to learn — so the test injects per-language
+    function words, exactly what distinguishes real languages.)"""
+    from pyspark.sql import functions as F
+
+    from glamira_batch_processing_spark.operators.text import (
+        langid_train,
+        predict_lang_trained,
+    )
+    from glamira_batch_processing_spark.plans.registry import table
+    from tests.conftest import SF_SMALL
+
+    # marker words chosen OUTSIDE the synthetic corpus vocabulary so
+    # their lift is unambiguous (real function words, minus collisions
+    # with the DB-term vocabulary the generator uses)
+    markers = {
+        "en": "thy hath doth", "de": "und ist nicht", "fr": "oui avec une",
+        "es": "pero como una", "zh": "shi bu hao",
+    }
+    expr = None
+    for lang, words in markers.items():
+        br = (F.col("lang") == lang, F.concat_ws(" ", "text", F.lit(words)))
+        expr = F.when(*br) if expr is None else expr.when(*br)
+    docs = (
+        table(spark, SF_SMALL, "documents")
+        .select("doc_id", "lang", expr.alias("text"))
+    )
+    train = docs.filter(F.col("doc_id") % 5 != 0)
+    test = docs.filter(F.col("doc_id") % 5 == 0)
+    profiles = langid_train(train)
+    assert set(profiles) == set(markers)
+    # the planted markers must dominate each learned profile
+    for lang, words in markers.items():
+        assert set(words.split()) & set(profiles[lang]), (lang, profiles[lang])
+    pred = test.select(
+        "lang",
+        predict_lang_trained(F.col("text"), profiles).alias("predicted"),
+    )
+    stats = pred.agg(
+        F.count("*").alias("n"),
+        F.sum((F.col("lang") == F.col("predicted")).cast("int")).alias("hit"),
+    ).first()
+    assert stats["n"] > 0
+    acc = stats["hit"] / stats["n"]
+    assert acc >= 0.95, acc
