@@ -858,3 +858,138 @@ def ann_recall_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce("n_hits", F.lit(0)).cast("double") / float(_RECALL_K)
         ).alias("recall_at_k"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Trained language ID, end-to-end in one declarative DAG.
+# ---------------------------------------------------------------------------
+
+_LID_TOPK = 8
+_LID_MIN_N = 5
+
+
+@query(
+    "text_langid_trained",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, lang, unnest(str_split(lower(text), ' ')) AS tok
+      FROM documents
+    ),
+    by_lang_tok AS (
+      SELECT lang, tok, COUNT(*) AS n_lt FROM toks GROUP BY lang, tok
+    ),
+    by_tok AS (SELECT tok, COUNT(*) AS n_t FROM toks GROUP BY tok),
+    by_lang AS (SELECT lang, COUNT(*) AS n_l FROM toks GROUP BY lang),
+    total AS (SELECT COUNT(*) AS n FROM toks),
+    lifts AS (
+      SELECT lt.lang, lt.tok,
+             (CAST(lt.n_lt AS DOUBLE) / CAST(l.n_l AS DOUBLE))
+               / (CAST(t.n_t AS DOUBLE) / CAST(tt.n AS DOUBLE)) AS lift
+      FROM by_lang_tok lt
+      JOIN by_tok t USING (tok)
+      JOIN by_lang l USING (lang)
+      CROSS JOIN total tt
+      WHERE lt.n_lt >= {_LID_MIN_N}
+    ),
+    profile AS (
+      SELECT lang, tok FROM (
+        SELECT lang, tok,
+               row_number() OVER (
+                 PARTITION BY lang ORDER BY lift DESC, tok
+               ) AS rn
+        FROM lifts
+      ) WHERE rn <= {_LID_TOPK}
+    ),
+    hits AS (
+      SELECT tk.doc_id, p.lang AS cand_lang, COUNT(*) AS n_hits
+      FROM toks tk JOIN profile p ON p.tok = tk.tok
+      GROUP BY tk.doc_id, p.lang
+    ),
+    best AS (
+      SELECT doc_id, cand_lang, n_hits FROM (
+        SELECT doc_id, cand_lang, n_hits,
+               row_number() OVER (
+                 PARTITION BY doc_id ORDER BY n_hits DESC, cand_lang
+               ) AS rn
+        FROM hits
+      ) WHERE rn = 1
+    )
+    SELECT d.doc_id, d.lang AS labeled_lang,
+           COALESCE(b.cand_lang, 'unknown') AS predicted_lang,
+           CAST(COALESCE(b.n_hits, 0) AS BIGINT) AS n_hits
+    FROM documents d
+    LEFT JOIN best b USING (doc_id)
+    """,
+)
+def text_langid_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TRAINED language ID, training AND inference in one declarative
+    DAG (no driver-side collect anywhere): learn per-language token
+    profiles by exact-count lift P(token|lang)/P(token) (top-8 per
+    language, min count 5), then classify every doc by profile-token
+    hits via a token-to-profile equi-join with (hits desc, lang)
+    argmax. The oracle replicates training and inference entirely in
+    SQL, so the gate proves the LEARNING math, not just the apply step
+    — the gate counterpart of ``operators/text.py::langid_train``
+    (which returns the broadcastable artifact form of the same
+    profiles, with a min-lift floor for shared-vocabulary corpora).
+
+    Scale: token counts are map-side-combinable aggregates; the
+    learned profile is #langs x 8 rows (broadcast-joined back); the
+    only corpus-sized shuffles are the count aggregations. Lift
+    arithmetic is one fixed-order double expression over exact integer
+    counts — cross-engine bit-exact, so the top-k profile selection
+    (ordered by lift, token) is identical in both engines.
+    """
+    docs = table(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    toks = docs.select(
+        "doc_id",
+        "lang",
+        F.explode(F.split(F.lower(F.col("text")), " ")).alias("tok"),
+    )
+    by_lang_tok = toks.groupBy("lang", "tok").agg(F.count("*").alias("n_lt"))
+    by_tok = toks.groupBy("tok").agg(F.count("*").alias("n_t"))
+    by_lang = toks.groupBy("lang").agg(F.count("*").alias("n_l"))
+    total = toks.agg(F.count("*").alias("n"))
+    from pyspark.sql import Window
+
+    lifts = (
+        by_lang_tok.filter(F.col("n_lt") >= _LID_MIN_N)
+        .join(by_tok, "tok")
+        .join(F.broadcast(by_lang), "lang")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "lang",
+            "tok",
+            (
+                (F.col("n_lt").cast("double") / F.col("n_l").cast("double"))
+                / (F.col("n_t").cast("double") / F.col("n").cast("double"))
+            ).alias("lift"),
+        )
+    )
+    w_prof = Window.partitionBy("lang").orderBy(F.desc("lift"), "tok")
+    profile = (
+        lifts.withColumn("rn", F.row_number().over(w_prof))
+        .filter(F.col("rn") <= _LID_TOPK)
+        .select(F.col("lang").alias("cand_lang"), "tok")
+    )
+    hits = (
+        toks.join(F.broadcast(profile), "tok")
+        .groupBy("doc_id", "cand_lang")
+        .agg(F.count("*").alias("n_hits"))
+    )
+    w_best = Window.partitionBy("doc_id").orderBy(
+        F.desc("n_hits"), "cand_lang"
+    )
+    best = (
+        hits.withColumn("rn", F.row_number().over(w_best))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", "cand_lang", "n_hits")
+    )
+    return docs.select("doc_id", F.col("lang").alias("labeled_lang")).join(
+        best, "doc_id", "left"
+    ).select(
+        "doc_id",
+        "labeled_lang",
+        F.coalesce("cand_lang", F.lit("unknown")).alias("predicted_lang"),
+        F.coalesce("n_hits", F.lit(0)).cast("bigint").alias("n_hits"),
+    )
