@@ -993,3 +993,183 @@ def text_langid_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce("cand_lang", F.lit("unknown")).alias("predicted_lang"),
         F.coalesce("n_hits", F.lit(0)).cast("bigint").alias("n_hits"),
     )
+
+
+# ---------------------------------------------------------------------------
+# IVF over a TRAINED coarse quantizer (one engine-exact Lloyd update).
+# ---------------------------------------------------------------------------
+
+_TIVF_SUB = 8   # coarse quantizer operates on the first 8 components
+_TIVF_K = 8
+_TIVF_TOPK = 5
+_TIVF_Q = 1_000_000
+
+
+def _tivf_oracle() -> str:
+    from ..operators.clustering import seed_centroids, sql_lloyd_assign_parts
+    from ..operators.similarity import sql_dot
+
+    seeds = seed_centroids(dim=_TIVF_SUB, k=_TIVF_K)
+    dists, assign = sql_lloyd_assign_parts(seeds, vec_sql="sub")
+    sum_cols = ", ".join(
+        f"CAST(SUM(CAST(floor(sub[{d}] * {_TIVF_Q} + 0.5) AS BIGINT))"
+        f" AS BIGINT) AS s{d}"
+        for d in range(1, _TIVF_SUB + 1)
+    )
+    cent_cols = ", ".join(
+        f"CAST(s{d} AS DOUBLE) / {_TIVF_Q} / n AS c{d}"
+        for d in range(1, _TIVF_SUB + 1)
+    )
+    fold2 = " + ".join(
+        f"((v.sub[{d}] - t.c{d}) * (v.sub[{d}] - t.c{d}))"
+        for d in range(1, _TIVF_SUB + 1)
+    )
+    return f"""
+    WITH base AS (
+      SELECT vec_id, embedding,
+             embedding[1:{_TIVF_SUB}] AS sub,
+             sqrt({sql_dot("embedding", "embedding")}) AS nrm
+      FROM embeddings
+    ),
+    assigned0 AS (
+      SELECT vec_id, sub, {dists}, {assign} AS cluster_id FROM base
+    ),
+    trained AS (
+      SELECT cluster_id, COUNT(*) AS n, {sum_cols}
+      FROM assigned0 GROUP BY cluster_id
+    ),
+    cents AS (SELECT cluster_id, n, {cent_cols} FROM trained),
+    re AS (
+      SELECT vec_id, cluster_id AS centroid_id FROM (
+        SELECT v.vec_id, t.cluster_id,
+               row_number() OVER (
+                 PARTITION BY v.vec_id
+                 ORDER BY {fold2}, t.cluster_id
+               ) AS rn
+        FROM base v CROSS JOIN cents t
+      ) WHERE rn = 1
+    ),
+    ready AS (
+      SELECT b.vec_id, b.embedding, b.nrm, r.centroid_id
+      FROM base b JOIN re r USING (vec_id)
+    ),
+    scored AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, q.centroid_id,
+             {sql_dot("q.embedding", "c.embedding")} / (q.nrm * c.nrm)
+               AS cosine_sim
+      FROM ready q
+      JOIN ready c ON q.centroid_id = c.centroid_id AND q.vec_id != c.vec_id
+      WHERE q.vec_id % 100 = 0
+    )
+    SELECT query_id, centroid_id, neighbor_id, rank, cosine_sim FROM (
+      SELECT *, row_number() OVER (
+        PARTITION BY query_id ORDER BY cosine_sim DESC, neighbor_id
+      ) AS rank
+      FROM scored
+    )
+    WHERE rank <= {_TIVF_TOPK}
+    """
+
+
+@query("ann_ivf_trained", oracle=_tivf_oracle())
+def ann_ivf_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF search whose cell layout comes from TRAINING, end-to-end in
+    one declarative, oracle-replicated DAG: assign every vector's
+    8-dim leading subspace to the seeded centroids, perform ONE exact
+    Lloyd update (per-cluster member counts + integer-quantized
+    component sums -> updated centroid values as one fixed-order
+    double expression — the same engine-exactness discipline as
+    ``kmeans_lloyd_step``), re-assign the corpus to the TRAINED
+    centroids, then run the standard bucket equi-join + exact-cosine
+    top-5. The oracle restates training and search entirely in SQL, so
+    the gate proves the learned cell layout, not just the search step.
+    A subspace coarse quantizer is the production IVF shape (the
+    full-dim residual stays in the fine distance).
+
+    Scale: one scan for assignment, one k-row aggregate for the
+    update (map-side combinable), broadcast of the k trained
+    centroids, then the proven IVF bucket-join path — training adds
+    ONE shuffle over the seeded-centroid variant.
+    """
+    from pyspark.sql import Window
+
+    from ..operators.clustering import lloyd_assign, seed_centroids
+    from ..operators.similarity import dot, norm
+
+    seeds = seed_centroids(dim=_TIVF_SUB, k=_TIVF_K)
+    e = table(spark, sf_dir, "embeddings")
+    base = e.select(
+        "vec_id",
+        "embedding",
+        F.slice("embedding", 1, _TIVF_SUB).alias("sub"),
+        norm(F.col("embedding")).alias("nrm"),
+    )
+    assigned0 = base.withColumn(
+        "cluster_id", lloyd_assign(F.col("sub"), seeds)
+    )
+    sums = assigned0.groupBy("cluster_id").agg(
+        F.count("*").alias("n"),
+        *[
+            F.sum(
+                F.floor(
+                    F.element_at("sub", d).cast("double") * _TIVF_Q
+                    + F.lit(0.5)
+                ).cast("long")
+            )
+            .cast("long")
+            .alias(f"s{d}")
+            for d in range(1, _TIVF_SUB + 1)
+        ],
+    )
+    cents = sums.select(
+        "cluster_id",
+        *[
+            (F.col(f"s{d}").cast("double") / _TIVF_Q / F.col("n")).alias(
+                f"c{d}"
+            )
+            for d in range(1, _TIVF_SUB + 1)
+        ],
+    )
+    fold2: F.Column | None = None
+    for d in range(1, _TIVF_SUB + 1):
+        x = F.element_at("sub", d).cast("double") - F.col(f"c{d}")
+        t = x * x
+        fold2 = t if fold2 is None else fold2 + t
+    w_assign = Window.partitionBy("vec_id").orderBy(
+        F.col("d2"), F.col("cluster_id")
+    )
+    re_assigned = (
+        base.crossJoin(F.broadcast(cents))
+        .withColumn("d2", fold2)
+        .withColumn("rn", F.row_number().over(w_assign))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "embedding", "nrm", F.col("cluster_id").alias("centroid_id"))
+    )
+    q = re_assigned.filter(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qvec"),
+        F.col("nrm").alias("qnrm"),
+        "centroid_id",
+    )
+    c = re_assigned.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").alias("cvec"),
+        F.col("nrm").alias("cnrm"),
+        F.col("centroid_id").alias("c2"),
+    )
+    scored = q.join(
+        c,
+        (F.col("centroid_id") == F.col("c2"))
+        & (F.col("query_id") != F.col("neighbor_id")),
+    ).withColumn(
+        "cosine_sim",
+        dot(F.col("qvec"), F.col("cvec")) / (F.col("qnrm") * F.col("cnrm")),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine_sim"), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= _TIVF_TOPK)
+        .select("query_id", "centroid_id", "neighbor_id", "rank", "cosine_sim")
+    )

@@ -69,7 +69,7 @@ GATE_FAMILIES: dict[str, tuple[str, ...]] = {
     "dedup_exact": ("dedup_exact",),
     "dedup_near": ("dedup_minhash_lsh", "dedup_simhash", "dedup_ngram_jaccard"),
     "dedup_components": ("dedup_cluster_components",),
-    "ann": ("ann_ivf_bucketed", "ann_cosine_topk", "ann_lsh_hyperplane"),
+    "ann": ("ann_ivf_bucketed", "ann_cosine_topk", "ann_lsh_hyperplane", "ann_ivf_trained"),
     "clustering": ("kmeans_lloyd_step",),
     "langid": ("text_langid",),
     "text_quality": ("text_repetition_stats", "text_quality_score"),
