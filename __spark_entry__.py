@@ -64,19 +64,40 @@ from glamira_batch_processing_spark.plans.registry import ORACLE, QUERIES
 #     sample_exact_k) -> search_bm25_topk (new retrieval family)
 #   f6_date_dimension (r1+r3 green; date/time family still covered by
 #     f6_time_arithmetic) -> graph_pagerank_parts (new graph family)
-# Next-round candidates once the 11 hold their r5 rows:
-# u2_intersect_except, sketch_countmin_tokens, sketch_hll_registers,
-# funnel_view_click_purchase, cohort_retention, text_tfidf_topterms,
-# anomaly_error_spike, q3_shipping_priority, dedup_substring_spans,
-# text_winnow_fingerprints, url_canonicalize_dedup, pii_luhn_validate,
-# boilerplate_strip_lines, quality_bigram_familiarity, ann_pq_adc_topk,
-# ohlc_hourly_bars, gapfill_forward_fill, stats_correlation, plus the
-# round-5 additions past the window: quality_gopher_filter,
-# ann_recall_eval, ann_recall_multiprobe, mix_importance_weights,
-# skew_salted_agg, q5_local_supplier_volume, q10_returned_items,
-# multimodal_pixel_digest (pixel-level gate proof — strong swap-in for
-# multimodal_image_meta once image_meta holds its r5 row),
-# multimodal_audio_resample.
+# Round 6 (VERDICT r5 ask #1): all 50 r5 rows came back green, so the
+# round-4/5 rotations hold their first external rows and rotation is
+# unblocked. 13 swaps rotate in the highest-value NEVER-GATED queries;
+# every rotated-out name holds >=2 green external rounds
+# (CORRECTNESS_r0{1,2,3,5}.json) and its GATE_FAMILIES family keeps an
+# in-window representative (guard test enforces):
+#   j2_revenue_by_nation (r1/2/3/5) -> q5_local_supplier_volume
+#     (dim-join stress; dim_equi_join family)
+#   a2_multiplicity_flag (r1/2/3/5) -> funnel_view_click_purchase
+#     (per-user distinct-stage counting; count_distinct family)
+#   a4_null_rate_audit (r1/2/3/5) -> mix_importance_weights
+#     (conditional-count agg; conditional_agg family)
+#   w1_latest_order_per_customer (r1/2/3/5) -> ohlc_hourly_bars
+#     (new timeseries family; window-dedupe family keeps w2)
+#   u1_union_all (r1/2/3/5) -> u2_intersect_except (set-op family)
+#   f1_string_normalize (r1/3/5) -> boilerplate_strip_lines
+#     (string-normalize family)
+#   dedup_minhash_lsh (r1/2/3/5) -> dedup_substring_spans (near-dup
+#     family; sub-document granularity)
+#   ann_ivf_bucketed (r1/2/3/5) -> ann_pq_adc_topk (ANN family)
+#   text_langid (r1/2/3/5) -> text_langid_trained (trained-path proof)
+#   multimodal_image_meta (r3/5) -> multimodal_pixel_digest
+#     (pixel-level external proof)
+#   pii_redact (r2/3/5) -> pii_luhn_validate (pii family)
+#   heavy_hitters_by_lang (r3/5) -> skew_salted_agg (skew-aware agg)
+#   sketch_kmv_distinct (r3/5) -> sketch_hll_registers (sketch family)
+#   j6_agg_join_back stays (its family has no alternate).
+# Remaining never-gated candidates for round 7+: q10_returned_items,
+# text_tfidf_topterms, sketch_countmin_tokens, cohort_retention,
+# anomaly_error_spike, q3_shipping_priority, text_winnow_fingerprints,
+# url_canonicalize_dedup, quality_bigram_familiarity, quality_gopher_filter,
+# ann_recall_eval/_multiprobe, ann_ivf_trained, mix_resample_sources,
+# gapfill_forward_fill, stats_correlation, multimodal_audio_resample,
+# sessionize_builtin_window, interval_join_attribution.
 _PRIORITY: list[str] = [
     # Flagships: whole-warehouse DAG (staging -> SCD -> marts -> rollup)
     # and whole-training-data pipeline (quality -> dedup+components ->
@@ -88,27 +109,29 @@ _PRIORITY: list[str] = [
     "p1_typed_projection",
     "p4_fake_null_cleaning",
     "p6_latest_snapshot_filter",
-    # §2 joins.
+    # §2 joins (q5 = TPC-H multi-dim join-ordering stress, never gated).
     "j1_posexplode_outer",
-    "j2_revenue_by_nation",
+    "q5_local_supplier_volume",
     "j6_agg_join_back",
     "j9_orphan_rate_audit",
     "j11_incremental_merge",
-    # §2 aggregations.
-    "a2_multiplicity_flag",
-    "a4_null_rate_audit",
+    # §2 aggregations (funnel = per-user distinct-stage counting;
+    # mix_importance_weights = DSIR conditional-count pass).
+    "funnel_view_click_purchase",
+    "mix_importance_weights",
     "a7_group_max_count",
     "grouping_sets_priority_status",
-    # §2 windows / ordering.
-    "w1_latest_order_per_customer",
+    # §2 windows / ordering / timeseries downsampling.
+    "ohlc_hourly_bars",
     "w2_canonical_per_group",
     "w3_scd2_history",
     "w5_running_totals",
     "o4_topk_composite_order",
     # §2 set ops.
-    "u1_union_all",
-    # §2 scalar-function families.
-    "f1_string_normalize",
+    "u2_intersect_except",
+    # §2 scalar-function families (boilerplate = line-level string
+    # normalization over documents).
+    "boilerplate_strip_lines",
     "f3_parse_localized_prices",
     "f4_currency_resolution",
     "f5_surrogate_key_inputs",
@@ -119,22 +142,22 @@ _PRIORITY: list[str] = [
     "graph_pagerank_parts",
     # LLM-data-pipeline operator families (one representative each).
     "dedup_exact",
-    "dedup_minhash_lsh",
+    "dedup_substring_spans",
     "dedup_cluster_components",
-    "ann_ivf_bucketed",
+    "ann_pq_adc_topk",
     "kmeans_lloyd_step",
-    "text_langid",
+    "text_langid_trained",
     "text_repetition_stats",
-    "multimodal_image_meta",
+    "multimodal_pixel_digest",
     "multimodal_audio_meta",
     "asof_join_last_purchase",
     "split_train_val_test",
     "sample_exact_k",
-    "pii_redact",
+    "pii_luhn_validate",
     "chunk_token_windows",
     "decontaminate_benchmark_overlap",
-    "heavy_hitters_by_lang",
-    "sketch_kmv_distinct",
+    "skew_salted_agg",
+    "sketch_hll_registers",
     # Scale-infrastructure operators (never gated before round 4).
     "stats_column_profile",
     "stats_histogram",

@@ -2,11 +2,28 @@
 
 Prints ONE JSON line:
   {"metric": "...", "value": <total sec>, "unit": "sec",
-   "queries": {"q1": sec, ...}, "sf": <sf>}
+   "queries": {"q1": sec, ...}, "sf": <sf>, ...}
+
+Two tiers (round-6 bench hygiene — VERDICT r5 ask #4):
+
+* ``HEADLINE_PINNED`` — the exact 20-query set benched since round 3.
+  Its total (``headline_pinned_total``) is comparable across rounds; new
+  operators must NOT be added here, or cross-round comparisons break.
+* ``EXTENDED`` — every operator added to the headline after round 3.
+  Its total grows as coverage grows and is reported separately
+  (``extended_total``) so coverage growth cannot read as a regression.
+
+``value`` remains the grand total over both tiers (the shape rounds 1-5
+reported) so the driver's single-number trend stays continuous.
 
 Each query is timed end-to-end (plan + execute + full materialization
 via a noop-format write, so Catalyst cannot prune projected expressions
 the way it can under ``count()``) after a warm-up pass of the session.
+Per-query times are the MEDIAN of ``SPARK_GRAFT_BENCH_REPS`` (default 3)
+back-to-back reps, with the sample standard deviation reported in
+``stddev`` — the round-5 driver artifact carried contention noise the
+single-shot timing could not distinguish from regression (VERDICT r5
+ask #2); error bars make the artifact self-diagnosing.
 Run: python bench.py
 """
 
@@ -14,6 +31,7 @@ from __future__ import annotations
 
 import json
 import os
+import statistics
 import sys
 import time
 from pathlib import Path
@@ -21,11 +39,12 @@ from pathlib import Path
 sys.path.insert(0, str(Path(__file__).resolve().parent))
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+REPS = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3")))
 
-# Headline set: the flagship agg, the join chain, window dedupe, the
-# scalar-heavy parse, plus the scale-path data-pipeline operators as
-# they land. Keep this list in sync with the heaviest QUERIES entries.
-HEADLINE = [
+# PINNED: the round-3 headline, frozen. Do not add entries (new
+# operators go in EXTENDED); totals over this list are comparable to
+# BENCH_r03.json and every later round.
+HEADLINE_PINNED = [
     "q1_pricing_summary",
     "j2_revenue_by_nation",
     "w1_latest_order_per_customer",
@@ -39,8 +58,6 @@ HEADLINE = [
     "asof_join_last_purchase",
     "dedup_exact",
     "dedup_minhash_lsh",
-    "dedup_minhash_lsh_fast",
-    "dedup_substring_spans",
     "dedup_cluster_components",
     "ann_cosine_topk_np",
     "ann_ivf_bucketed",
@@ -48,6 +65,13 @@ HEADLINE = [
     "text_quality_score",
     "pii_redact",
     "chunk_token_windows",
+]
+
+# EXTENDED: operators that joined the headline after round 3. Reported
+# as a separate total so coverage growth never reads as a slowdown.
+EXTENDED = [
+    "dedup_minhash_lsh_fast",
+    "dedup_substring_spans",
     "text_winnow_fingerprints",
     "boilerplate_strip_lines",
     "quality_bigram_familiarity",
@@ -64,6 +88,8 @@ HEADLINE = [
     "quality_gopher_filter",
     "mix_importance_weights",
 ]
+
+HEADLINE = HEADLINE_PINNED + EXTENDED
 
 
 def force(df) -> None:
@@ -94,21 +120,32 @@ def main() -> None:
                 pass
 
     timings: dict[str, float] = {}
+    stddevs: dict[str, float] = {}
     for name in HEADLINE:
         if name not in qs:
             continue
-        t0 = time.perf_counter()
-        force(qs[name](spark, SF_DIR))
-        timings[name] = round(time.perf_counter() - t0, 4)
+        reps: list[float] = []
+        for _ in range(REPS):
+            t0 = time.perf_counter()
+            force(qs[name](spark, SF_DIR))
+            reps.append(time.perf_counter() - t0)
+        timings[name] = round(statistics.median(reps), 4)
+        stddevs[name] = round(statistics.stdev(reps), 4) if len(reps) > 1 else 0.0
 
+    pinned_total = sum(t for n, t in timings.items() if n in HEADLINE_PINNED)
+    extended_total = sum(t for n, t in timings.items() if n in EXTENDED)
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     print(
         json.dumps(
             {
                 "metric": "headline_queries_total",
-                "value": round(sum(timings.values()), 4),
+                "value": round(pinned_total + extended_total, 4),
                 "unit": "sec",
                 "queries": timings,
+                "stddev": stddevs,
+                "headline_pinned_total": round(pinned_total, 4),
+                "extended_total": round(extended_total, 4),
+                "reps": REPS,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
         )

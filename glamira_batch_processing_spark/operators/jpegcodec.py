@@ -185,6 +185,13 @@ def _decode_baseline(payload: bytes):
                 raise NotImplementedError("jpeg: only 8-bit precision")
             h, w = struct.unpack(">HH", seg[1:5])
             ncomp = seg[5]
+            if ncomp not in (1, 3):
+                # 4-component (Adobe CMYK/YCCK) or 2-component frames
+                # would silently decode with wrong colors / die with a
+                # misleading truncation error — refuse honestly instead.
+                raise NotImplementedError(
+                    f"jpeg: only 1- or 3-component frames (got {ncomp})"
+                )
             comps = []
             for c in range(ncomp):
                 cid, samp, tq = seg[6 + 3 * c : 9 + 3 * c]
@@ -341,6 +348,10 @@ def encode_baseline_jpeg(
     rounding and chroma conversion); ``restart_interval`` > 0 emits
     DRI + RSTn markers every that many MCUs (exercises the decoder's
     restart resync path)."""
+    if not 1 <= quant <= 255:
+        # the flat value is written into a uint8 DQT segment; values
+        # outside [1, 255] would silently wrap and corrupt round trips
+        raise ValueError(f"quant must be in [1, 255], got {quant}")
     rgb = np.asarray(rgb, dtype=np.float64)
     h, w = rgb.shape[:2]
     r, g, b = rgb[..., 0], rgb[..., 1], rgb[..., 2]

@@ -368,6 +368,7 @@ def _decode_pixels_real(payload: bytes):
                     pos += 1 + payload[pos]
                 pos += 1
             elif block == 0x2C:  # image descriptor (first frame only)
+                left, top = struct.unpack("<HH", payload[pos + 1 : pos + 5])
                 w, h = struct.unpack("<HH", payload[pos + 5 : pos + 9])
                 ipacked = payload[pos + 9]
                 pos += 10
@@ -401,6 +402,28 @@ def _decode_pixels_real(payload: bytes):
                             out[y] = px[src]
                             src += 1
                     px = out
+                ls_w, ls_h = struct.unpack("<HH", payload[6:10])
+                if (left, top) != (0, 0) or (w, h) != (ls_w, ls_h):
+                    # frame positioned inside a larger logical screen:
+                    # composite at (left, top) onto the background color
+                    # so the raster agrees with the logical-screen dims
+                    # the header-metadata path reports (ADVICE r5)
+                    if left + w > ls_w or top + h > ls_h:
+                        raise ValueError("gif: frame exceeds logical screen")
+                    # background color index refers to the GLOBAL table
+                    bg_idx = payload[11]
+                    if gct is not None:
+                        gpal = np.frombuffer(gct, dtype=np.uint8).reshape(-1, 3)
+                        bg = (
+                            gpal[bg_idx]
+                            if bg_idx < len(gpal)
+                            else np.zeros(3, dtype=np.uint8)
+                        )
+                    else:
+                        bg = np.zeros(3, dtype=np.uint8)
+                    canvas = np.broadcast_to(bg, (ls_h, ls_w, 3)).copy()
+                    canvas[top : top + h, left : left + w] = px
+                    return canvas
                 return px.copy()
             elif block == 0x3B:
                 break

@@ -220,7 +220,10 @@ def pq_train(
     """
     from .clustering import kmeans_fit
 
-    dim = len(embeddings.select(vec_col).first()[0])
+    head = embeddings.select(vec_col).first()
+    if head is None:
+        raise ValueError("pq_train: empty embeddings DataFrame")
+    dim = len(head[0])
     if dim % m:
         raise ValueError(f"dim {dim} not divisible by m {m}")
     ds = dim // m

@@ -216,11 +216,17 @@ def predict_lang_trained(
         lang: stopword_count(text, tuple(toks))
         for lang, toks in sorted(profiles.items())
     }
+    if not scores:
+        # langid_train legitimately returns no profiles when no token
+        # clears the count/lift floors (tiny or homogeneous corpora)
+        return F.lit("unknown")
     g = None
     for s in scores.values():
         g = s if g is None else F.greatest(g, s)
     expr = None
     for lang in sorted(scores):
-        branch = (scores[lang] == g, F.lit(lang))
+        # gate on g > 0 so zero-hit docs fall through to 'unknown'
+        # instead of the alphabetically-first language
+        branch = ((scores[lang] == g) & (g > 0), F.lit(lang))
         expr = F.when(*branch) if expr is None else expr.when(*branch)
     return expr.otherwise(F.lit("unknown"))

@@ -17,6 +17,26 @@ from dataclasses import dataclass, field
 from pyspark.sql import DataFrame, SparkSession
 
 
+def _parquet_footer_rows(path: str) -> int:
+    """Row count of a written parquet directory from file footers only.
+
+    ``num_rows`` lives in each file's footer metadata, so this is a
+    driver-side metadata read — no Spark job, no data scan. Replaces
+    the per-table ``df.count()`` that added a full extra job to every
+    table materialization (ADVICE r5: a contributor to the round-5
+    driver-bench regression).
+    """
+    from pathlib import Path
+
+    import pyarrow.parquet as pq
+
+    return sum(
+        pq.ParquetFile(f).metadata.num_rows
+        for f in Path(path).rglob("*.parquet")
+        if f.is_file()
+    )
+
+
 @dataclass
 class Model:
     name: str
@@ -79,7 +99,11 @@ class Pipeline:
                     writer = writer.partitionBy(m.partition_by)
                 writer.parquet(path)
                 df = self.spark.read.parquet(path)
-                rows = df.count()
+                # run_results row counts come from the freshly-written
+                # parquet footers (num_rows metadata), not a second full
+                # Spark job — the unconditional df.count() here added
+                # per-table latency to every pipeline run (ADVICE r5).
+                rows = _parquet_footer_rows(path)
         except Exception as exc:
             self._results.append(
                 {

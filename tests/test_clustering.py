@@ -133,3 +133,18 @@ def test_pq_train_beats_seeded_codebooks(spark):
     out = pq_adc_topk(e, q, trained, k=5)
     rows = out.collect()
     assert rows and all(1 <= r["rank"] <= 5 for r in rows)
+
+
+def test_pq_train_empty_embeddings_raises_value_error(spark):
+    """ADVICE r5: an empty embeddings DataFrame must raise a clear
+    ValueError, not an opaque TypeError from first()[0]."""
+    import pytest
+    from pyspark.sql.types import ArrayType, FloatType, StructField, StructType
+
+    from glamira_batch_processing_spark.operators.pq import pq_train
+
+    empty = spark.createDataFrame(
+        [], StructType([StructField("embedding", ArrayType(FloatType()))])
+    )
+    with pytest.raises(ValueError, match="empty"):
+        pq_train(empty, m=4, ks=4, n_iter=1)

@@ -42,21 +42,40 @@ GATE_FAMILIES: dict[str, tuple[str, ...]] = {
     "fake_null": ("p4_fake_null_cleaning",),
     "snapshot_filter": ("p6_latest_snapshot_filter",),
     "explode": ("j1_posexplode_outer",),
-    "dim_equi_join": ("j2_revenue_by_nation", "j5_product_enrichment", "j12_multikey_join"),
+    # Round 6: q5/q10 (TPC-H multi-dim join chains) join the dim-join reps —
+    # q5 rotates in while j2 (green r1/2/3/5) rotates out.
+    "dim_equi_join": (
+        "j2_revenue_by_nation",
+        "j5_product_enrichment",
+        "j12_multikey_join",
+        "q5_local_supplier_volume",
+        "q10_returned_items",
+    ),
     "agg_join_back": ("j6_agg_join_back",),
     "semi_anti_orphan": ("j9_orphan_rate_audit", "j13_semi_anti_join"),
     "merge_upsert": ("j11_incremental_merge",),
-    "count_distinct": ("a2_multiplicity_flag",),
-    "conditional_agg": ("a4_null_rate_audit",),
+    # Round 6: funnel's per-user distinct-stage counting represents the
+    # distinct-counting family while a2 (green r1/2/3/5) rotates out;
+    # DSIR's conditional-count pass represents conditional aggregation
+    # while a4 (green r1/2/3/5) rotates out.
+    "count_distinct": ("a2_multiplicity_flag", "funnel_view_click_purchase"),
+    "conditional_agg": ("a4_null_rate_audit", "mix_importance_weights"),
     "group_max": ("a7_group_max_count", "a3_distinct_pairs"),
     "grouping_sets": ("grouping_sets_priority_status", "rollup_revenue_by_region"),
-    "window_latest": ("w1_latest_order_per_customer", "w4_rank_dedupe_merge"),
-    "window_canonical": ("w2_canonical_per_group",),
+    # Round 6: the two row_number-pick-one-per-key families merged (both
+    # are windowed dedupe); w2 stays in-window while w1 (green r1/2/3/5)
+    # freed its slot for the new timeseries family.
+    "window_dedupe": (
+        "w1_latest_order_per_customer",
+        "w4_rank_dedupe_merge",
+        "w2_canonical_per_group",
+    ),
+    "timeseries": ("ohlc_hourly_bars", "gapfill_forward_fill", "rolling_7d_active_users"),
     "scd2": ("w3_scd2_history",),
     "window_frames": ("w5_running_totals",),
     "topk_order": ("o4_topk_composite_order",),
-    "union": ("u1_union_all",),
-    "string_normalize": ("f1_string_normalize",),
+    "union": ("u1_union_all", "u2_intersect_except"),
+    "string_normalize": ("f1_string_normalize", "boilerplate_strip_lines"),
     "localized_parse": ("f3_parse_localized_prices",),
     "currency": ("f4_currency_resolution",),
     "surrogate_keys": ("f5_surrogate_key_inputs", "f5_surrogate_key_consistency"),
@@ -67,11 +86,25 @@ GATE_FAMILIES: dict[str, tuple[str, ...]] = {
     "date_time": ("f6_date_dimension", "f6_time_arithmetic"),
     "json_extract": ("f8_json_extract",),
     "dedup_exact": ("dedup_exact",),
-    "dedup_near": ("dedup_minhash_lsh", "dedup_simhash", "dedup_ngram_jaccard"),
+    # Round 6: sub-document span dedup joins the near-dup reps (same
+    # family at finer granularity) — spans rotates in, minhash (green
+    # r1/2/3/5) rotates out.
+    "dedup_near": (
+        "dedup_minhash_lsh",
+        "dedup_simhash",
+        "dedup_ngram_jaccard",
+        "dedup_substring_spans",
+    ),
     "dedup_components": ("dedup_cluster_components",),
-    "ann": ("ann_ivf_bucketed", "ann_cosine_topk", "ann_lsh_hyperplane", "ann_ivf_trained"),
+    "ann": (
+        "ann_ivf_bucketed",
+        "ann_cosine_topk",
+        "ann_lsh_hyperplane",
+        "ann_ivf_trained",
+        "ann_pq_adc_topk",
+    ),
     "clustering": ("kmeans_lloyd_step",),
-    "langid": ("text_langid",),
+    "langid": ("text_langid", "text_langid_trained"),
     "text_quality": ("text_repetition_stats", "text_quality_score"),
     "multimodal_image": (
         "multimodal_image_meta",
@@ -82,11 +115,14 @@ GATE_FAMILIES: dict[str, tuple[str, ...]] = {
     "asof": ("asof_join_last_purchase",),
     "split": ("split_train_val_test",),
     "sampling": ("sample_stratified_lang", "sample_exact_k", "sample_weighted_by_length"),
-    "pii": ("pii_redact",),
+    "pii": ("pii_redact", "pii_luhn_validate"),
     "chunk_pack": ("chunk_token_windows", "pack_sequences"),
     "decontaminate": ("decontaminate_benchmark_overlap",),
-    "heavy_hitters": ("heavy_hitters_by_lang",),
-    "sketch": ("sketch_kmv_distinct", "sketch_countmin_tokens"),
+    # Round 6: skew-aware aggregation (frequency top-k + salted two-phase
+    # agg are both hot-key-robust groupBy designs); skew_salted_agg
+    # rotates in, heavy_hitters (green r3/5) rotates out.
+    "heavy_hitters": ("heavy_hitters_by_lang", "skew_salted_agg"),
+    "sketch": ("sketch_kmv_distinct", "sketch_countmin_tokens", "sketch_hll_registers"),
     "column_profile": ("stats_column_profile",),
     "histogram": ("stats_histogram", "stats_percentiles"),
     "zorder": ("zorder_key_orders",),

@@ -443,3 +443,33 @@ def test_langid_train_learns_discriminative_profiles(spark):
     assert stats["n"] > 0
     acc = stats["hit"] / stats["n"]
     assert acc >= 0.95, acc
+
+
+def test_predict_lang_trained_empty_profiles_and_zero_hits(spark):
+    """ADVICE r5: empty profiles (legitimate when no token clears the
+    count/lift floors) must predict 'unknown' instead of crashing, and
+    docs with ZERO profile hits must fall through to 'unknown' rather
+    than the alphabetically-first language."""
+    from pyspark.sql import functions as F
+
+    from glamira_batch_processing_spark.operators.text import (
+        predict_lang_trained,
+    )
+
+    docs = spark.createDataFrame(
+        [("und ist gut",), ("qqq zzz www",)], ["text"]
+    )
+    # empty profiles -> constant 'unknown'
+    empty = docs.select(
+        predict_lang_trained(F.col("text"), {}).alias("predicted")
+    )
+    assert [r["predicted"] for r in empty.collect()] == ["unknown", "unknown"]
+    # zero-hit doc -> 'unknown', not the alphabetically-first language
+    profiles = {"de": ["und", "ist"], "en": ["the", "and"]}
+    pred = docs.select(
+        "text",
+        predict_lang_trained(F.col("text"), profiles).alias("predicted"),
+    ).collect()
+    got = {r["text"]: r["predicted"] for r in pred}
+    assert got["und ist gut"] == "de"
+    assert got["qqq zzz www"] == "unknown"

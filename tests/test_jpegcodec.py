@@ -131,3 +131,30 @@ def test_resample_audio_decimation_and_upsample(spark):
     )
     err = resample_audio(bad, target_rate=4000).collect()[0]
     assert err.format == "error" and err.payload_out is None
+
+
+def test_jpeg_cmyk_component_count_raises_not_implemented():
+    """4-component (Adobe CMYK/YCCK) and 2-component SOF0 frames must
+    refuse honestly, not decode with wrong colors or die with a
+    misleading truncation error (ADVICE r5)."""
+    base = encode_baseline_jpeg(_smooth(16, 16))
+    sof = base.find(b"\xff\xc0")
+    assert sof >= 0
+    # SOF0 segment: marker(2) len(2) precision(1) h(2) w(2) ncomp(1)
+    for bad_ncomp in (2, 4):
+        patched = bytearray(base)
+        patched[sof + 9] = bad_ncomp
+        with pytest.raises(NotImplementedError, match="component"):
+            decode_baseline_jpeg(bytes(patched))
+
+
+def test_jpeg_encode_quant_range_validated():
+    """quant is written into a uint8 DQT segment; out-of-range values
+    must raise instead of silently wrapping (ADVICE r5)."""
+    px = _smooth(8, 8)
+    for bad in (0, 256, 300, -1):
+        with pytest.raises(ValueError, match="quant"):
+            encode_baseline_jpeg(px, quant=bad)
+    # boundary value 255 stays valid
+    out = decode_baseline_jpeg(encode_baseline_jpeg(px, quant=255))
+    assert out.shape == (8, 8, 3)

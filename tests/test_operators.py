@@ -1072,3 +1072,54 @@ def test_gif_decode_skips_extensions_and_validates():
     trunc = _gif_bytes(4, 3, [0] * 2, _PALETTE4)
     with _pytest.raises(ValueError):
         _decode_pixels_real(trunc)
+
+
+def test_gif_frame_offset_composited_to_logical_screen():
+    """A first frame positioned inside a larger logical screen must
+    decode to a logical-screen-sized raster with the frame composited
+    at its (left, top) offset onto the background color (ADVICE r5:
+    the sub-image-sized raster disagreed with the header-metadata
+    dimensions for the same payload)."""
+    import struct as st
+
+    import numpy as np
+
+    from glamira_batch_processing_spark.operators.multimodal import (
+        _decode_pixels_real,
+    )
+
+    # 2x1 frame at offset (1, 1) inside a 4x3 logical screen,
+    # background color index 2 (green).
+    idx = [1, 3]
+    base = _gif_bytes(2, 1, idx, _PALETTE4)
+    patched = (
+        base[:6]
+        + st.pack("<HH", 4, 3)          # logical screen 4x3
+        + bytes([base[10], 2, base[12]])  # background color index = 2
+        + base[13 : 13 + 12]
+        + b"\x2c"
+        + st.pack("<HHHH", 1, 1, 2, 1)  # descriptor: left=1, top=1
+        + base[13 + 12 + 9 :]
+    )
+    px = _decode_pixels_real(patched)
+    assert px.shape == (3, 4, 3)
+    expect = np.broadcast_to(
+        np.array(_PALETTE4[2], dtype=np.uint8), (3, 4, 3)
+    ).copy()
+    expect[1, 1] = _PALETTE4[1]
+    expect[1, 2] = _PALETTE4[3]
+    assert (px == expect).all()
+    # frame exceeding the logical screen -> ValueError, not silent crop
+    import pytest as _pytest
+
+    bad = (
+        base[:6]
+        + st.pack("<HH", 2, 1)
+        + base[10:13]
+        + base[13 : 13 + 12]
+        + b"\x2c"
+        + st.pack("<HHHH", 1, 0, 2, 1)  # left=1 + w=2 > screen w=2
+        + base[13 + 12 + 9 :]
+    )
+    with _pytest.raises(ValueError):
+        _decode_pixels_real(bad)
