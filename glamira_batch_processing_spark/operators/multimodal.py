@@ -13,8 +13,10 @@ environment, so everything here is pure stdlib):
 - pixel rasterization (``_decode_pixels_real``) is REAL for all four
   containers: BMP (24bpp raw), PNG (8-bit RGB: zlib inflate + all
   five scanline unfilters), GIF (full LZW: variable-width codes,
-  KwKwK rule, interlace, local/global palettes) and baseline JPEG
-  (``jpegcodec.py``: Huffman + IDCT + chroma upsampling; progressive/
+  KwKwK rule, interlace, local/global palettes, offset frames
+  composited onto the logical screen) and JPEG — baseline SOF0 and
+  progressive SOF2 (``jpegcodec.py``: Huffman + IDCT + chroma
+  upsampling; spectral selection + successive approximation;
   arithmetic/12-bit honestly raise NotImplementedError). Unknown
   containers fall back to a clearly-labeled deterministic fake
   (``format='fake'``) so text-derived test payloads stay end-to-end
@@ -433,12 +435,13 @@ def _decode_pixels_real(payload: bytes):
     if payload[:2] == b"\xff\xd8":
         from .jpegcodec import decode_baseline_jpeg
 
-        # baseline SOF0 Huffman+DCT decode; progressive/arithmetic/12-bit
-        # raise NotImplementedError inside the codec, honestly.
+        # baseline SOF0 + progressive SOF2 Huffman+DCT decode;
+        # arithmetic/12-bit raise NotImplementedError inside the
+        # codec, honestly.
         return decode_baseline_jpeg(payload)
     raise NotImplementedError(
         "pixel decode: BMP(24bpp raw), PNG(8-bit RGB), GIF(LZW), "
-        "JPEG(baseline SOF0) only"
+        "JPEG(baseline SOF0 / progressive SOF2) only"
     )
 
 

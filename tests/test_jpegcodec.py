@@ -73,12 +73,18 @@ def test_jpeg_odd_dimensions_crop_exact():
         assert np.abs(out.astype(int) - px.astype(int)).max() <= 3
 
 
-def test_jpeg_progressive_raises_not_implemented():
+def test_jpeg_arithmetic_raises_not_implemented():
+    """Arithmetic-coded frames (SOF9) stay honestly NotImplemented;
+    a baseline stream relabeled SOF2 is malformed progressive (its
+    full-band interleaved scan is not a legal DC scan) -> ValueError."""
     px = _pattern(8, 8)
     data = bytearray(encode_baseline_jpeg(px))
     i = data.index(b"\xff\xc0")
-    data[i + 1] = 0xC2  # rewrite SOF0 -> SOF2 (progressive)
+    data[i + 1] = 0xC9  # SOF9: arithmetic sequential
     with pytest.raises(NotImplementedError):
+        decode_baseline_jpeg(bytes(data))
+    data[i + 1] = 0xC2  # SOF2 label on a baseline scan layout
+    with pytest.raises(ValueError):
         decode_baseline_jpeg(bytes(data))
 
 
@@ -158,3 +164,102 @@ def test_jpeg_encode_quant_range_validated():
     # boundary value 255 stays valid
     out = decode_baseline_jpeg(encode_baseline_jpeg(px, quant=255))
     assert out.shape == (8, 8, 3)
+
+
+# ---------------------------------------------------------------------------
+# Progressive (SOF2) decode: spectral selection + successive
+# approximation round trips against the in-engine progressive encoder.
+# ---------------------------------------------------------------------------
+
+
+def test_progressive_444_round_trip():
+    from glamira_batch_processing_spark.operators.jpegcodec import (
+        encode_progressive_jpeg,
+    )
+
+    px = _pattern(24, 16)
+    data = encode_progressive_jpeg(px)
+    assert b"\xff\xc2" in data  # SOF2 marker present
+    out = decode_baseline_jpeg(data)
+    assert out.shape == px.shape
+    assert np.abs(out.astype(int) - px.astype(int)).max() <= 3
+
+
+def test_progressive_matches_baseline_decode_exactly():
+    """Same quant + sampling => identical coefficient grids, so the
+    multi-scan progressive stream must reconstruct the same image the
+    single-scan baseline stream does (to IDCT float rounding)."""
+    from glamira_batch_processing_spark.operators.jpegcodec import (
+        encode_progressive_jpeg,
+    )
+
+    px = _pattern(32, 24)
+    base = decode_baseline_jpeg(encode_baseline_jpeg(px, quant=4))
+    prog = decode_baseline_jpeg(encode_progressive_jpeg(px, quant=4))
+    assert np.abs(base.astype(int) - prog.astype(int)).max() <= 1
+
+
+def test_progressive_420_subsampled_round_trip():
+    from glamira_batch_processing_spark.operators.jpegcodec import (
+        encode_progressive_jpeg,
+    )
+
+    px = _smooth(20, 14)
+    out = decode_baseline_jpeg(encode_progressive_jpeg(px, subsample=True))
+    assert out.shape == px.shape
+    assert np.abs(out.astype(int) - px.astype(int)).max() <= 3
+
+
+def test_progressive_deep_successive_approximation():
+    """dc_al=2 / ac_al=2 emits two rounds of DC and AC refinement
+    scans; full refinement to Al=0 must restore full precision."""
+    from glamira_batch_processing_spark.operators.jpegcodec import (
+        encode_progressive_jpeg,
+    )
+
+    px = _pattern(24, 24)
+    out = decode_baseline_jpeg(
+        encode_progressive_jpeg(px, dc_al=2, ac_al=2, bands=((1, 2), (3, 63)))
+    )
+    assert np.abs(out.astype(int) - px.astype(int)).max() <= 3
+
+
+def test_progressive_no_successive_approximation():
+    """Spectral-selection-only script (dc_al=0, ac_al=0): no refinement
+    scans at all, many AC bands."""
+    from glamira_batch_processing_spark.operators.jpegcodec import (
+        encode_progressive_jpeg,
+    )
+
+    px = _pattern(19, 13)  # odd dims exercise partial-MCU crop
+    out = decode_baseline_jpeg(
+        encode_progressive_jpeg(
+            px, dc_al=0, ac_al=0, bands=((1, 1), (2, 9), (10, 63))
+        )
+    )
+    assert out.shape == (13, 19, 3)
+    assert np.abs(out.astype(int) - px.astype(int)).max() <= 3
+
+
+def test_progressive_eob_runs_across_blocks():
+    """A constant image has all-zero AC bands in every block, so the AC
+    first scans collapse into multi-block EOB runs (1<<r + extra bits);
+    the decoder must skip exactly that many blocks."""
+    from glamira_batch_processing_spark.operators.jpegcodec import (
+        encode_progressive_jpeg,
+    )
+
+    px = np.full((64, 64, 3), 77, dtype=np.uint8)
+    data = encode_progressive_jpeg(px)
+    out = decode_baseline_jpeg(data)
+    assert np.abs(out.astype(int) - px.astype(int)).max() <= 1
+
+
+def test_multimodal_pixel_path_decodes_progressive():
+    from glamira_batch_processing_spark.operators.jpegcodec import (
+        encode_progressive_jpeg,
+    )
+
+    px = _pattern(16, 16)
+    out = _decode_pixels_real(encode_progressive_jpeg(px))
+    assert np.abs(out.astype(int) - px.astype(int)).max() <= 3
