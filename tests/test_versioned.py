@@ -393,3 +393,68 @@ def test_read_pruned_unknown_stat_column_reads_all(spark, tmp_path):
     # v is a string column with no recorded stats -> conservative full read
     df, info = t.read_pruned(spark, "v", lower="5")
     assert info["files_read"] == info["files_total"]
+
+
+def test_merge_additive_schema_evolution(spark, tmp_path):
+    """Round-6 (VERDICT r5 ask #6): a MERGE batch carrying one NEW
+    column evolves the table additively — old rows read NULL for it,
+    time travel preserves each version's own schema, the manifest
+    records the schema history, and reconcile_read unions the raw
+    version directories across the drift."""
+    t = VersionedTable(tmp_path / "tbl")
+    t.create(spark.createDataFrame([(1, "a"), (2, "b")], "k long, v string"))
+    batch = spark.createDataFrame(
+        [(2, "B", 20), (3, "c", 30)], "k long, v string, score long"
+    )
+    assert t.merge(spark, batch, keys=["k"]) == 1
+    cur = t.read(spark)
+    assert cur.columns == ["k", "v", "score"]
+    got = {(r.k, r.v, r.score) for r in cur.collect()}
+    assert got == {(1, "a", None), (2, "B", 20), (3, "c", 30)}
+    # time travel: version 0 keeps its original 2-column schema
+    assert t.read(spark, version=0).columns == ["k", "v"]
+    # manifest schema history is inspectable without reading data
+    assert t.manifest(0)["schema"] == [["k", "bigint"], ["v", "string"]]
+    assert t.manifest(1)["schema"] == [
+        ["k", "bigint"],
+        ["v", "string"],
+        ["score", "bigint"],
+    ]
+    # reconcile_read handles the union of raw version directories
+    from glamira_batch_processing_spark.sources.readers import reconcile_read
+
+    import glob
+
+    paths = []
+    for v in (0, 1):
+        d = str(tmp_path / "tbl" / t.manifest(v)["data_dir"])
+        paths.extend(glob.glob(f"{d}/part-*.parquet"))
+    union = reconcile_read(spark, paths)
+    assert set(union.columns) == {"k", "v", "score"}
+    assert union.count() == 5  # 2 rows in v0 + 3 in v1
+
+
+def test_merge_source_missing_column_null_fills_inserts(spark, tmp_path):
+    """The reverse drift: a batch LACKING a table column null-fills it
+    (whole-row source-wins semantics, documented)."""
+    t = VersionedTable(tmp_path / "tbl")
+    t.create(
+        spark.createDataFrame([(1, "a", 10)], "k long, v string, score long")
+    )
+    batch = spark.createDataFrame([(1, "A"), (2, "b")], "k long, v string")
+    t.merge(spark, batch, keys=["k"])
+    got = {(r.k, r.v, r.score) for r in t.read(spark).collect()}
+    assert got == {(1, "A", None), (2, "b", None)}
+
+
+def test_merge_type_drift_raises(spark, tmp_path):
+    """A common column whose TYPE drifts must raise, not cast silently."""
+    t = VersionedTable(tmp_path / "tbl")
+    t.create(spark.createDataFrame([(1, 10)], "k long, score long"))
+    drifted = spark.createDataFrame([(2, "20")], "k long, score string")
+    with pytest.raises(ValueError, match="type drift"):
+        t.merge(spark, drifted, keys=["k"])
+    # and a batch missing a merge key is rejected up front
+    nokey = spark.createDataFrame([("x",)], "other string")
+    with pytest.raises(ValueError, match="merge keys"):
+        t.merge(spark, nokey, keys=["k"])
