@@ -74,6 +74,20 @@ MEASURED = [
     "multimodal_pixel_digest",
 ]
 
+# Round-6 (VERDICT r5 ask #3): the five queries flagged perf-weak at
+# sf0.1 (>1 s absolute AND >2x their DuckDB twin). Their DuckDB oracle
+# is ALSO timed at both scales: DuckDB's single-node time grows
+# ~linearly while Spark's per-stage floor amortizes, so the sf1 ratio
+# is the externally checkable version of the "stage-latency floor"
+# argument.
+WEAK_VS_DUCK = [
+    "graph_pagerank_parts",
+    "dedup_cluster_components",
+    "glamira_e2e_revenue_rollup",
+    "ann_pq_adc_topk",
+    "w4_rank_dedupe_merge",
+]
+
 
 def plan_signature(df) -> tuple[tuple[str, int], ...]:
     """Multiset of physical operator names, stripped of ids/paths."""
@@ -162,6 +176,17 @@ def main() -> None:
                 bench.force(builders[sf_label][name]())
                 ts.append(time.perf_counter() - t0)
                 spark.catalog.clearCache()
+            # Error-bar discipline (VERDICT r5 ask #8): a cell whose
+            # spread exceeds half its median is re-measured with extra
+            # reps so the exponent table stays load-bearing.
+            while (
+                statistics.stdev(ts) > statistics.median(ts) / 2
+                and len(ts) < RUNS + 4
+            ):
+                t0 = time.perf_counter()
+                bench.force(builders[sf_label][name]())
+                ts.append(time.perf_counter() - t0)
+                spark.catalog.clearCache()
             row[sf_label] = statistics.median(ts)
             row[f"{sf_label}_stdev"] = statistics.stdev(ts)
         import math
@@ -200,6 +225,37 @@ def main() -> None:
             f"| {row['sf1']:.2f} ±{row['sf1_stdev']:.2f} "
             f"| {row['exponent']:+.2f} | {'yes' if row['plan_same'] else 'NO'} |"
         )
+    # -- weak-query DuckDB twin ratios at both scales ---------------------
+    import duckdb
+
+    osql = contract.oracle_sql()
+    duck_rows = []
+    for sf_label, sf_dir in (("sf0.1", SF01), ("sf1", SF1)):
+        con = duckdb.connect()
+        for t in (
+            "region nation customer supplier part orders lineitem "
+            "events documents embeddings"
+        ).split():
+            p = Path(sf_dir) / f"{t}.parquet"
+            src = f"{p}/*.parquet" if p.is_dir() else str(p)
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{src}'")
+        for name in WEAK_VS_DUCK:
+            ts = []
+            for _ in range(RUNS):
+                t0 = time.perf_counter()
+                con.sql(osql[name]).fetchall()
+                ts.append(time.perf_counter() - t0)
+            results[name][f"duck_{sf_label}"] = statistics.median(ts)
+        con.close()
+    for name in WEAK_VS_DUCK:
+        r = results[name]
+        duck_rows.append(
+            f"| {name} | {r['sf0.1']:.2f} | {r['duck_sf0.1']:.2f} "
+            f"| {r['sf0.1'] / r['duck_sf0.1']:.2f}x "
+            f"| {r['sf1']:.2f} | {r['duck_sf1']:.2f} "
+            f"| {r['sf1'] / r['duck_sf1']:.2f}x |"
+        )
+
     worst = max(results.values(), key=lambda r: r["exponent"])["exponent"]
     lines += [
         "",
@@ -220,6 +276,21 @@ def main() -> None:
         "Generate/Aggregate structure otherwise). The check exists to "
         "catch the opposite: a bounded DIMENSION silently degrading "
         "off its broadcast path — no dim join does.",
+        "",
+        "### Perf-weak queries vs their DuckDB twin at 10x",
+        "",
+        "The five sf0.1 perf-weak queries (>1 s AND >2x DuckDB) re-timed "
+        "against the SAME DuckDB oracle SQL at both scales (median of "
+        f"{RUNS}). Spark's per-stage floor amortizes with data volume "
+        "while DuckDB grows ~linearly, so the sf1 ratio is the "
+        "externally checkable form of the floor argument: a ratio that "
+        "falls toward (or under) 2x at 10x volume confirms the sf0.1 "
+        "flag was a toy-scale artifact, not a scale defect.",
+        "",
+        "| query | spark sf0.1 | duck sf0.1 | ratio sf0.1 "
+        "| spark sf1 | duck sf1 | ratio sf1 |",
+        "|---|---|---|---|---|---|---|",
+        *duck_rows,
         "",
     ]
     # SCALE.md's head is the hand-written 100 TB design argument; this

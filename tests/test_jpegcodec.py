@@ -263,3 +263,23 @@ def test_multimodal_pixel_path_decodes_progressive():
     px = _pattern(16, 16)
     out = _decode_pixels_real(encode_progressive_jpeg(px))
     assert np.abs(out.astype(int) - px.astype(int)).max() <= 3
+
+
+def test_progressive_block_constant_grayscale_bit_exact():
+    """The multimodal_pixel_digest 'jpgp' contract: a grayscale raster
+    constant per 8x8 block round-trips BIT-EXACTLY through progressive
+    encode/decode at quant=1 (single exact integer DC per block, zero
+    AC, float error below the rint threshold) — the property that lets
+    a lossy codec participate in a hash-equality oracle. Verified over
+    the full dimension grid the gated query uses."""
+    from glamira_batch_processing_spark.operators.jpegcodec import (
+        encode_progressive_jpeg,
+    )
+
+    for i in range(0, 640, 40):  # the gated query's doc_id % 10 = 0 grid
+        w, h = 8 + i % 16, 8 + (i * 3) % 16
+        xs, ys = np.arange(w), np.arange(h)
+        v = ((xs[None, :] // 8) * 31 + (ys[:, None] // 8) * 17) % 256
+        rgb = np.stack([v, v, v], axis=-1).astype(np.uint8)
+        out = decode_baseline_jpeg(encode_progressive_jpeg(rgb, quant=1))
+        assert np.array_equal(out, rgb), (i, w, h)
