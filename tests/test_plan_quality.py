@@ -352,3 +352,23 @@ def test_pq_adc_plan_broadcast_only_no_sort_merge(spark):
     assert plan.count("SortMergeJoin") == 0
     assert plan.count("BroadcastNestedLoopJoin") <= 2  # the two x128 cross joins
     assert plan.count("Exchange") - plan.count("BroadcastExchange") <= 7
+
+
+def test_pagerank_fused_loop_join_budget(spark):
+    """Round-6 fusion: the PageRank loop carries only the in-mass table,
+    computing the damped rank inline on the edge join — so a 4-round
+    run plans at most iters joins total (3 in-loop + 1 final node
+    re-attach). The pre-fusion form joined twice per round (edges->
+    ranks AND nodes->contrib re-attach) and would plan ~2x iters."""
+    import re
+
+    df = QUERIES["graph_pagerank_parts"](spark, SF_SMALL)
+    plan = plan_of(df)
+    joins = len(
+        re.findall(r"SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin", plan)
+    )
+    # _PR_ITERS = 4: 3 mass joins + 1 final node attach; allow one
+    # extra for AQE variance but well under the 8 of the two-join form
+    assert joins <= 5, f"fused pagerank should plan <= 5 joins, saw {joins}"
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
