@@ -81,6 +81,11 @@ def main() -> None:
                 "sf_dir": sf,
                 "runs_per_query": runs,
                 "aggregation": "median",
+                # ambient CPU load when the run started/ended: this box
+                # carries variable co-tenant load (round-6 bisect showed
+                # +-20% drift on identical code), so the artifact records
+                # the conditions it was measured under.
+                "loadavg_1m": round(__import__("os").getloadavg()[0], 2),
                 "spark_total_sec": round(total_s, 3),
                 "duckdb_total_sec": round(total_d, 3),
                 "ratio": round(total_s / total_d, 2),
