@@ -792,3 +792,63 @@ def drift_split_lang_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
             / expected
         ).alias("chi2_contribution"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Deterministic corpus shuffle (round 6): the training-order operator.
+# ---------------------------------------------------------------------------
+
+_SHUFFLE_SALT = "shuffle-v1:"
+_SHUFFLE_SHARDS = 8
+_KNUTH = 2654435761  # Knuth multiplicative hash constant (public domain)
+
+
+@query(
+    "corpus_shuffle_deterministic",
+    oracle=f"""
+    WITH keyed AS (
+      SELECT doc_id,
+             md5('{_SHUFFLE_SALT}' || CAST(doc_id AS VARCHAR)) AS shuffle_key,
+             (doc_id * {_KNUTH}) % {_SHUFFLE_SHARDS} AS shard
+      FROM documents
+    )
+    SELECT doc_id, shuffle_key, CAST(shard AS INTEGER) AS shard,
+           CAST(row_number() OVER (
+             PARTITION BY shard ORDER BY shuffle_key, doc_id
+           ) AS BIGINT) AS pos_in_shard
+    FROM keyed
+    """,
+)
+def corpus_shuffle_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic global corpus shuffle — the training-order export
+    every pretraining pipeline runs: each document gets a reproducible
+    pseudo-random position, so a rerun (or a resumed job) emits the
+    IDENTICAL order, and the order is independent of input partitioning
+    and cluster size.
+
+    Spark-first scale shape: a naive global ``row_number() ORDER BY
+    random_key`` would serialize the whole corpus through ONE window
+    partition. Instead the shuffle is sharded the way production
+    pipelines shard it: a multiplicative-hash shard assignment (stateless,
+    scan-fused) then a per-shard position window — #shards parallel
+    sorts, one exchange, no global bottleneck. The training order is
+    (shard, pos_in_shard) lexicographic; both columns derive from pure
+    integer/md5 arithmetic, so the DuckDB twin is bit-exact.
+    """
+    d = table(spark, sf_dir, "documents").select("doc_id")
+    keyed = d.select(
+        "doc_id",
+        F.md5(
+            F.concat(F.lit(_SHUFFLE_SALT), F.col("doc_id").cast("string"))
+        ).alias("shuffle_key"),
+        ((F.col("doc_id") * F.lit(_KNUTH)) % _SHUFFLE_SHARDS)
+        .cast("int")
+        .alias("shard"),
+    )
+    w = Window.partitionBy("shard").orderBy("shuffle_key", "doc_id")
+    return keyed.select(
+        "doc_id",
+        "shuffle_key",
+        "shard",
+        F.row_number().over(w).cast("long").alias("pos_in_shard"),
+    )

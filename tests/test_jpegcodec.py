@@ -283,3 +283,23 @@ def test_progressive_block_constant_grayscale_bit_exact():
         rgb = np.stack([v, v, v], axis=-1).astype(np.uint8)
         out = decode_baseline_jpeg(encode_progressive_jpeg(rgb, quant=1))
         assert np.array_equal(out, rgb), (i, w, h)
+
+
+def test_progressive_truncation_fuzz_never_garbage():
+    """Every byte-truncation of a progressive stream must either decode
+    to a full-size raster (progressive truncation legitimately yields a
+    partially-refined image — that's the format's design) or raise a
+    clean ValueError/NotImplementedError. Never a crash, hang, or
+    wrong-shape result."""
+    from glamira_batch_processing_spark.operators.jpegcodec import (
+        encode_progressive_jpeg,
+    )
+
+    px = _pattern(16, 16)
+    data = encode_progressive_jpeg(px)
+    for cut in range(2, len(data), 7):
+        try:
+            out = decode_baseline_jpeg(data[:cut])
+        except (ValueError, NotImplementedError):
+            continue
+        assert out.shape == (16, 16, 3), cut
