@@ -1173,3 +1173,165 @@ def ann_ivf_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= _TIVF_TOPK)
         .select("query_id", "centroid_id", "neighbor_id", "rank", "cosine_sim")
     )
+
+
+# ---------------------------------------------------------------------------
+# Hybrid retrieval: reciprocal rank fusion of lexical + dense lists
+# (round 6). RRF (Cormack/Clarke/Buettcher 2009) is the standard way
+# production search stacks combine BM25 with embedding retrieval.
+# ---------------------------------------------------------------------------
+
+_RRF_K = 60
+_RRF_LIST = 30   # depth of each input list
+_RRF_TOPK = 20
+# One shared, fully parenthesised expression string evaluated verbatim
+# by BOTH engines: two exact divisions + one fixed-order add, so the
+# fused double is cross-engine bit-exact.
+_RRF_EXPR = (
+    f"(COALESCE(1.0 / ({_RRF_K}.0 + CAST(lex_rank AS DOUBLE)), 0.0)"
+    f" + COALESCE(1.0 / ({_RRF_K}.0 + CAST(dense_rank AS DOUBLE)), 0.0))"
+)
+
+
+@query(
+    "search_hybrid_rrf",
+    oracle=f"""
+    WITH tf AS (
+      SELECT doc_id,
+             len(str_split(lower(text), ' ')) AS dl,
+             {", ".join(
+                 f"len(list_filter(str_split(lower(text), ' '),"
+                 f" w -> w = '{t}')) AS tf{i}"
+                 for i, t in enumerate(_BM25_TERMS)
+             )}
+      FROM documents
+    ),
+    stats AS (
+      SELECT COUNT(*) AS n_docs, SUM(dl) AS sum_dl,
+             {", ".join(
+                 f"SUM(CASE WHEN tf{i} > 0 THEN 1 ELSE 0 END) AS df{i}"
+                 for i in range(len(_BM25_TERMS))
+             )}
+      FROM tf
+    ),
+    lex_top AS (
+      SELECT doc_id, {_BM25_SCORE_SQL} AS bm25
+      FROM tf CROSS JOIN stats
+      ORDER BY bm25 DESC, doc_id LIMIT {_RRF_LIST}
+    ),
+    lex AS (
+      SELECT doc_id,
+             row_number() OVER (ORDER BY bm25 DESC, doc_id) AS lex_rank
+      FROM lex_top
+    ),
+    normed AS (
+      SELECT vec_id, embedding,
+             sqrt({sql_dot("embedding", "embedding")}) AS nrm
+      FROM embeddings
+    ),
+    qv AS (SELECT embedding AS qe, nrm AS qn FROM normed WHERE vec_id = 0),
+    dense_top AS (
+      SELECT c.vec_id AS doc_id,
+             {sql_dot("qv.qe", "c.embedding")} / (qv.qn * c.nrm) AS sim
+      FROM normed c CROSS JOIN qv
+      WHERE c.vec_id != 0
+      ORDER BY sim DESC, doc_id LIMIT {_RRF_LIST}
+    ),
+    dense AS (
+      SELECT doc_id,
+             row_number() OVER (ORDER BY sim DESC, doc_id) AS dense_rank
+      FROM dense_top
+    ),
+    fused AS (
+      SELECT COALESCE(l.doc_id, d.doc_id) AS doc_id,
+             l.lex_rank, d.dense_rank,
+             {_RRF_EXPR} AS rrf_score
+      FROM lex l FULL OUTER JOIN dense d ON l.doc_id = d.doc_id
+    )
+    SELECT doc_id,
+           CAST(lex_rank AS BIGINT) AS lex_rank,
+           CAST(dense_rank AS BIGINT) AS dense_rank,
+           rrf_score
+    FROM fused
+    ORDER BY rrf_score DESC, doc_id LIMIT {_RRF_TOPK}
+    """,
+)
+def search_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid first-stage retrieval: fuse the BM25 lexical top-30 with
+    a dense cosine top-30 (query = embedding 0) by reciprocal rank
+    fusion, score(d) = sum over lists of 1/(60 + rank_list(d)) — the
+    Cormack et al. 2009 formulation production search engines use to
+    combine keyword and embedding retrieval without score calibration.
+
+    Scale shape: each input list is produced by its own scale-correct
+    top-k (BM25: scan-fused tf folds + 1-row broadcast stats +
+    TakeOrderedAndProject; dense: broadcast query + per-partition heap
+    top-k). The rank windows and the full-outer fusion join then run
+    over two k-row lists — bounded, driver-light, independent of
+    corpus size. RRF doubles are cross-engine bit-exact: integer ranks
+    through one shared parenthesised expression string.
+    """
+    from pyspark.sql import Window
+    from ..operators.similarity import dot, norm
+
+    words = F.split(F.lower(F.col("text")), " ")
+
+    def _tf(term: str):
+        return F.size(F.filter(words, lambda w: w == F.lit(term)))
+
+    tf = table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.size(words).alias("dl"),
+        *[_tf(t).alias(f"tf{i}") for i, t in enumerate(_BM25_TERMS)],
+    )
+    stats = tf.agg(
+        F.count("*").alias("n_docs"),
+        F.sum("dl").alias("sum_dl"),
+        *[
+            F.sum(F.when(F.col(f"tf{i}") > 0, 1).otherwise(0)).alias(f"df{i}")
+            for i in range(len(_BM25_TERMS))
+        ],
+    )
+    lex_top = (
+        tf.crossJoin(F.broadcast(stats))
+        .withColumn("bm25", F.expr(_BM25_SCORE_SQL))
+        .select("doc_id", "bm25")
+        .orderBy(F.desc("bm25"), "doc_id")
+        .limit(_RRF_LIST)
+    )
+    w_lex = Window.orderBy(F.desc("bm25"), "doc_id")
+    lex = lex_top.select(
+        "doc_id", F.row_number().over(w_lex).alias("lex_rank")
+    )
+
+    e = table(spark, sf_dir, "embeddings")
+    normed = e.withColumn("nrm", norm(F.col("embedding")))
+    qv = normed.filter(F.col("vec_id") == 0).select(
+        F.col("embedding").alias("qe"), F.col("nrm").alias("qn")
+    )
+    dense_top = (
+        normed.filter(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(qv))
+        .select(
+            F.col("vec_id").alias("doc_id"),
+            (dot(F.col("qe"), F.col("embedding")) / (F.col("qn") * F.col("nrm"))).alias("sim"),
+        )
+        .orderBy(F.desc("sim"), "doc_id")
+        .limit(_RRF_LIST)
+    )
+    w_dense = Window.orderBy(F.desc("sim"), "doc_id")
+    dense = dense_top.select(
+        "doc_id", F.row_number().over(w_dense).alias("dense_rank")
+    )
+
+    fused = (
+        lex.join(dense, "doc_id", "full_outer")
+        .withColumn("rrf_score", F.expr(_RRF_EXPR))
+        .select(
+            "doc_id",
+            F.col("lex_rank").cast("bigint").alias("lex_rank"),
+            F.col("dense_rank").cast("bigint").alias("dense_rank"),
+            "rrf_score",
+        )
+    )
+    return fused.orderBy(F.desc("rrf_score"), "doc_id").limit(_RRF_TOPK)
