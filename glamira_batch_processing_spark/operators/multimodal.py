@@ -12,7 +12,8 @@ environment, so everything here is pure stdlib):
   for WAV via the stdlib ``wave`` module;
 - pixel rasterization (``_decode_pixels_real``) is REAL for all four
   containers: BMP (24bpp raw), PNG (8-bit RGB: zlib inflate + all
-  five scanline unfilters), GIF (full LZW: variable-width codes,
+  five scanline unfilters + Adam7 interlace), GIF (full LZW:
+  variable-width codes,
   KwKwK rule, interlace, local/global palettes, offset frames
   composited onto the logical screen) and JPEG — baseline SOF0 and
   progressive SOF2 (``jpegcodec.py``: Huffman + IDCT + chroma
@@ -300,6 +301,17 @@ def _gif_lzw_decode(min_code_size: int, data: bytes, expected: int) -> list[int]
 # GIF interlace passes: (row offset, row step) in order.
 _GIF_INTERLACE = ((0, 8), (4, 8), (2, 4), (1, 2))
 
+# PNG Adam7 interlace passes: (x_start, x_step, y_start, y_step).
+_PNG_ADAM7 = (
+    (0, 8, 0, 8),
+    (4, 8, 0, 8),
+    (0, 4, 4, 8),
+    (2, 4, 0, 4),
+    (0, 2, 2, 4),
+    (1, 2, 0, 2),
+    (0, 1, 1, 2),
+)
+
 
 def _decode_pixels_real(payload: bytes):
     """Pixel-level rasterization: (h, w, 3) uint8 RGB ndarray.
@@ -343,6 +355,9 @@ def _decode_pixels_real(payload: bytes):
             raise NotImplementedError(
                 f"png: only 8-bit RGB (got depth={bit_depth}, color={color_type})"
             )
+        interlace = payload[28]
+        if interlace not in (0, 1):
+            raise ValueError(f"png: bad interlace method {interlace}")
         idat = b""
         pos = 8
         while pos + 8 <= len(payload):
@@ -353,7 +368,28 @@ def _decode_pixels_real(payload: bytes):
             if tag == b"IEND":
                 break
             pos += 12 + length
-        return _png_unfilter(zlib.decompress(idat), w, h)
+        raw = zlib.decompress(idat)
+        if interlace == 0:
+            return _png_unfilter(raw, w, h)
+        # Adam7 (round 6): each pass is an independently-filtered
+        # sub-image; unfilter it with the existing scanline engine and
+        # scatter its pixels onto the (y, x) grid. Previously the
+        # interlace byte was IGNORED and an interlaced PNG silently
+        # unfiltered with wrong geometry into garbage pixels.
+        out = np.zeros((h, w, 3), dtype=np.uint8)
+        off = 0
+        for x0, dx, y0, dy in _PNG_ADAM7:
+            pw = (w - x0 + dx - 1) // dx
+            ph = (h - y0 + dy - 1) // dy
+            if pw <= 0 or ph <= 0:
+                continue
+            n = ph * (1 + pw * 3)
+            sub = _png_unfilter(raw[off : off + n], pw, ph)
+            off += n
+            out[y0::dy, x0::dx] = sub
+        if off != len(raw):
+            raise ValueError("png: interlaced stream length mismatch")
+        return out
     if payload[:6] in (b"GIF87a", b"GIF89a"):
         packed = payload[10]
         pos = 13
