@@ -34,6 +34,37 @@ def write_partitioned(
     out.write.mode(mode).partitionBy(partition_col).parquet(path)
 
 
+def backfill_partitions(
+    df: DataFrame,
+    path: str,
+    partition_col: str = "date",
+    cluster_cols: list[str] | None = None,
+) -> None:
+    """Replace ONLY the partitions present in ``df`` (round 6).
+
+    The warehouse backfill primitive: re-running one day must rewrite
+    that day's partition and leave every other day untouched — a plain
+    ``mode=overwrite`` + ``partitionBy`` truncates the WHOLE table
+    first. Implemented with Spark's dynamic partition-overwrite mode
+    (the INSERT OVERWRITE ... PARTITION semantics), set per-write via
+    the ``partitionOverwriteMode`` option so the session default stays
+    untouched for concurrent static writers.
+
+    At scale this is the idempotent re-run story for date-partitioned
+    facts: the reprocessed slice shuffles on its partition values only,
+    and untouched partitions are never read or rewritten.
+    """
+    out = df
+    if cluster_cols:
+        out = out.repartition(F.col(partition_col)).sortWithinPartitions(*cluster_cols)
+    (
+        out.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy(partition_col)
+        .parquet(path)
+    )
+
+
 def zorder_key(
     df: DataFrame, cols: list[str], bits: int = 16
 ) -> tuple[DataFrame, F.Column]:

@@ -132,3 +132,45 @@ def test_write_with_bloom_behavioral(spark, tmp_path):
     assert sorted(r.id for r in a.filter(probe).collect()) == sorted(
         r.id for r in b.filter(probe).collect()
     )
+
+
+def test_backfill_partitions_replaces_only_touched_days(spark, tmp_path):
+    """Round 6: dynamic partition overwrite — re-running one day must
+    replace that day's partition and leave every other day byte-level
+    untouched (plain overwrite+partitionBy truncates the whole table)."""
+    import os
+
+    from glamira_batch_processing_spark.sources.writers import (
+        backfill_partitions,
+        write_partitioned,
+    )
+
+    path = str(tmp_path / "fact")
+    base = spark.createDataFrame(
+        [("2024-01-01", 1, 10.0), ("2024-01-02", 2, 20.0), ("2024-01-03", 3, 30.0)],
+        "date string, k long, v double",
+    )
+    write_partitioned(base, path, partition_col="date")
+    d1_files = set(os.listdir(f"{path}/date=2024-01-01"))
+    d3_files = set(os.listdir(f"{path}/date=2024-01-03"))
+
+    # backfill ONLY day 2 with corrected rows
+    fix = spark.createDataFrame(
+        [("2024-01-02", 2, 99.0), ("2024-01-02", 4, 40.0)],
+        "date string, k long, v double",
+    )
+    backfill_partitions(fix, path, partition_col="date")
+
+    got = {
+        (str(r.date), r.k, r.v)  # partition col reads back as DATE
+        for r in spark.read.parquet(path).collect()
+    }
+    assert got == {
+        ("2024-01-01", 1, 10.0),
+        ("2024-01-02", 2, 99.0),
+        ("2024-01-02", 4, 40.0),
+        ("2024-01-03", 3, 30.0),
+    }
+    # untouched partitions keep their exact files (no rewrite)
+    assert set(os.listdir(f"{path}/date=2024-01-01")) == d1_files
+    assert set(os.listdir(f"{path}/date=2024-01-03")) == d3_files
