@@ -750,3 +750,73 @@ def q18_large_volume_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("o_totalprice"), "o_orderkey")
         .limit(100)
     )
+
+
+@query(
+    "q9_product_profit",
+    oracle="""
+    SELECT n.n_name AS nation,
+           CAST(strftime(o.o_orderdate, '%Y') AS BIGINT) AS o_year,
+           CAST(SUM(
+             CAST(floor(l.l_extendedprice*100 + 0.5) AS BIGINT)
+               * (100 - CAST(floor(l.l_discount*100 + 0.5) AS BIGINT))
+             - CAST(l.l_quantity AS BIGINT)
+               * CAST(floor(p.p_retailprice*100 + 0.5) AS BIGINT) * 60
+           ) AS DOUBLE) / 10000 AS profit
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    JOIN nation n ON n.n_nationkey = s.s_nationkey
+    JOIN orders o ON o.o_orderkey = l.l_orderkey
+    WHERE p.p_name LIKE '%red%'
+    GROUP BY n.n_name, o_year
+    ORDER BY nation, o_year DESC
+    """,
+)
+def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape (product-type profit by nation and year), adapted
+    to this schema: no partsupp table exists, so supply cost is modeled
+    as 60% of the part's retail price — the join topology and
+    aggregation grain (supplier-nation x order-year over a
+    name-filtered part subset) are Q9's.
+
+    Scale shape: the ONLY big-big join is lineitem x orders on the
+    order key (sort-merge at scale); part (pre-filtered by the LIKE
+    predicate, pushed to its scan), supplier and nation broadcast, so
+    the fact shuffles exactly once before the small groupBy. All money
+    math is exact integer units (cents x percent), summed as
+    decimal(38,0) — cross-engine bit-exact.
+    """
+    p = table(spark, sf_dir, "part").filter(F.col("p_name").like("%red%")).select(
+        "p_partkey", "p_retailprice"
+    )
+    s = table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n = table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    o = table(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    l = table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_suppkey",
+        "l_extendedprice", "l_discount", "l_quantity",
+    )
+    price_c = cents(F.col("l_extendedprice"))
+    disc_c = cents(F.col("l_discount"))
+    cost_c = cents(F.col("p_retailprice"))
+    profit_units = price_c * (100 - disc_c) - F.col(
+        "l_quantity"
+    ).cast("long") * cost_c * 60
+    return (
+        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(o, l.l_orderkey == o.o_orderkey)
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year(F.to_date("o_orderdate")).cast("bigint").alias("o_year"),
+        )
+        .agg(F.sum(_dec38(profit_units)).alias("profit_units"))
+        .select(
+            "nation",
+            "o_year",
+            (F.col("profit_units").cast("double") / 10000).alias("profit"),
+        )
+        .orderBy("nation", F.desc("o_year"))
+    )

@@ -51,6 +51,7 @@ GATE_FAMILIES: dict[str, tuple[str, ...]] = {
         "q5_local_supplier_volume",
         "q10_returned_items",
         "q18_large_volume_customer",
+        "q9_product_profit",
     ),
     "agg_join_back": ("j6_agg_join_back",),
     "semi_anti_orphan": ("j9_orphan_rate_audit", "j13_semi_anti_join"),
