@@ -35,6 +35,20 @@ def check_accepted_values(df: DataFrame, col: str, values: list) -> int:
     return df.filter(~F.col(col).isin(values) & F.col(col).isNotNull()).count()
 
 
+def check_relationships(
+    child: DataFrame, col: str, parent: DataFrame, parent_col: str
+) -> int:
+    """dbt ``relationships`` test: count child rows whose FK value has
+    no matching parent row (NULL FKs pass, as in dbt). One left-anti
+    join — broadcast when the parent is a dim, shuffle otherwise."""
+    orphans = child.filter(F.col(col).isNotNull()).join(
+        parent.select(F.col(parent_col).alias(col)).distinct(),
+        col,
+        "left_anti",
+    )
+    return orphans.count()
+
+
 def run_schema_tests(tests: list[tuple[str, int]]) -> list[str]:
     """Collect failures: tests is a list of (name, violation_count)."""
     return [f"{name}: {n} violations" for name, n in tests if n != 0]

@@ -429,3 +429,17 @@ def test_manifest_records_observed_dag(glamira):
             assert d in man["models"], (m, d)
     path = p.write_manifest()
     assert json.loads(open(path).read())["models"]
+
+
+def test_check_relationships_fk_integrity(spark):
+    """dbt 'relationships' test analog: orphaned FK rows counted,
+    NULL FKs pass (dbt semantics)."""
+    from glamira_batch_processing_spark.plans.checks import check_relationships
+
+    parent = spark.createDataFrame([(1,), (2,)], "id long")
+    child = spark.createDataFrame(
+        [(10, 1), (11, 2), (12, 3), (13, None)], "ck long, fk long"
+    )
+    assert check_relationships(child, "fk", parent, "id") == 1
+    ok = spark.createDataFrame([(10, 1), (13, None)], "ck long, fk long")
+    assert check_relationships(ok, "fk", parent, "id") == 0
