@@ -97,7 +97,9 @@ from glamira_batch_processing_spark.plans.registry import ORACLE, QUERIES
 # url_canonicalize_dedup, quality_bigram_familiarity, quality_gopher_filter,
 # ann_recall_eval/_multiprobe, ann_ivf_trained, mix_resample_sources,
 # gapfill_forward_fill, stats_correlation, multimodal_audio_resample,
-# sessionize_builtin_window, interval_join_attribution.
+# sessionize_builtin_window, interval_join_attribution, plus the round-6
+# additions: q9_product_profit, q18_large_volume_customer,
+# search_hybrid_rrf, corpus_shuffle_deterministic.
 _PRIORITY: list[str] = [
     # Flagships: whole-warehouse DAG (staging -> SCD -> marts -> rollup)
     # and whole-training-data pipeline (quality -> dedup+components ->

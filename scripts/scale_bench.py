@@ -72,6 +72,11 @@ MEASURED = [
     "q5_local_supplier_volume",
     "q10_returned_items",
     "multimodal_pixel_digest",
+    # round-6 additions
+    "q9_product_profit",
+    "q18_large_volume_customer",
+    "search_hybrid_rrf",
+    "corpus_shuffle_deterministic",
 ]
 
 # Round-6 (VERDICT r5 ask #3): the five queries flagged perf-weak at
