@@ -161,9 +161,9 @@ def test_priority_order_covers_gate_window():
         if not set(reps) & set(prio)
     }
     assert not uncovered, f"families with no gate-window representative: {uncovered}"
-    # Round-4 rotation: the 11 queries that had never had a driver row
-    # (VERDICT.md r3 ask #1) must stay in-window until they hold a green
-    # CORRECTNESS_r04 row.
+    # The 11 round-4 rotations hold exactly ONE green external round
+    # (r5 — round 4 produced no artifacts), so they stay in-window
+    # until a second green row lands (rotation policy: >=2 greens).
     for required in (
         "stats_column_profile",
         "stats_histogram",
