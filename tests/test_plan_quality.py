@@ -372,3 +372,38 @@ def test_pagerank_fused_loop_join_budget(spark):
     assert joins <= 5, f"fused pagerank should plan <= 5 joins, saw {joins}"
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_q18_semi_join_and_take_ordered(spark):
+    """Q18: the HAVING survivor set reaches the fact as a LEFT SEMI
+    join (fact filtered before the wide joins) and the top-100 is
+    TakeOrderedAndProject, never a global sort."""
+    plan = plan_of(QUERIES["q18_large_volume_customer"](spark, SF_SMALL))
+    assert "LeftSemi" in plan
+    assert "TakeOrderedAndProject" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_q9_dims_broadcast_no_cartesian(spark):
+    """Q9: part (LIKE-filtered), supplier and nation all broadcast —
+    the fact shuffles at most once (the orders join; broadcast at toy
+    scale, sort-merge at scale by design)."""
+    import re
+
+    plan = plan_of(QUERIES["q9_product_profit"](spark, SF_SMALL))
+    assert len(re.findall(r"BroadcastHashJoin", plan)) >= 3
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_hybrid_rrf_bounded_lists(spark):
+    """Hybrid RRF: both input lists are produced by TakeOrdered top-k
+    (never a global sort over the corpus); the only nested-loop joins
+    are the two 1-row broadcast stats/query attaches; the fusion join
+    runs over two k-row lists."""
+    import re
+
+    plan = plan_of(QUERIES["search_hybrid_rrf"](spark, SF_SMALL))
+    assert len(re.findall(r"TakeOrderedAndProject", plan)) >= 2
+    assert len(re.findall(r"BroadcastNestedLoopJoin", plan)) <= 2
+    assert "CartesianProduct" not in plan
