@@ -143,3 +143,46 @@ def test_interval_join_runs_as_stream(spark, tmp_path):
     rows = spark.read.parquet(out_dir).collect()
     # the in-window view joins; the watermark may hold back nothing else
     assert [r["matched"] for r in rows] == ["view-within"]
+
+
+def test_streaming_merge_versioned_schema_evolution_on_restart(spark, tmp_path):
+    """Round 6: a stream restarted with a WIDER schema (the standard
+    Structured Streaming evolution path — schemas are fixed per run)
+    merges additively into the existing VersionedTable: old rows read
+    NULL for the new column, pre-evolution snapshots stay intact, and
+    the checkpoint still skips already-processed files so old batches
+    are not re-read under the new schema."""
+    from pyspark.sql.types import DoubleType
+
+    from glamira_batch_processing_spark.sources.versioned import VersionedTable
+
+    src = str(tmp_path / "src")
+    tbl = str(tmp_path / "tbl")
+    ckpt = str(tmp_path / "ckpt")
+
+    _write(spark, src, [(1, 1, "a1"), (2, 1, "b1")])
+    streaming_merge_versioned(spark, src, tbl, ckpt, SCHEMA, ["k"], "version")
+    t = VersionedTable(tbl)
+    v0 = t.latest_version()
+
+    wide = StructType(
+        [*SCHEMA.fields, StructField("score", DoubleType())]
+    )
+    spark.createDataFrame(
+        [(1, 7, "a7", 0.9), (3, 1, "c1", 0.5)], wide
+    ).coalesce(1).write.mode("append").parquet(src)
+    # restart with the evolved schema, SAME checkpoint
+    streaming_merge_versioned(spark, src, tbl, ckpt, wide, ["k"], "version")
+
+    got = {
+        r["k"]: (r["version"], r["payload"], r["score"])
+        for r in t.read(spark).collect()
+    }
+    assert got == {
+        1: (7, "a7", 0.9),
+        2: (1, "b1", None),  # pre-evolution row null-fills the new col
+        3: (1, "c1", 0.5),
+    }
+    # pre-evolution snapshot keeps its original 3-column schema
+    assert t.read(spark, version=v0).columns == ["k", "version", "payload"]
+    assert t.manifest(t.latest_version())["schema"][-1] == ["score", "double"]
