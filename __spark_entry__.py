@@ -36,6 +36,7 @@ from glamira_batch_processing_spark.plans import (  # noqa: F401
     session_queries,
     text_stats_queries,
     timeseries_queries,
+    tpch_queries,
     window_frame_queries,
     window_queries,
 )
@@ -99,7 +100,9 @@ from glamira_batch_processing_spark.plans.registry import ORACLE, QUERIES
 # gapfill_forward_fill, stats_correlation, multimodal_audio_resample,
 # sessionize_builtin_window, interval_join_attribution, plus the round-6
 # additions: q9_product_profit, q18_large_volume_customer,
-# search_hybrid_rrf, corpus_shuffle_deterministic.
+# search_hybrid_rrf, corpus_shuffle_deterministic, the ten TPC-H
+# shapes in plans/tpch_queries.py (q4/q6/q7/q8/q13/q14/q15/q17/q19/
+# q22), and dedup_semdedup_prune (cluster-scoped semantic dedup).
 _PRIORITY: list[str] = [
     # Flagships: whole-warehouse DAG (staging -> SCD -> marts -> rollup)
     # and whole-training-data pipeline (quality -> dedup+components ->

@@ -1143,3 +1143,95 @@ def multimodal_pixel_digest(spark: SparkSession, sf_dir: str) -> DataFrame:
         gen,
         "doc_id long, format string, width int, height int, pixel_digest string",
     )
+
+
+# ---------------------------------------------------------------------------
+# SemDeDup: cluster-scoped semantic deduplication (Abbas et al. 2023,
+# "SemDeDup: Data-efficient learning at web-scale through semantic
+# deduplication" — public research). Cluster the embedding space, then
+# search for near-duplicates ONLY within each cluster: pairwise cost
+# drops from O(N^2) to O(sum |cluster|^2), the property that makes
+# embedding dedup feasible at 100 TB (k scales with sqrt(N), cluster
+# populations stay bounded).
+# ---------------------------------------------------------------------------
+_SEMDEDUP_DISTS, _SEMDEDUP_ASSIGN = sql_lloyd_assign_parts(_KMEANS_CENTS)
+
+
+@query(
+    "dedup_semdedup_prune",
+    oracle=f"""
+    WITH {vec_corpus_cte(bound=400)},
+    assigned AS (
+      SELECT vec_id, embedding, {_SEMDEDUP_ASSIGN} AS cluster_id
+      FROM (
+        SELECT vec_id, embedding,
+        {_SEMDEDUP_DISTS}
+        FROM vecs)
+    ),
+    normed AS (
+      SELECT vec_id, embedding, cluster_id,
+             sqrt({sql_dot("embedding", "embedding")}) AS nrm
+      FROM assigned
+    ),
+    pruned AS (
+      SELECT DISTINCT b.vec_id
+      FROM normed a JOIN normed b
+        ON a.cluster_id = b.cluster_id AND a.vec_id < b.vec_id
+      WHERE {sql_dot("a.embedding", "b.embedding")} / (a.nrm * b.nrm) >= 0.35
+    )
+    SELECT n.vec_id, n.cluster_id,
+           (p.vec_id IS NOT NULL) AS is_pruned
+    FROM normed n LEFT JOIN pruned p ON p.vec_id = n.vec_id
+    """,
+)
+def dedup_semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup over the synthetic corpus (which plants exact dups at
+    vec_id+10000): assign every vector to its nearest of 8 literal
+    centroids (the shared md5-seeded quantizer), then mark a vector
+    pruned when a lower-id co-cluster member sits above cosine 0.35 —
+    the min-id survivor policy, engine-exact via ordered double folds.
+
+    Scale shape: assignment is a pure Column expression over the scan
+    (zero shuffle, centroids are literals); the pairwise search is an
+    equi-self-join ON cluster_id — never all-pairs — and the survivor
+    marking is one distinct + left join. At production scale the
+    cluster count grows with sqrt(N) so per-cluster populations (and
+    the only quadratic term) stay bounded; the Spark plan is the
+    paper's exact algorithm with the k-means replaced by the same
+    deterministic quantizer the kmeans/purity queries already prove."""
+    vecs = vec_corpus(spark, sf_dir, bound=400)
+    assigned = vecs.withColumn(
+        "cluster_id", lloyd_assign(F.col("embedding"), _KMEANS_CENTS)
+    ).withColumn("nrm", norm(F.col("embedding")))
+    a = assigned.select(
+        F.col("cluster_id").alias("a_cluster"),
+        F.col("vec_id").alias("a_id"),
+        F.col("embedding").alias("a_vec"),
+        F.col("nrm").alias("a_nrm"),
+    )
+    b = assigned.select(
+        F.col("cluster_id").alias("b_cluster"),
+        F.col("vec_id").alias("b_id"),
+        F.col("embedding").alias("b_vec"),
+        F.col("nrm").alias("b_nrm"),
+    )
+    sim = dot(F.col("a_vec"), F.col("b_vec")) / (F.col("a_nrm") * F.col("b_nrm"))
+    pruned = (
+        a.join(
+            b,
+            (F.col("a_cluster") == F.col("b_cluster"))
+            & (F.col("a_id") < F.col("b_id")),
+        )
+        .filter(sim >= 0.35)
+        .select(F.col("b_id").alias("vec_id"))
+        .distinct()
+        .withColumn("hit", F.lit(1))
+    )
+    return (
+        assigned.join(pruned, "vec_id", "left")
+        .select(
+            "vec_id",
+            "cluster_id",
+            F.col("hit").isNotNull().alias("is_pruned"),
+        )
+    )

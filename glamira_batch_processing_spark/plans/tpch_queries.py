@@ -1,0 +1,569 @@
+"""TPC-H decision-support shapes beyond the reference's dbt models.
+
+The reference's warehouse layer is BigQuery SQL over a star schema
+(`Modelling/dbt_bigquery_glamira/models/marts/*.sql`); these queries
+exercise the same relational machinery — semi/anti joins with
+correlated predicates, scalar subqueries, disjunctive pushdown,
+conditional shares — on the driver's TPC-H-ish tables, adapted to the
+trimmed schema (no partsupp/commitdate/receiptdate/phone columns).
+
+House rules (see registry docstring): money math in exact integer
+cents so Spark and the DuckDB oracle agree bit-for-bit; doubles only
+appear after all aggregation, via identical operation order on both
+sides.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .core_queries import _dec38, cents
+from .registry import query, table
+
+# Exact revenue units: cents(price) * (100 - cents(discount)); divide
+# by 10000 only at the very end, after the decimal(38,0) sum.
+_REV_SQL = (
+    "CAST(floor(l.l_extendedprice*100 + 0.5) AS BIGINT)"
+    " * (100 - CAST(floor(l.l_discount*100 + 0.5) AS BIGINT))"
+)
+
+
+def _rev_units() -> F.Column:
+    return cents(F.col("l_extendedprice")) * (100 - cents(F.col("l_discount")))
+
+
+@query(
+    "q4_order_priority",
+    oracle="""
+    SELECT o.o_orderpriority, count(*) AS order_count
+    FROM orders o
+    WHERE CAST(o.o_orderdate AS DATE) >= DATE '1997-01-01'
+      AND CAST(o.o_orderdate AS DATE) < DATE '1997-04-01'
+      AND EXISTS (
+        SELECT 1 FROM lineitem l
+        WHERE l.l_orderkey = o.o_orderkey
+          AND CAST(l.l_shipdate AS DATE)
+              > CAST(o.o_orderdate AS DATE) + 60)
+    GROUP BY o.o_orderpriority
+    ORDER BY o.o_orderpriority
+    """,
+)
+def q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape (order-priority checking), adapted: the schema
+    has no commit/receipt dates, so "late" means a line item shipped
+    more than 60 days after the order date.
+
+    Scale shape: the EXISTS decorrelates to a LEFT SEMI join on the
+    order key with the lateness inequality riding the join condition —
+    lineitem is projected to two columns before the shuffle, the
+    quarter filter pushes into the orders scan, and the final
+    aggregate is five groups. No duplicate-inflating inner join, no
+    distinct."""
+    o = table(spark, sf_dir, "orders").filter(
+        (F.to_date("o_orderdate") >= F.lit("1997-01-01").cast("date"))
+        & (F.to_date("o_orderdate") < F.lit("1997-04-01").cast("date"))
+    ).select("o_orderkey", "o_orderdate", "o_orderpriority")
+    l = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    return (
+        o.join(
+            l,
+            (o.o_orderkey == l.l_orderkey)
+            & (F.to_date(l.l_shipdate) > F.date_add(F.to_date(o.o_orderdate), 60)),
+            "left_semi",
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
+@query(
+    "q6_forecast_revenue",
+    oracle="""
+    SELECT CAST(SUM(CAST(floor(l.l_extendedprice*100 + 0.5) AS BIGINT)
+                    * CAST(floor(l.l_discount*100 + 0.5) AS BIGINT))
+               AS DOUBLE) / 10000 AS revenue
+    FROM lineitem l
+    WHERE CAST(l.l_shipdate AS DATE) >= DATE '1997-01-01'
+      AND CAST(l.l_shipdate AS DATE) < DATE '1998-01-01'
+      AND CAST(floor(l.l_discount*100 + 0.5) AS BIGINT) BETWEEN 5 AND 7
+      AND l.l_quantity < 24
+    """,
+)
+def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 (forecasting-revenue change): the pure scan-aggregate —
+    revenue given up if discounts in a band had been eliminated.
+    Q6's revenue is price * discount (not price * (1-disc)).
+
+    Scale shape: zero joins, zero wide shuffles — the year and
+    quantity predicates push into the parquet scan (row-group pruning
+    off min/max stats), the discount band is an exact integer-cents
+    test, and the sum is map-side partials into a 1-row final. This is
+    the query whose whole cost is scan throughput; at 100 TB it is
+    I/O-bound and embarrassingly parallel."""
+    l = table(spark, sf_dir, "lineitem")
+    units = cents(F.col("l_extendedprice")) * cents(F.col("l_discount"))
+    return (
+        l.filter(
+            (F.to_date("l_shipdate") >= F.lit("1997-01-01").cast("date"))
+            & (F.to_date("l_shipdate") < F.lit("1998-01-01").cast("date"))
+            & cents(F.col("l_discount")).between(5, 7)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(F.sum(_dec38(units)).alias("u"))
+        .select((F.col("u").cast("double") / 10000).alias("revenue"))
+    )
+
+
+@query(
+    "q7_volume_shipping",
+    oracle=f"""
+    SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+           CAST(strftime(l.l_shipdate, '%Y') AS BIGINT) AS l_year,
+           CAST(SUM({_REV_SQL}) AS DOUBLE) / 10000 AS revenue
+    FROM supplier s
+    JOIN lineitem l ON s.s_suppkey = l.l_suppkey
+    JOIN orders o ON o.o_orderkey = l.l_orderkey
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    JOIN nation n1 ON n1.n_nationkey = s.s_nationkey
+    JOIN nation n2 ON n2.n_nationkey = c.c_nationkey
+    WHERE ((n1.n_name = 'NATION_9' AND n2.n_name = 'NATION_10')
+        OR (n1.n_name = 'NATION_10' AND n2.n_name = 'NATION_9'))
+      AND CAST(l.l_shipdate AS DATE) BETWEEN DATE '1996-01-01'
+                                         AND DATE '1997-12-31'
+    GROUP BY supp_nation, cust_nation, l_year
+    ORDER BY supp_nation, cust_nation, l_year
+    """,
+)
+def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 (volume shipping): trade volume between two nations in
+    both directions, by ship year.
+
+    Scale shape: the nation-pair disjunction cannot be pushed below
+    the joins wholesale, but its implied union
+    (n1 IN (9,10) AND n2 IN (9,10)) CAN — Catalyst derives the
+    per-side IN filters from the OR via constraint propagation, so
+    supplier and customer shrink to two nations' worth before the fact
+    joins. The only fact-sized shuffle is lineitem-orders; nation and
+    the pre-filtered supplier/customer broadcast."""
+    s = table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    c = table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    o = table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    n = table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    l = table(spark, sf_dir, "lineitem").filter(
+        F.to_date("l_shipdate").between(
+            F.lit("1996-01-01").cast("date"), F.lit("1997-12-31").cast("date")
+        )
+    ).select("l_orderkey", "l_suppkey", "l_shipdate",
+             "l_extendedprice", "l_discount")
+    n1 = n.withColumnRenamed("n_name", "supp_nation").withColumnRenamed(
+        "n_nationkey", "n1_key"
+    )
+    n2 = n.withColumnRenamed("n_name", "cust_nation").withColumnRenamed(
+        "n_nationkey", "n2_key"
+    )
+    pair = (
+        (F.col("supp_nation") == "NATION_9") & (F.col("cust_nation") == "NATION_10")
+    ) | (
+        (F.col("supp_nation") == "NATION_10") & (F.col("cust_nation") == "NATION_9")
+    )
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("n1_key"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("n2_key"))
+        .filter(pair)
+        .groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year(F.to_date("l_shipdate")).cast("bigint").alias("l_year"),
+        )
+        .agg(F.sum(_dec38(_rev_units())).alias("u"))
+        .select(
+            "supp_nation",
+            "cust_nation",
+            "l_year",
+            (F.col("u").cast("double") / 10000).alias("revenue"),
+        )
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    )
+
+
+@query(
+    "q8_market_share",
+    oracle=f"""
+    SELECT CAST(strftime(o.o_orderdate, '%Y') AS BIGINT) AS o_year,
+           CAST(SUM(CASE WHEN n1.n_name = 'NATION_9'
+                         THEN {_REV_SQL} ELSE 0 END) AS DOUBLE)
+             / CAST(SUM({_REV_SQL}) AS DOUBLE) AS mkt_share
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    JOIN nation n1 ON n1.n_nationkey = s.s_nationkey
+    JOIN orders o ON o.o_orderkey = l.l_orderkey
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    JOIN nation n2 ON n2.n_nationkey = c.c_nationkey
+    JOIN region r ON r.r_regionkey = n2.n_regionkey
+    WHERE r.r_name = 'ASIA' AND p.p_type = 'PROMO'
+      AND CAST(o.o_orderdate AS DATE) BETWEEN DATE '1996-01-01'
+                                          AND DATE '1997-12-31'
+    GROUP BY o_year
+    ORDER BY o_year
+    """,
+)
+def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 (national market share): NATION_9 suppliers' share of
+    PROMO-part revenue sold into ASIA customers, by order year.
+
+    Scale shape: the eight-table star collapses to ONE fact-sized
+    shuffle (lineitem-orders); part is pre-filtered by type and
+    broadcast, supplier/customer/nation/region broadcast. The share is
+    a conditional sum over the SAME exact-integer revenue expression —
+    one pass, no self-join — and the final double division happens on
+    two exact sums with identical operand order in both engines."""
+    p = table(spark, sf_dir, "part").filter(F.col("p_type") == "PROMO").select(
+        "p_partkey"
+    )
+    s = table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    c = table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    n = table(spark, sf_dir, "nation")
+    r = table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    o = table(spark, sf_dir, "orders").filter(
+        F.to_date("o_orderdate").between(
+            F.lit("1996-01-01").cast("date"), F.lit("1997-12-31").cast("date")
+        )
+    ).select("o_orderkey", "o_custkey", "o_orderdate")
+    l = table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_suppkey", "l_extendedprice", "l_discount"
+    )
+    n1 = n.select(
+        F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = n.select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_regionkey").alias("n2_region")
+    )
+    units = _rev_units()
+    return (
+        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .join(o, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("n1_key"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("n2_key"))
+        .join(F.broadcast(r), F.col("n2_region") == r.r_regionkey)
+        .groupBy(F.year(F.to_date("o_orderdate")).cast("bigint").alias("o_year"))
+        .agg(
+            F.sum(
+                _dec38(F.when(F.col("supp_nation") == "NATION_9", units).otherwise(0))
+            ).alias("nat_u"),
+            F.sum(_dec38(units)).alias("tot_u"),
+        )
+        .select(
+            "o_year",
+            (F.col("nat_u").cast("double") / F.col("tot_u").cast("double")).alias(
+                "mkt_share"
+            ),
+        )
+        .orderBy("o_year")
+    )
+
+
+@query(
+    "q13_customer_distribution",
+    oracle="""
+    SELECT c_count, count(*) AS custdist
+    FROM (
+      SELECT c.c_custkey, count(o.o_orderkey) AS c_count
+      FROM customer c
+      LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+                        AND o.o_orderpriority <> '1-URGENT'
+      GROUP BY c.c_custkey)
+    GROUP BY c_count
+    ORDER BY custdist DESC, c_count DESC
+    """,
+)
+def q13_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 (customer distribution): how many customers placed
+    0, 1, 2, ... non-urgent orders — the canonical LEFT OUTER JOIN
+    with a filter INSIDE the join condition (a customer with only
+    urgent orders must still appear, with count 0), adapted from
+    Q13's comment-pattern filter to the priority column this schema
+    has.
+
+    Scale shape: count(o_orderkey) over the left join counts only
+    matched rows — no COALESCE fix-up needed; the first groupBy is on
+    the customer key (the join key — AQE can fuse the shuffles), the
+    second is on the tiny count domain."""
+    c = table(spark, sf_dir, "customer").select("c_custkey")
+    o = table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderkey", "o_orderpriority"
+    )
+    return (
+        c.join(
+            o,
+            (o.o_custkey == c.c_custkey) & (o.o_orderpriority != "1-URGENT"),
+            "left",
+        )
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+        .groupBy("c_count")
+        .agg(F.count("*").alias("custdist"))
+        .orderBy(F.desc("custdist"), F.desc("c_count"))
+    )
+
+
+@query(
+    "q14_promo_revenue",
+    oracle=f"""
+    SELECT 100.0 * CAST(SUM(CASE WHEN p.p_type = 'PROMO'
+                                 THEN {_REV_SQL} ELSE 0 END) AS DOUBLE)
+             / CAST(SUM({_REV_SQL}) AS DOUBLE) AS promo_share
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE CAST(l.l_shipdate AS DATE) >= DATE '1997-09-01'
+      AND CAST(l.l_shipdate AS DATE) < DATE '1997-10-01'
+    """,
+)
+def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 (promotion effect): percentage of one month's revenue
+    from PROMO-type parts. Conditional share in a single pass.
+
+    Scale shape: the month filter prunes the lineitem scan to ~1/36 of
+    the fact before the (broadcast) part join; both sums ride one
+    map-side-combined aggregate; the 100.0 * x / y double expression
+    is evaluated with identical associativity in both engines over
+    exact integer inputs."""
+    p = table(spark, sf_dir, "part").select("p_partkey", "p_type")
+    l = table(spark, sf_dir, "lineitem").filter(
+        (F.to_date("l_shipdate") >= F.lit("1997-09-01").cast("date"))
+        & (F.to_date("l_shipdate") < F.lit("1997-10-01").cast("date"))
+    )
+    units = _rev_units()
+    return (
+        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .agg(
+            F.sum(
+                _dec38(F.when(F.col("p_type") == "PROMO", units).otherwise(0))
+            ).alias("promo_u"),
+            F.sum(_dec38(units)).alias("tot_u"),
+        )
+        .select(
+            (
+                F.lit(100.0)
+                * F.col("promo_u").cast("double")
+                / F.col("tot_u").cast("double")
+            ).alias("promo_share")
+        )
+    )
+
+
+@query(
+    "q15_top_supplier",
+    oracle=f"""
+    WITH rev AS (
+      SELECT l.l_suppkey, SUM({_REV_SQL}) AS total
+      FROM lineitem l
+      WHERE CAST(l.l_shipdate AS DATE) >= DATE '1997-01-01'
+        AND CAST(l.l_shipdate AS DATE) < DATE '1997-04-01'
+      GROUP BY l.l_suppkey)
+    SELECT s.s_suppkey, s.s_name,
+           CAST(rev.total AS DOUBLE) / 10000 AS total_revenue
+    FROM supplier s
+    JOIN rev ON rev.l_suppkey = s.s_suppkey
+    WHERE rev.total = (SELECT max(total) FROM rev)
+    ORDER BY s.s_suppkey
+    """,
+)
+def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 (top supplier): the supplier(s) with maximum revenue
+    in a quarter — Q15's CREATE VIEW + scalar MAX subquery, expressed
+    as a reused aggregate.
+
+    Scale shape: the quarterly revenue aggregate is computed ONCE (the
+    DataFrame is reused for both the max and the equality filter —
+    Spark's exchange reuse dedups the physical subtree); the max is a
+    1-row broadcast, the equality comparison is on exact integers (no
+    double-max tie ambiguity), and supplier joins by broadcast."""
+    l = table(spark, sf_dir, "lineitem").filter(
+        (F.to_date("l_shipdate") >= F.lit("1997-01-01").cast("date"))
+        & (F.to_date("l_shipdate") < F.lit("1997-04-01").cast("date"))
+    )
+    rev = (
+        l.groupBy("l_suppkey")
+        .agg(F.sum(_dec38(_rev_units())).alias("total"))
+    )
+    top = rev.agg(F.max("total").alias("mx"))
+    s = table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        rev.join(F.broadcast(top), rev.total == F.col("mx"))
+        .join(F.broadcast(s), rev.l_suppkey == s.s_suppkey)
+        .select(
+            "s_suppkey",
+            "s_name",
+            (F.col("total").cast("double") / 10000).alias("total_revenue"),
+        )
+        .orderBy("s_suppkey")
+    )
+
+
+@query(
+    "q17_small_quantity_revenue",
+    oracle="""
+    SELECT CAST(SUM(CAST(floor(l.l_extendedprice*100 + 0.5) AS BIGINT))
+                AS DOUBLE) / 100 / 7.0 AS avg_yearly
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE p.p_brand = 'Brand#23'
+      AND l.l_quantity < (
+        SELECT 0.2 * avg(l2.l_quantity)
+        FROM lineitem l2 WHERE l2.l_partkey = p.p_partkey)
+    """,
+)
+def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 (small-quantity-order revenue): revenue lost if
+    small orders (below 20% of a part's average order quantity) were
+    not filled. The correlated scalar subquery decorrelates to a
+    per-part average joined back — written in that decorrelated form
+    directly (the oracle keeps the correlated SQL; DuckDB performs the
+    same decorrelation).
+
+    Scale shape: the per-part average is one map-side-combined
+    aggregate over (partkey, qty); its result is part-cardinality
+    (dimension-sized) and broadcasts back onto the brand-filtered
+    lineitem. Quantities are integral doubles, so sum/count — and
+    therefore the 0.2*avg threshold — are bit-identical across
+    engines."""
+    l = table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_quantity", "l_extendedprice"
+    )
+    p = table(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#23").select(
+        "p_partkey"
+    )
+    qlim = (
+        l.groupBy(F.col("l_partkey").alias("a_partkey"))
+        .agg((F.lit(0.2) * F.avg("l_quantity")).alias("qty_limit"))
+    )
+    return (
+        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .join(F.broadcast(qlim), l.l_partkey == F.col("a_partkey"))
+        .filter(F.col("l_quantity") < F.col("qty_limit"))
+        .agg(F.sum(cents(F.col("l_extendedprice")).cast("decimal(38,0)")).alias("c"))
+        .select(
+            (F.col("c").cast("double") / 100 / F.lit(7.0)).alias("avg_yearly")
+        )
+    )
+
+
+@query(
+    "q19_disjunctive_revenue",
+    oracle=f"""
+    SELECT CAST(SUM({_REV_SQL}) AS DOUBLE) / 10000 AS revenue
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE (p.p_brand = 'Brand#12' AND p.p_size BETWEEN 1 AND 5
+           AND l.l_quantity BETWEEN 1 AND 11)
+       OR (p.p_brand = 'Brand#23' AND p.p_size BETWEEN 1 AND 10
+           AND l.l_quantity BETWEEN 10 AND 20)
+       OR (p.p_brand = 'Brand#34' AND p.p_size BETWEEN 1 AND 15
+           AND l.l_quantity BETWEEN 20 AND 30)
+    """,
+)
+def q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 (discounted revenue): three OR'd brand/size/quantity
+    conjunctions spanning both join sides — the classic test of
+    pushing the common parts of a disjunction below a join.
+
+    Scale shape: Catalyst extracts the per-side implications
+    (p_brand IN (...) AND p_size <= 15 onto part; l_quantity BETWEEN
+    1 AND 30 onto lineitem) from the OR, so both scans shrink before
+    the broadcast join; the residual disjunction evaluates post-join
+    in codegen. One aggregate row out."""
+    p = table(spark, sf_dir, "part").select("p_partkey", "p_brand", "p_size")
+    l = table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_quantity", "l_extendedprice", "l_discount"
+    )
+    cond = (
+        (
+            (F.col("p_brand") == "Brand#12")
+            & F.col("p_size").between(1, 5)
+            & F.col("l_quantity").between(1, 11)
+        )
+        | (
+            (F.col("p_brand") == "Brand#23")
+            & F.col("p_size").between(1, 10)
+            & F.col("l_quantity").between(10, 20)
+        )
+        | (
+            (F.col("p_brand") == "Brand#34")
+            & F.col("p_size").between(1, 15)
+            & F.col("l_quantity").between(20, 30)
+        )
+    )
+    return (
+        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .filter(cond)
+        .agg(F.sum(_dec38(_rev_units())).alias("u"))
+        .select((F.col("u").cast("double") / 10000).alias("revenue"))
+    )
+
+
+@query(
+    "q22_dormant_customers",
+    oracle="""
+    WITH pos AS (
+      SELECT CAST(floor(c_acctbal*100 + 0.5) AS BIGINT) AS bal_c
+      FROM customer WHERE c_acctbal > 0)
+    SELECT n.n_name AS nation, count(*) AS numcust,
+           CAST(SUM(CAST(floor(c.c_acctbal*100 + 0.5) AS BIGINT))
+                AS DOUBLE) / 100 AS totacctbal
+    FROM customer c
+    JOIN nation n ON n.n_nationkey = c.c_nationkey
+    WHERE CAST(floor(c.c_acctbal*100 + 0.5) AS BIGINT)
+            * (SELECT count(*) FROM pos) > (SELECT SUM(bal_c) FROM pos)
+      AND NOT EXISTS (
+        SELECT 1 FROM orders o
+        WHERE o.o_custkey = c.c_custkey
+          AND CAST(o.o_orderdate AS DATE) >= DATE '2000-06-01')
+    GROUP BY n.n_name
+    ORDER BY n.n_name
+    """,
+)
+def q22_dormant_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape (global sales opportunity), adapted: no phone
+    column, so the country-code IN-list becomes the nation dim, and
+    "never ordered" (empty at this data's density) becomes "no order
+    since 2000-06-01" — same anti-join + scalar-average-subquery
+    topology.
+
+    Scale shape: the above-average test avoids float avg entirely —
+    `bal_cents * count > sum_cents` over exact integers (a 1-row
+    broadcast of (count, sum)); the dormancy test is a LEFT ANTI join
+    against the date-pruned orders scan; nation broadcasts. One
+    customer-sized pass, no windowing."""
+    c = table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey", "c_acctbal"
+    )
+    n = table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    recent = table(spark, sf_dir, "orders").filter(
+        F.to_date("o_orderdate") >= F.lit("2000-06-01").cast("date")
+    ).select("o_custkey")
+    stats = c.filter(F.col("c_acctbal") > 0).agg(
+        F.count("*").alias("n_pos"),
+        F.sum(cents(F.col("c_acctbal"))).alias("sum_c"),
+    )
+    return (
+        c.join(F.broadcast(stats))
+        .filter(cents(F.col("c_acctbal")) * F.col("n_pos") > F.col("sum_c"))
+        .join(recent, c.c_custkey == recent.o_custkey, "left_anti")
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(
+            F.count("*").alias("numcust"),
+            (
+                F.sum(cents(F.col("c_acctbal"))).cast("double") / 100
+            ).alias("totacctbal"),
+        )
+        .orderBy("nation")
+    )

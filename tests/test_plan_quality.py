@@ -407,3 +407,68 @@ def test_hybrid_rrf_bounded_lists(spark):
     assert len(re.findall(r"TakeOrderedAndProject", plan)) >= 2
     assert len(re.findall(r"BroadcastNestedLoopJoin", plan)) <= 2
     assert "CartesianProduct" not in plan
+
+
+def test_q6_zero_join_zero_shuffle_scan_agg(spark):
+    """Q6 is the pure scan-aggregate: no joins, no wide shuffle — the
+    whole query is pushed filters + map-side partials into one row."""
+    plan = plan_of(QUERIES["q6_forecast_revenue"](spark, SF_SMALL))
+    assert "Join" not in plan
+    assert "Exchange hashpartitioning" not in plan
+    assert "PushedFilters: [" in plan
+    assert "l_shipdate" in plan.split("PushedFilters:")[1][:300]
+
+
+def test_q4_lateness_exists_plans_as_semi_join(spark):
+    """Q4's EXISTS must decorrelate to ONE left-semi join (no
+    duplicate-inflating inner join + distinct), with at most the
+    single fact-side exchange."""
+    plan = plan_of(QUERIES["q4_order_priority"](spark, SF_SMALL))
+    assert "LeftSemi" in plan
+    assert plan.count("Exchange hashpartitioning") <= 1
+    assert "CartesianProduct" not in plan
+
+
+def test_q7_nation_disjunction_derives_per_side_filters(spark):
+    """Q7's nation-pair OR must reach both nation scans as pushed
+    Or(EqualTo(n_name, ...)) filters — constraint propagation through
+    the join, so the dims shrink before the fact joins."""
+    plan = plan_of(QUERIES["q7_volume_shipping"](spark, SF_SMALL))
+    pushed = [seg[:200] for seg in plan.split("PushedFilters:")[1:]]
+    nation_filters = [s for s in pushed if "n_name" in s and "Or(EqualTo" in s]
+    assert len(nation_filters) >= 2, pushed
+    assert "SortMergeJoin" not in plan
+    assert plan.count("Exchange hashpartitioning") <= 1
+
+
+def test_q19_disjunction_pushes_to_both_scans(spark):
+    """Q19's three OR'd conjunctions span the join; the per-side
+    implications must be extracted and pushed into BOTH parquet scans
+    (quantity disjunction on lineitem, brand/size on part), leaving a
+    single broadcast join and zero wide shuffles."""
+    plan = plan_of(QUERIES["q19_disjunctive_revenue"](spark, SF_SMALL))
+    pushed = plan.split("PushedFilters:")
+    assert len(pushed) >= 3
+    assert any("l_quantity" in s[:300] and "Or(" in s[:300] for s in pushed[1:])
+    assert any("p_brand" in s[:300] and "Or(" in s[:300] for s in pushed[1:])
+    assert "Exchange hashpartitioning" not in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_q22_anti_join_and_exact_average_broadcast(spark):
+    """Q22: dormancy is a LEFT ANTI join; the above-average threshold
+    rides ONE 1-row broadcast stats attach (the only nested-loop join
+    allowed); no cartesian product."""
+    plan = plan_of(QUERIES["q22_dormant_customers"](spark, SF_SMALL))
+    assert "LeftAnti" in plan
+    assert plan.count("BroadcastNestedLoopJoin") <= 1
+    assert "CartesianProduct" not in plan
+
+
+def test_semdedup_pairwise_stays_equi_join(spark):
+    """SemDeDup's within-cluster pairwise search must be an equi-join
+    ON cluster_id (sort-merge/shuffled-hash at scale) — never a
+    cartesian or nested-loop expansion over the corpus."""
+    plan = plan_of(QUERIES["dedup_semdedup_prune"](spark, SF_SMALL))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
