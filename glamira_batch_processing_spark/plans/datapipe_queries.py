@@ -1235,3 +1235,101 @@ def dedup_semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("hit").isNotNull().alias("is_pruned"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# IVF + PQ with residual encoding (FAISS "IVFADC", Jegou et al. 2011
+# §IV): coarse-quantize to a cell, PQ-encode the residual
+# x - coarse[cell], search only the query's cell with asymmetric
+# distance. The composition of the two gated index structures
+# (ann_ivf_bucketed, ann_pq_adc_topk) — and the layout a 100 TB
+# deployment actually ships: m bytes/vector, ~N/K candidates/query.
+# ---------------------------------------------------------------------------
+def _sql_coarse_values(cents: list[list[float]]) -> str:
+    rows = ", ".join(
+        f"({j}, [{', '.join(repr(x) for x in cent)}])"
+        for j, cent in enumerate(cents)
+    )
+    return f"(VALUES {rows}) AS coarse(cell, ccent)"
+
+
+_IVFPQ_RESID_SUBDIST = (
+    "CAST(floor(list_reduce(list_transform(range(1, {ds1}), "
+    "i -> (CAST(w.embedding[s * {ds} + i] AS DOUBLE) - w.ccent[s * {ds} + i] - cent[i]) "
+    "* (CAST(w.embedding[s * {ds} + i] AS DOUBLE) - w.ccent[s * {ds} + i] - cent[i])), "
+    "(a, b) -> a + b) * 1000000 + 0.5) AS BIGINT)"
+).format(ds=_PQ_DS, ds1=_PQ_DS + 1)
+
+
+@query(
+    "ann_ivfpq_residual_topk",
+    oracle=f"""
+    WITH coarse AS (SELECT * FROM {_sql_coarse_values(_KMEANS_CENTS)}),
+    cents AS (SELECT * FROM {sql_pq_centroid_values(_PQ_BOOKS)}),
+    assigned AS (
+      SELECT vec_id, embedding, {_SEMDEDUP_ASSIGN} AS cell
+      FROM (
+        SELECT vec_id, embedding,
+        {_SEMDEDUP_DISTS}
+        FROM embeddings)
+    ),
+    w AS (
+      SELECT a.vec_id, a.embedding, a.cell, co.ccent
+      FROM assigned a JOIN coarse co ON co.cell = a.cell
+    ),
+    codes AS (
+      SELECT w.vec_id AS neighbor_id, w.cell, s,
+             CAST(min({_IVFPQ_RESID_SUBDIST} * {_PQ_KS} + c)
+                  % {_PQ_KS} AS INT) AS code
+      FROM w CROSS JOIN cents
+      GROUP BY w.vec_id, w.cell, s
+    ),
+    qtab AS (
+      SELECT w.vec_id AS query_id, w.cell AS qcell, s, c AS code,
+             {_IVFPQ_RESID_SUBDIST} AS partial_q
+      FROM w CROSS JOIN cents
+      WHERE w.vec_id % 100 = 0
+    ),
+    scored AS (
+      SELECT query_id, neighbor_id, CAST(SUM(partial_q) AS BIGINT) AS adc_q1e6
+      FROM codes JOIN qtab
+        ON codes.s = qtab.s AND codes.code = qtab.code
+       AND codes.cell = qtab.qcell
+      WHERE query_id != neighbor_id
+      GROUP BY 1, 2
+    )
+    SELECT query_id, neighbor_id, rank, adc_q1e6 FROM (
+      SELECT *, row_number() OVER (
+        PARTITION BY query_id ORDER BY adc_q1e6, neighbor_id
+      ) AS rank
+      FROM scored
+    )
+    WHERE rank <= 5
+    """,
+)
+def ann_ivfpq_residual_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Residual IVFADC top-5 for every 100th vector: the same coarse
+    quantizer the kmeans/purity/semdedup queries prove (8 literal
+    md5-seeded centroids, engine-exact L2 argmin), PQ codes computed
+    on the residual x - coarse[cell], candidates confined to the
+    query's own cell (nprobe=1), ranked by exact-bigint asymmetric
+    distance. See ``operators/pq.py::ivfpq_adc_topk`` for the shuffle
+    budget; the oracle replays cell assignment, residual code argmin,
+    and ADC ranking in SQL so every stage is cross-engine
+    bit-identical.
+
+    The single-file local scan repartitions before the 128-centroid
+    residual projection (ann_pq_adc_topk precedent)."""
+    from ..operators.pq import ivfpq_adc_topk
+
+    e = table(spark, sf_dir, "embeddings").repartition(
+        spark.sparkContext.defaultParallelism, F.col("vec_id")
+    )
+    return ivfpq_adc_topk(
+        e,
+        _KMEANS_CENTS,
+        _PQ_BOOKS,
+        id_col="vec_id",
+        query_pred=F.col("vec_id") % 100 == 0,
+        k=5,
+    )

@@ -472,3 +472,16 @@ def test_semdedup_pairwise_stays_equi_join(spark):
     plan = plan_of(QUERIES["dedup_semdedup_prune"](spark, SF_SMALL))
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_ivfpq_residual_broadcast_only_no_sort_merge(spark):
+    """Residual IVFADC: centroid tables and the per-query distance
+    table are broadcast; no sort-merge join or cartesian product; the
+    only nested-loop joins are the two broadcast-of-tiny centroid
+    crossJoins (128 rows each); the only exchanges are the code
+    min-agg, the partial-sum agg, and the top-k window."""
+    plan = plan_of(QUERIES["ann_ivfpq_residual_topk"](spark, SF_SMALL))
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert plan.count("BroadcastNestedLoopJoin") <= 2
+    assert plan.count("Exchange hashpartitioning") <= 4
