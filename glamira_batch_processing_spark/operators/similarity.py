@@ -430,3 +430,57 @@ def ivf_assign(
         .filter(F.col("__rn") == 1)
         .select(vec_id, vec_col, centroid_id)
     )
+
+
+def semdedup_prune(
+    vecs: DataFrame,
+    centroids: list[list[float]],
+    tau: float = 0.35,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023): cluster-scoped semantic dedup.
+
+    Assign every vector to its nearest literal centroid (scan-fused
+    fold, zero shuffle), then mark a vector pruned when a lower-id
+    member of the SAME cluster sits at or above cosine ``tau`` —
+    the min-id survivor policy. Returns (id, cluster_id, is_pruned).
+
+    Pairwise work is an equi-self-join ON cluster_id, never all-pairs:
+    with k ~ sqrt(N) clusters the quadratic term is bounded by cluster
+    population, which is what makes embedding dedup feasible at
+    100 TB."""
+    from .clustering import lloyd_assign
+
+    assigned = vecs.withColumn(
+        "cluster_id", lloyd_assign(F.col(vec_col), centroids)
+    ).withColumn("nrm", norm(F.col(vec_col)))
+    a = assigned.select(
+        F.col("cluster_id").alias("a_cluster"),
+        F.col(id_col).alias("a_id"),
+        F.col(vec_col).alias("a_vec"),
+        F.col("nrm").alias("a_nrm"),
+    )
+    b = assigned.select(
+        F.col("cluster_id").alias("b_cluster"),
+        F.col(id_col).alias("b_id"),
+        F.col(vec_col).alias("b_vec"),
+        F.col("nrm").alias("b_nrm"),
+    )
+    sim = dot(F.col("a_vec"), F.col("b_vec")) / (F.col("a_nrm") * F.col("b_nrm"))
+    pruned = (
+        a.join(
+            b,
+            (F.col("a_cluster") == F.col("b_cluster"))
+            & (F.col("a_id") < F.col("b_id")),
+        )
+        .filter(sim >= tau)
+        .select(F.col("b_id").alias(id_col))
+        .distinct()
+        .withColumn("hit", F.lit(1))
+    )
+    return assigned.join(pruned, id_col, "left").select(
+        id_col,
+        "cluster_id",
+        F.col("hit").isNotNull().alias("is_pruned"),
+    )

@@ -1198,43 +1198,12 @@ def dedup_semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     cluster count grows with sqrt(N) so per-cluster populations (and
     the only quadratic term) stay bounded; the Spark plan is the
     paper's exact algorithm with the k-means replaced by the same
-    deterministic quantizer the kmeans/purity queries already prove."""
+    deterministic quantizer the kmeans/purity queries already prove.
+    Implementation: ``operators/similarity.py::semdedup_prune``."""
+    from ..operators.similarity import semdedup_prune
+
     vecs = vec_corpus(spark, sf_dir, bound=400)
-    assigned = vecs.withColumn(
-        "cluster_id", lloyd_assign(F.col("embedding"), _KMEANS_CENTS)
-    ).withColumn("nrm", norm(F.col("embedding")))
-    a = assigned.select(
-        F.col("cluster_id").alias("a_cluster"),
-        F.col("vec_id").alias("a_id"),
-        F.col("embedding").alias("a_vec"),
-        F.col("nrm").alias("a_nrm"),
-    )
-    b = assigned.select(
-        F.col("cluster_id").alias("b_cluster"),
-        F.col("vec_id").alias("b_id"),
-        F.col("embedding").alias("b_vec"),
-        F.col("nrm").alias("b_nrm"),
-    )
-    sim = dot(F.col("a_vec"), F.col("b_vec")) / (F.col("a_nrm") * F.col("b_nrm"))
-    pruned = (
-        a.join(
-            b,
-            (F.col("a_cluster") == F.col("b_cluster"))
-            & (F.col("a_id") < F.col("b_id")),
-        )
-        .filter(sim >= 0.35)
-        .select(F.col("b_id").alias("vec_id"))
-        .distinct()
-        .withColumn("hit", F.lit(1))
-    )
-    return (
-        assigned.join(pruned, "vec_id", "left")
-        .select(
-            "vec_id",
-            "cluster_id",
-            F.col("hit").isNotNull().alias("is_pruned"),
-        )
-    )
+    return semdedup_prune(vecs, _KMEANS_CENTS, tau=0.35)
 
 
 # ---------------------------------------------------------------------------

@@ -567,3 +567,81 @@ def q22_dormant_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("nation")
     )
+
+
+@query(
+    "q21_waiting_supplier",
+    oracle="""
+    SELECT s.s_name, count(*) AS numwait
+    FROM supplier s
+    JOIN lineitem l1 ON s.s_suppkey = l1.l_suppkey
+    JOIN orders o ON o.o_orderkey = l1.l_orderkey
+    JOIN nation n ON n.n_nationkey = s.s_nationkey
+    WHERE CAST(l1.l_shipdate AS DATE) > CAST(o.o_orderdate AS DATE) + 90
+      AND n.n_name IN ('NATION_3', 'NATION_4')
+      AND EXISTS (
+        SELECT 1 FROM lineitem l2
+        WHERE l2.l_orderkey = l1.l_orderkey
+          AND l2.l_suppkey <> l1.l_suppkey)
+      AND NOT EXISTS (
+        SELECT 1 FROM lineitem l3
+        JOIN orders o3 ON o3.o_orderkey = l3.l_orderkey
+        WHERE l3.l_orderkey = l1.l_orderkey
+          AND l3.l_suppkey <> l1.l_suppkey
+          AND CAST(l3.l_shipdate AS DATE)
+              > CAST(o3.o_orderdate AS DATE) + 90)
+    GROUP BY s.s_name
+    ORDER BY numwait DESC, s.s_name
+    LIMIT 20
+    """,
+)
+def q21_waiting_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape (suppliers who kept orders waiting), adapted:
+    "late" = shipped more than 90 days after the order date. A line
+    item counts when its order involved other suppliers (EXISTS) and
+    NO other supplier on the order was late (NOT EXISTS).
+
+    Scale shape: the oracle states the classic correlated double
+    EXISTS; the Spark plan decorrelates BOTH subqueries into a single
+    per-order aggregate — countDistinct(supplier) and
+    countDistinct(late supplier) in one map-side-combinable pass —
+    joined back on the order key. One fact-sized aggregate + one
+    equi-join replaces two correlated lineitem self-joins; a late row
+    survives iff n_supp > 1 and n_late_supp == 1 (the row's own
+    supplier being late makes it the unique late one). Supplier and
+    nation broadcast; TakeOrderedAndProject top-20."""
+    l = table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_shipdate"
+    )
+    o = table(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    flags = l.join(o, l.l_orderkey == o.o_orderkey).select(
+        "l_orderkey",
+        "l_suppkey",
+        (
+            F.to_date("l_shipdate") > F.date_add(F.to_date("o_orderdate"), 90)
+        ).alias("late"),
+    )
+    per_order = flags.groupBy("l_orderkey").agg(
+        F.countDistinct("l_suppkey").alias("n_supp"),
+        F.countDistinct(
+            F.when(F.col("late"), F.col("l_suppkey"))
+        ).alias("n_late_supp"),
+    )
+    n = table(spark, sf_dir, "nation").filter(
+        F.col("n_name").isin("NATION_3", "NATION_4")
+    )
+    s = (
+        table(spark, sf_dir, "supplier")
+        .join(F.broadcast(n), F.col("s_nationkey") == n.n_nationkey)
+        .select("s_suppkey", "s_name")
+    )
+    return (
+        flags.filter(F.col("late"))
+        .join(per_order, "l_orderkey")
+        .filter((F.col("n_supp") > 1) & (F.col("n_late_supp") == 1))
+        .join(F.broadcast(s), F.col("l_suppkey") == s.s_suppkey)
+        .groupBy("s_name")
+        .agg(F.count("*").alias("numwait"))
+        .orderBy(F.desc("numwait"), "s_name")
+        .limit(20)
+    )

@@ -11,6 +11,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from .core_queries import cents
 from .registry import query, table
 
 
@@ -158,4 +159,42 @@ def w6_ntile_percent_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.ntile(4).over(w).alias("price_quartile"),
         F.percent_rank().over(w).alias("price_pct_rank"),
         F.cume_dist().over(w).alias("price_cume_dist"),
+    )
+
+
+@query(
+    "w7_range_interval_frame",
+    oracle="""
+    SELECT o_orderkey, o_custkey,
+           CAST(SUM(CAST(floor(o_totalprice*100 + 0.5) AS BIGINT)) OVER (
+             PARTITION BY o_custkey
+             ORDER BY epoch(CAST(o_orderdate AS TIMESTAMP))
+             RANGE BETWEEN 259200 PRECEDING AND CURRENT ROW
+           ) AS BIGINT) AS trailing_3d_cents
+    FROM orders
+    WHERE o_custkey % 50 = 0
+    """,
+)
+def w7_range_interval_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE-frame window (value-based, not row-based): per customer,
+    the trailing-3-day sum of order value — rows whose order dates tie
+    are frame PEERS and both include each other, which no ROWS frame
+    can express. Completes the frame family next to w5's
+    rowsBetween running/moving sums.
+
+    Scale shape: one exchange on the customer key, per-partition sort
+    by the numeric epoch, and the RANGE bound is evaluated by frame
+    pointer advance (no self-join, no explode-into-days); the
+    sampling filter pushes to the scan. Sums are exact integer
+    cents."""
+    o = table(spark, sf_dir, "orders").filter(F.col("o_custkey") % 50 == 0)
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy(F.unix_timestamp(F.col("o_orderdate")))
+        .rangeBetween(-259200, 0)
+    )
+    return o.select(
+        "o_orderkey",
+        "o_custkey",
+        F.sum(cents(F.col("o_totalprice"))).over(w).alias("trailing_3d_cents"),
     )

@@ -77,6 +77,19 @@ MEASURED = [
     "q18_large_volume_customer",
     "search_hybrid_rrf",
     "corpus_shuffle_deterministic",
+    # round-6 TPC-H batch (q4/q6/.../q22 scan the scaled facts
+    # directly; the bounded-corpus ANN queries get full-corpus
+    # builders in _ann_frames instead)
+    "q4_order_priority",
+    "q6_forecast_revenue",
+    "q7_volume_shipping",
+    "q8_market_share",
+    "q13_customer_distribution",
+    "q14_promo_revenue",
+    "q15_top_supplier",
+    "q17_small_quantity_revenue",
+    "q19_disjunctive_revenue",
+    "q22_dormant_customers",
 ]
 
 # Round-6 (VERDICT r5 ask #3): the five queries flagged perf-weak at
@@ -135,11 +148,25 @@ def _ann_frames(spark, sf_dir):
     )
     cents = seed_centroids(64, 8)
     cpdf = pd.DataFrame({"centroid_id": range(len(cents)), "cvec": cents})
+    from glamira_batch_processing_spark.operators.pq import (
+        ivfpq_adc_topk,
+        pq_codebooks,
+    )
+    probe = (F.col("vec_id") < 2000) & (F.col("vec_id") % 100 == 0)
     return {
         "ann_cosine_topk_np_full": cosine_topk_np(qpdf, vecs, k=10),
-        "ann_ivf_np_full": ivf_search_np(
-            vecs, cpdf, (F.col("vec_id") < 2000) & (F.col("vec_id") % 100 == 0), k=10
+        "ann_ivf_np_full": ivf_search_np(vecs, cpdf, probe, k=10),
+        # Full-corpus forms of the two bounded contract queries: the
+        # corpus (and so the per-cell candidate sets / cluster
+        # populations) scales with sf, the probe set stays fixed.
+        "ann_ivfpq_residual_full": ivfpq_adc_topk(
+            vecs, cents, pq_codebooks(64, 8, 16), query_pred=probe, k=5
         ),
+        # semdedup_prune is NOT measured full-corpus: with the fixed
+        # 8-centroid quantizer its pairwise term grows as N^2/k by
+        # construction — the deployment answer is k ~ N/target_size
+        # (constant cluster population => linear pairwise; SCALE.md),
+        # so a fixed-k 10x timing would report a designed-out N^2.
     }
 
 
@@ -161,7 +188,8 @@ def main() -> None:
         }
         builders[sf_label].update(
             {n: (lambda n=n, d=sf_dir: _ann_frames(spark, d)[n])
-             for n in ("ann_cosine_topk_np_full", "ann_ivf_np_full")}
+             for n in ("ann_cosine_topk_np_full", "ann_ivf_np_full",
+                       "ann_ivfpq_residual_full")}
         )
 
     # Warm code paths on the tiny SF.
@@ -206,8 +234,18 @@ def main() -> None:
             f"exp {row['exponent']:+.2f}  plan_same={row['plan_same']}"
         )
 
+    import os
+
+    load1, load5, load15 = os.getloadavg()
     lines = [
         "## Measured: sf0.1 vs sf1 (10x) scaling evidence",
+        "",
+        f"Run-end ambient load (co-tenant box, 32 cores): "
+        f"{load1:.1f} / {load5:.1f} / {load15:.1f} (1/5/15 min). "
+        "This machine carries variable co-tenant CPU load; cells whose "
+        "stddev rivals their median were measured under contention — "
+        "cross-check the committed history before reading a slow cell "
+        "as a regression.",
         "",
         "Generated by `scripts/scale_bench.py` over `.scale/sf1` "
         "(10x key-shifted replicas of the driver's sf0.1, built by "

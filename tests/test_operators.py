@@ -1186,3 +1186,33 @@ def test_png_adam7_interlaced_decodes_exactly():
             + st.pack(">I", zlib.crc32(b"IDAT" + raw_short) & 0xFFFFFFFF)
             + good[good.find(b"IEND") - 4 :]
         )
+
+
+def test_semdedup_min_id_survivor_policy(spark):
+    """A planted duplicate pair must land in one cluster with the
+    LOWER id kept and the higher pruned; an isolated vector is never
+    pruned. Uses two well-separated synthetic directions so cluster
+    assignment is unambiguous."""
+    from glamira_batch_processing_spark.operators.clustering import (
+        seed_centroids,
+    )
+    from glamira_batch_processing_spark.operators.similarity import (
+        semdedup_prune,
+    )
+
+    cents = seed_centroids(dim=8, k=4)
+    # v0/v1 identical (cosine 1.0); v2 orthogonal-ish loner.
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0, 2.0, 0.0, 0.0, 1.0]),
+        (1, [1.0, 0.0, 0.0, 0.0, 2.0, 0.0, 0.0, 1.0]),
+        (2, [0.0, -3.0, 0.0, 1.0, 0.0, 0.0, -1.0, 0.0]),
+    ]
+    vecs = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    got = {
+        r.vec_id: (r.cluster_id, r.is_pruned)
+        for r in semdedup_prune(vecs, cents, tau=0.95).collect()
+    }
+    assert got[0][0] == got[1][0], "identical vectors must share a cluster"
+    assert got[0][1] is False, "min-id survivor must be kept"
+    assert got[1][1] is True, "higher-id duplicate must be pruned"
+    assert got[2][1] is False, "isolated vector must survive"

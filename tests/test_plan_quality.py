@@ -485,3 +485,26 @@ def test_ivfpq_residual_broadcast_only_no_sort_merge(spark):
     assert "CartesianProduct" not in plan
     assert plan.count("BroadcastNestedLoopJoin") <= 2
     assert plan.count("Exchange hashpartitioning") <= 4
+
+
+def test_q21_decorrelates_to_single_per_order_aggregate(spark):
+    """Q21's double correlated EXISTS must NOT become two lineitem
+    self-joins: the plan reads lineitem at most twice (the flags pass
+    and its aggregate join-back), finishes with TakeOrderedAndProject,
+    and never degrades to a cartesian/nested-loop."""
+    plan = plan_of(QUERIES["q21_waiting_supplier"](spark, SF_SMALL))
+    assert plan.count("lineitem.parquet") <= 2
+    assert "TakeOrderedAndProject" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_w7_range_frame_single_exchange_no_explode(spark):
+    """The RANGE-interval frame must run as ONE exchange on the
+    partition key plus one Window (frame-pointer advance) — never an
+    explode-into-days expansion or a self-join."""
+    plan = plan_of(QUERIES["w7_range_interval_frame"](spark, SF_SMALL))
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert plan.count("Window") == 1
+    assert "Generate" not in plan
+    assert "Join" not in plan
