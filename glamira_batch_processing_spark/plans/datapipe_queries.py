@@ -1302,3 +1302,89 @@ def ann_ivfpq_residual_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         query_pred=F.col("vec_id") % 100 == 0,
         k=5,
     )
+
+
+# ---------------------------------------------------------------------------
+# Dedup discovery recall: evaluate the LSH candidate generator against
+# the corpus's PLANTED ground truth (near dups at +100000, exact dups
+# at +200000) — the dedup-family twin of ann_recall_eval. Banding
+# theory (4 bands x 3 rows) makes exact-dup recall 1.0 by construction
+# (identical signatures match every band); near-dup recall measures
+# how many suffix-mutated pairs the banding still catches.
+# ---------------------------------------------------------------------------
+from .registry import ORACLE as _ORACLE  # noqa: E402  (post-registration)
+
+
+@query(
+    "dedup_lsh_recall_eval",
+    oracle=f"""
+    WITH cand AS ({_ORACLE["dedup_minhash_lsh"]}),
+    truth AS (
+      SELECT doc_id AS doc_a, doc_id + 100000 AS doc_b,
+             'near' AS dup_class
+      FROM documents WHERE doc_id % 7 = 0
+      UNION ALL
+      SELECT doc_id AS doc_a, doc_id + 200000 AS doc_b,
+             'exact' AS dup_class
+      FROM documents WHERE doc_id % 11 = 0
+    )
+    SELECT t.dup_class,
+           count(*) AS n_truth,
+           CAST(SUM(CASE WHEN c.doc_a IS NOT NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_found,
+           CAST(SUM(CASE WHEN c.doc_a IS NOT NULL THEN 1 ELSE 0 END)
+                AS DOUBLE) / count(*) AS recall
+    FROM truth t
+    LEFT JOIN cand c ON c.doc_a = t.doc_a AND c.doc_b = t.doc_b
+    GROUP BY t.dup_class
+    ORDER BY t.dup_class
+    """,
+)
+def dedup_lsh_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall of the MinHash-LSH candidate stage against the planted
+    duplicate pairs, by duplicate class. The eval's LSH run is the
+    SAME operator the gated dedup_minhash_lsh query proves
+    (``operators/dedup.py::lsh_candidate_pairs``), and the oracle
+    embeds that query's full SQL as a CTE, so the measured recall —
+    not just the pair set — is cross-engine exact.
+
+    Scale shape: candidates come from the banded bucket join (never
+    all-pairs); the ground-truth set is corpus-metadata-sized and the
+    recall aggregate is two rows. An evaluation harness this cheap is
+    what lets a 100 TB dedup run tune its band/row trade-off on a
+    sample before committing the full sweep."""
+    c = corpus(spark, sf_dir).repartition(
+        spark.sparkContext.defaultParallelism, F.col("doc_id")
+    )
+    cand = lsh_candidate_pairs(c, num_hashes=12, band_rows=3).withColumn(
+        "hit", F.lit(1)
+    )
+    d = table(spark, sf_dir, "documents").select("doc_id")
+    near = d.filter(F.col("doc_id") % 7 == 0).select(
+        F.col("doc_id").alias("doc_a"),
+        (F.col("doc_id") + 100000).alias("doc_b"),
+        F.lit("near").alias("dup_class"),
+    )
+    exact = d.filter(F.col("doc_id") % 11 == 0).select(
+        F.col("doc_id").alias("doc_a"),
+        (F.col("doc_id") + 200000).alias("doc_b"),
+        F.lit("exact").alias("dup_class"),
+    )
+    truth = near.unionByName(exact)
+    return (
+        truth.join(cand, ["doc_a", "doc_b"], "left")
+        .groupBy("dup_class")
+        .agg(
+            F.count("*").alias("n_truth"),
+            F.sum(F.when(F.col("hit").isNotNull(), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_found"),
+        )
+        .select(
+            "dup_class",
+            "n_truth",
+            "n_found",
+            (F.col("n_found").cast("double") / F.col("n_truth")).alias("recall"),
+        )
+        .orderBy("dup_class")
+    )
