@@ -104,7 +104,8 @@ from glamira_batch_processing_spark.plans.registry import ORACLE, QUERIES
 # shapes in plans/tpch_queries.py (q4/q6/q7/q8/q13/q14/q15/q17/q19/
 # q21/q22), dedup_semdedup_prune (cluster-scoped semantic dedup),
 # ann_ivfpq_residual_topk (residual IVFADC), w7_range_interval_frame,
-# and dedup_lsh_recall_eval (planted-dup recall of the LSH stage).
+# dedup_lsh_recall_eval (planted-dup recall of the LSH stage),
+# f12_variant_extract, and f13_collated_group.
 _PRIORITY: list[str] = [
     # Flagships: whole-warehouse DAG (staging -> SCD -> marts -> rollup)
     # and whole-training-data pipeline (quality -> dedup+components ->

@@ -13,6 +13,7 @@ from ..functions.currency import (
     infer_currency_from_tld,
 )
 from ..functions.keys import key_input, surrogate_key
+from .core_queries import cents as cents_expr
 from .registry import query, table
 
 
@@ -384,4 +385,82 @@ def f10_array_lambda_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(0).cast("long"),
             lambda acc, x: acc + x,
         ).alias("sum_sq_qty"),
+    )
+
+
+@query(
+    "f12_variant_extract",
+    oracle="""
+    SELECT event_id,
+           event_type AS etype,
+           TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_num,
+           CAST(floor(value*100 + 0.5) AS BIGINT) AS value_cents,
+           CAST(NULL AS BIGINT) AS missing_num
+    FROM events
+    """,
+)
+def f12_variant_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured ingestion through Spark 4's VARIANT type: event
+    attributes are re-serialized to one JSON document, parsed ONCE
+    into a variant (a typed binary encoding — the path extractions
+    below do not re-parse text), then extracted with typed
+    variant_get paths; an absent path goes through try_variant_get to
+    a typed NULL. The oracle states the same result from the flat
+    columns — mechanism differs, semantics must not.
+
+    Scale shape: parse_json + variant_get are codegen'd Column
+    expressions over the scan — zero shuffle, zero UDF. At 100 TB the
+    win over per-path get_json_object (f8) is parse-once: n path
+    reads cost one text parse instead of n."""
+    e = table(spark, sf_dir, "events")
+    doc = F.to_json(
+        F.struct(
+            F.col("event_type").alias("etype"),
+            F.get_json_object("props", "$.k").try_cast("bigint").alias("k"),
+            cents_expr(F.col("value")).alias("vc"),
+        )
+    )
+    v = F.parse_json(doc)
+    return e.select(
+        "event_id",
+        F.variant_get(v, "$.etype", "string").alias("etype"),
+        F.variant_get(v, "$.k", "bigint").alias("k_num"),
+        F.variant_get(v, "$.vc", "bigint").alias("value_cents"),
+        F.try_variant_get(v, "$.missing", "bigint").alias("missing_num"),
+    )
+
+
+@query(
+    "f13_collated_group",
+    oracle="""
+    SELECT lower(event_type) AS etype_ci, count(*) AS n
+    FROM (
+      SELECT CASE WHEN event_id % 3 = 0 THEN upper(event_type)
+                  ELSE event_type END AS event_type
+      FROM events)
+    GROUP BY etype_ci
+    ORDER BY etype_ci
+    """,
+)
+def f13_collated_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collation-aware aggregation (Spark 4 collations): a mixed-case
+    event stream (every third row upper-cased to simulate dirty feed
+    casing) grouped under the UTF8_LCASE collation, which merges case
+    variants in the GROUPING ITSELF — no lower() normalization of the
+    data column needed; the output key is lowered only for display
+    parity with the oracle.
+
+    Scale shape: the collated groupBy is one map-side-combinable
+    exchange, same budget as any groupBy; collation comparison happens
+    inside codegen."""
+    e = table(spark, sf_dir, "events").select(
+        F.when(
+            F.col("event_id") % 3 == 0, F.upper(F.col("event_type"))
+        ).otherwise(F.col("event_type")).alias("event_type")
+    )
+    return (
+        e.groupBy(F.collate(F.col("event_type"), "UTF8_LCASE").alias("k"))
+        .agg(F.count("*").alias("n"))
+        .select(F.lower(F.col("k")).cast("string").alias("etype_ci"), "n")
+        .orderBy("etype_ci")
     )

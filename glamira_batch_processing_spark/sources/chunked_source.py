@@ -1,0 +1,127 @@
+"""Custom Python DataSource: keyset-paginated JSONL export chunks.
+
+The reference's extract stage walks a Mongo collection with a
+keyset-paginated cursor and lands fixed-size chunk files
+(`ETL/export_to_gcs.py:327-357` paging loop, `:191-195` chunk writer,
+checkpoint manifest `:272-293`). This connector makes that chunk
+layout a first-class Spark source via the PySpark 4 DataSource API
+(`pyspark.sql.datasource`): one input partition per chunk file — the
+chunk boundary IS the parallelism unit, exactly how the cursor pages
+were written — with driver-side schema sniffing and per-row JSON
+decode on executors.
+
+Usage:
+    spark.dataSource.register(ChunkedExportDataSource)
+    df = (spark.read.format("chunked_export")
+          .option("path", "/data/export_chunks").load())
+
+Scale posture: partitions() lists files only (driver metadata pass —
+no data read); each executor task streams one chunk line-by-line
+(memory = one row, not one chunk). At 100 TB the chunk count is the
+task count, so the layout parallelizes to however many pages the
+exporter wrote. A production deployment would convert chunks to
+parquet once (`reconcile_read` handles the drifted-schema variants);
+this source exists for the landing zone, where JSON chunks are what
+the cursor produced.
+"""
+
+from __future__ import annotations
+
+import json
+from pathlib import Path
+
+from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.types import (
+    BooleanType,
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+_JSON_SPARK_TYPES = {
+    bool: BooleanType(),  # before int: bool is an int subclass
+    int: LongType(),
+    float: DoubleType(),
+    str: StringType(),
+}
+
+
+def _sniff_schema(first_line: str) -> StructType:
+    """Schema from the first record, first-seen key order. Unknown /
+    null leading values sniff as string (the raw layer's lenient
+    default — staging casts decide the real type, SURVEY §1.3)."""
+    rec = json.loads(first_line)
+    fields = []
+    for k, v in rec.items():
+        typ = _JSON_SPARK_TYPES.get(type(v), StringType())
+        fields.append(StructField(k, typ, nullable=True))
+    return StructType(fields)
+
+
+class _ChunkPartition(InputPartition):
+    def __init__(self, path: str):
+        self.path = path
+
+
+class ChunkedExportReader(DataSourceReader):
+    def __init__(self, options: dict, schema: StructType):
+        self._path = options["path"]
+        self._suffix = options.get("suffix", ".jsonl")
+        self._schema = schema
+
+    def _files(self) -> list[str]:
+        return sorted(
+            str(p) for p in Path(self._path).glob(f"*{self._suffix}")
+        )
+
+    def partitions(self):
+        # Driver metadata pass: file listing only, no data bytes.
+        return [_ChunkPartition(f) for f in self._files()]
+
+    def read(self, partition: _ChunkPartition):
+        names = [f.name for f in self._schema.fields]
+        casts = [
+            (str if isinstance(f.dataType, StringType) else None)
+            for f in self._schema.fields
+        ]
+        with open(partition.path, encoding="utf-8") as fh:
+            for line in fh:
+                line = line.strip()
+                if not line:
+                    continue
+                rec = json.loads(line)
+                row = []
+                for name, cast in zip(names, casts):
+                    v = rec.get(name)
+                    # Lenient raw layer: stringly-typed column accepts
+                    # any JSON scalar (the reference stringifies object
+                    # columns for the same reason, export_to_gcs.py:179).
+                    if v is not None and cast is str and not isinstance(v, str):
+                        v = json.dumps(v) if isinstance(v, (dict, list)) else str(v)
+                    row.append(v)
+                yield tuple(row)
+
+
+class ChunkedExportDataSource(DataSource):
+    @classmethod
+    def name(cls) -> str:
+        return "chunked_export"
+
+    def schema(self) -> StructType:
+        for f in sorted(
+            Path(self.options["path"]).glob(
+                f"*{self.options.get('suffix', '.jsonl')}"
+            )
+        ):
+            with open(f, encoding="utf-8") as fh:
+                for line in fh:
+                    if line.strip():
+                        return _sniff_schema(line)
+        raise ValueError(
+            f"chunked_export: no records under {self.options['path']}"
+        )
+
+    def reader(self, schema: StructType) -> ChunkedExportReader:
+        return ChunkedExportReader(self.options, schema)
