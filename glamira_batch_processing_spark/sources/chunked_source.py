@@ -30,7 +30,12 @@ from __future__ import annotations
 import json
 from pathlib import Path
 
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    DataSourceStreamReader,
+    InputPartition,
+)
 from pyspark.sql.types import (
     BooleanType,
     DoubleType,
@@ -125,3 +130,40 @@ class ChunkedExportDataSource(DataSource):
 
     def reader(self, schema: StructType) -> ChunkedExportReader:
         return ChunkedExportReader(self.options, schema)
+
+    def streamReader(self, schema: StructType) -> "ChunkedExportStreamReader":
+        return ChunkedExportStreamReader(self.options, schema)
+
+
+class ChunkedExportStreamReader(DataSourceStreamReader):
+    """Streaming form: the RESUMABLE export (ref export_to_gcs.py
+    checkpoint/resume, :272-293,388-405). The offset is the count of
+    chunk files already ingested — valid because the exporter names
+    pages monotonically (keyset cursor ⇒ ordered chunk_NNNNN files),
+    so the sorted listing only ever grows at the tail. Spark's
+    checkpoint persists the offset; a restarted stream resumes at the
+    first unseen chunk, never re-reading or skipping a page."""
+
+    def __init__(self, options: dict, schema: StructType):
+        self._inner = ChunkedExportReader(options, schema)
+
+    def initialOffset(self) -> dict:
+        return {"n_files": 0}
+
+    def latestOffset(self) -> dict:
+        return {"n_files": len(self._inner._files())}
+
+    def partitions(self, start: dict, end: dict):
+        files = self._inner._files()
+        return [
+            _ChunkPartition(f)
+            for f in files[start["n_files"]: end["n_files"]]
+        ]
+
+    def read(self, partition: _ChunkPartition):
+        return self._inner.read(partition)
+
+    def commit(self, end: dict) -> None:
+        # Offsets live in the stream checkpoint; nothing source-side
+        # to clean up (chunks are immutable exporter output).
+        pass

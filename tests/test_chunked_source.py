@@ -90,3 +90,57 @@ def test_chunked_source_empty_dir_raises(spark, tmp_path):
         spark.read.format("chunked_export").option(
             "path", str(tmp_path)
         ).load().collect()
+
+
+def _add_chunk(path, idx, n=4):
+    with open(f"{path}/chunk_{idx:05d}.jsonl", "w") as f:
+        for j in range(n):
+            f.write(json.dumps({"_id": idx * 100 + j, "collection": "c"}) + "\n")
+
+
+def test_chunked_source_stream_resumes_at_unseen_chunk(spark, tmp_path):
+    """The streaming reader is the RESUMABLE export: the offset is the
+    ingested-chunk count, persisted in the stream checkpoint — a
+    restart after new pages land processes ONLY the unseen chunks."""
+    src = tmp_path / "src"
+    src.mkdir()
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    _register(spark)
+    _add_chunk(src, 0)
+    _add_chunk(src, 1)
+
+    sch = StructType(
+        [
+            StructField("_id", LongType()),
+            StructField("collection", StringType()),
+        ]
+    )
+
+    def run_once():
+        q = (
+            spark.readStream.format("chunked_export")
+            .schema(sch)
+            .option("path", str(src))
+            .load()
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    run_once()
+    assert spark.read.parquet(out).count() == 8
+
+    # No new chunks: a restarted stream must be a no-op.
+    run_once()
+    assert spark.read.parquet(out).count() == 8
+
+    # One new page lands; the resumed stream ingests exactly it.
+    _add_chunk(src, 2)
+    run_once()
+    back = spark.read.parquet(out)
+    assert back.count() == 12
+    assert back.filter(F.col("_id") >= 200).count() == 4
