@@ -41,6 +41,22 @@ _MANIFEST_DIR = "_manifests"
 _DATA_DIR = "data"
 
 
+class StagedWrite:
+    """Handle to an uncommitted (invisible) write; see
+    :meth:`VersionedTable.stage`."""
+
+    def __init__(self, table, data_dir, files, schema, txn_id):
+        self.table = table
+        self.data_dir = data_dir
+        self.files = files
+        self.schema = schema
+        self.txn_id = txn_id
+
+    def read(self, spark: "SparkSession") -> "DataFrame":
+        """The staged snapshot, for audit queries."""
+        return spark.read.parquet(str(self.data_dir))
+
+
 class VersionConflictError(RuntimeError):
     """Another writer committed this version first — re-read and retry."""
 
@@ -178,6 +194,7 @@ class VersionedTable:
         txn_id: str | None = None,
         files: list[dict] | None = None,
         schema: list[list[str]] | None = None,
+        cleanup_on_conflict: bool = True,
     ) -> None:
         """Make ``version`` visible. Atomic: the manifest file either
         exists completely or not at all; O_EXCL create serializes
@@ -215,7 +232,8 @@ class VersionedTable:
         try:
             os.link(tmp, self._manifest_path(version))
         except FileExistsError:
-            shutil.rmtree(data_dir, ignore_errors=True)  # our orphaned write
+            if cleanup_on_conflict:
+                shutil.rmtree(data_dir, ignore_errors=True)  # our orphaned write
             raise VersionConflictError(
                 f"version {version} was committed concurrently; retry from latest"
             ) from None
@@ -406,6 +424,92 @@ class VersionedTable:
         target, source = _align_merge_schemas(target, source, keys)
         merged = merge_upsert(target, source, keys, order_by=order_by)
         return self._write_version(merged, next_version, op, txn_id=txn_id)
+
+    # -- write-audit-publish ----------------------------------------------
+
+    def stage(self, df: DataFrame, txn_id: str | None = None) -> "StagedWrite":
+        """Write ``df``'s files WITHOUT committing a version: the data
+        lands under a staging directory no manifest references, so
+        readers cannot see it. Audit the staged snapshot with
+        :meth:`StagedWrite.read`, then :meth:`publish` (atomic flip to
+        the next version) or :meth:`abort` (delete the files). The
+        Iceberg/Delta write-audit-publish pattern on the same manifest
+        machinery every other commit uses."""
+        data_dir = self.path / _DATA_DIR / f"staged-{uuid.uuid4().hex[:12]}"
+        df.write.mode("errorifexists").parquet(str(data_dir))
+        files = None
+        if self.stat_columns:
+            from concurrent.futures import ThreadPoolExecutor
+
+            parts = sorted(str(p) for p in data_dir.glob("part-*.parquet"))
+            with ThreadPoolExecutor(max_workers=min(32, max(1, len(parts)))) as pool:
+                results = list(
+                    pool.map(lambda p: _file_column_stats(p, self.stat_columns), parts)
+                )
+            files = [
+                {
+                    "path": str(Path(p).relative_to(data_dir)),
+                    "rows": rows,
+                    "stats": stats,
+                }
+                for p, rows, stats in results
+            ]
+        schema = [[f.name, f.dataType.simpleString()] for f in df.schema.fields]
+        return StagedWrite(self, data_dir, files, schema, txn_id)
+
+    def publish(self, staged: "StagedWrite", operation: str = "wap-publish") -> int:
+        """Atomically make a staged write the next table version. Safe
+        under concurrent committers: a manifest race does NOT delete
+        the staged files (cleanup_on_conflict=False) — publish simply
+        retries at the new head, because the staged snapshot is
+        self-contained (full-replace semantics, like overwrite)."""
+        while True:
+            latest = self.latest_version()
+            version = 0 if latest is None else latest + 1
+            try:
+                self._commit(
+                    version,
+                    staged.data_dir,
+                    operation,
+                    txn_id=staged.txn_id,
+                    files=staged.files,
+                    schema=staged.schema,
+                    cleanup_on_conflict=False,
+                )
+                return version
+            except VersionConflictError:
+                continue
+
+    def abort(self, staged: "StagedWrite") -> None:
+        """Drop a staged write that failed its audit."""
+        shutil.rmtree(staged.data_dir, ignore_errors=True)
+
+    def write_audit_publish(
+        self,
+        df: DataFrame,
+        checks: list[tuple[str, "callable"]],
+        operation: str = "wap-publish",
+        txn_id: str | None = None,
+    ) -> tuple[int | None, dict[str, bool]]:
+        """Stage ``df``, run every (name, check) against the STAGED
+        data (checks read the actual files that would become the
+        version, not the logical plan — a flaky upstream cannot pass
+        audit with different bytes than it publishes), publish only if
+        all pass. Returns (published version or None, per-check
+        results); on failure the table head is untouched and the
+        staged files are gone."""
+        staged = self.stage(df, txn_id=txn_id)
+        staged_df = staged.read(df.sparkSession)
+        results: dict[str, bool] = {}
+        ok = True
+        for name, check in checks:
+            passed = bool(check(staged_df))
+            results[name] = passed
+            ok = ok and passed
+        if not ok:
+            self.abort(staged)
+            return None, results
+        return self.publish(staged, operation=operation), results
 
     def diff(
         self,

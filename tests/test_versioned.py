@@ -7,6 +7,7 @@ The transactional-MERGE analog of the reference's warehouse MERGE
 from __future__ import annotations
 
 import pytest
+from pyspark.sql import functions as F
 
 from glamira_batch_processing_spark.sources.versioned import (
     VersionConflictError,
@@ -458,3 +459,60 @@ def test_merge_type_drift_raises(spark, tmp_path):
     nokey = spark.createDataFrame([("x",)], "other string")
     with pytest.raises(ValueError, match="merge keys"):
         t.merge(spark, nokey, keys=["k"])
+
+
+def test_write_audit_publish_failed_check_leaves_head_untouched(spark, tmp_path):
+    """WAP: a staged write that fails audit must vanish — no new
+    version, no leftover staged files, head still readable."""
+    from glamira_batch_processing_spark.sources.versioned import VersionedTable
+
+    t = VersionedTable(tmp_path / "wap")
+    t.create(spark.createDataFrame([(1, "a")], "k long, v string"))
+    bad = spark.createDataFrame([(2, None)], "k long, v string")
+    version, results = t.write_audit_publish(
+        bad,
+        checks=[
+            ("v_not_null", lambda df: df.filter(F.col("v").isNull()).count() == 0),
+            ("nonempty", lambda df: df.count() > 0),
+        ],
+    )
+    assert version is None
+    assert results == {"v_not_null": False, "nonempty": True}
+    assert t.latest_version() == 0
+    assert t.read(spark).count() == 1
+    staged_left = list((tmp_path / "wap").rglob("staged-*"))
+    assert staged_left == []
+
+
+def test_write_audit_publish_passing_checks_publishes_atomically(spark, tmp_path):
+    from glamira_batch_processing_spark.sources.versioned import VersionedTable
+
+    t = VersionedTable(tmp_path / "wap2")
+    t.create(spark.createDataFrame([(1, "a")], "k long, v string"))
+    good = spark.createDataFrame([(2, "b"), (3, "c")], "k long, v string")
+    version, results = t.write_audit_publish(
+        good, checks=[("nonempty", lambda df: df.count() > 0)]
+    )
+    assert version == 1 and results == {"nonempty": True}
+    assert t.read(spark).count() == 2
+    # time travel to the pre-publish snapshot still works
+    assert t.read(spark, version=0).count() == 1
+
+
+def test_publish_survives_concurrent_commit_between_stage_and_publish(
+    spark, tmp_path
+):
+    """A commit landing between stage() and publish() must not destroy
+    the staged files; publish retries at the new head."""
+    from glamira_batch_processing_spark.sources.versioned import VersionedTable
+
+    t = VersionedTable(tmp_path / "wap3")
+    t.create(spark.createDataFrame([(1, "a")], "k long, v string"))
+    staged = t.stage(spark.createDataFrame([(9, "z")], "k long, v string"))
+    # Concurrent writer bumps the head while our audit "runs".
+    t.overwrite(spark.createDataFrame([(5, "e")], "k long, v string"))
+    assert t.latest_version() == 1
+    v = t.publish(staged)
+    assert v == 2
+    got = {(r.k, r.v) for r in t.read(spark).collect()}
+    assert got == {(9, "z")}
