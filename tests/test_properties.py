@@ -216,3 +216,50 @@ def test_wav_codec_roundtrip_law(n_frames, rate, n_channels, seed):
             rate,
             n_frames,
         )
+
+
+vec_rows = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=30),  # vec_id (dups possible -> distinct below)
+        st.lists(
+            st.integers(min_value=-3, max_value=3).map(float),
+            min_size=8,
+            max_size=8,
+        ),
+    ),
+    min_size=1,
+    max_size=10,
+).map(lambda xs: list({i: v for i, v in xs}.items()))
+
+
+@given(data=vec_rows)
+@_SETTINGS
+def test_semdedup_tau_monotonicity_and_survivor_law(data):
+    """(1) Raising tau can only shrink the pruned set; (2) within every
+    cluster the minimum surviving... in fact the min-id member is NEVER
+    pruned (there is no lower id to prune it); (3) output ids = input
+    ids exactly once."""
+    from glamira_batch_processing_spark.operators.clustering import seed_centroids
+    from glamira_batch_processing_spark.operators.similarity import semdedup_prune
+
+    # zero vectors break cosine (0/0); nudge them off the origin
+    data = [
+        (i, v if any(x != 0.0 for x in v) else [1.0] + v[1:])
+        for i, v in data
+    ]
+    vecs = SPARK.createDataFrame(data, "vec_id long, embedding array<double>")
+    cents = seed_centroids(dim=8, k=3)
+    lo = semdedup_prune(vecs, cents, tau=0.4).collect()
+    hi = semdedup_prune(vecs, cents, tau=0.9).collect()
+    pruned_lo = {r.vec_id for r in lo if r.is_pruned}
+    pruned_hi = {r.vec_id for r in hi if r.is_pruned}
+    assert pruned_hi <= pruned_lo
+    assert {r.vec_id for r in lo} == {i for i, _ in data}
+    assert len(lo) == len(data)
+    for rows_ in (lo, hi):
+        by_cluster: dict[int, int] = {}
+        for r in rows_:
+            by_cluster.setdefault(r.cluster_id, r.vec_id)
+            by_cluster[r.cluster_id] = min(by_cluster[r.cluster_id], r.vec_id)
+        min_ids = set(by_cluster.values())
+        assert not any(r.is_pruned for r in rows_ if r.vec_id in min_ids)
