@@ -105,7 +105,7 @@ from glamira_batch_processing_spark.plans.registry import ORACLE, QUERIES
 # q21/q22), dedup_semdedup_prune (cluster-scoped semantic dedup),
 # ann_ivfpq_residual_topk (residual IVFADC), w7_range_interval_frame,
 # dedup_lsh_recall_eval (planted-dup recall of the LSH stage),
-# f12_variant_extract, and f13_collated_group.
+# f12_variant_extract, f13_collated_group, mix_temperature_sampling.
 _PRIORITY: list[str] = [
     # Flagships: whole-warehouse DAG (staging -> SCD -> marts -> rollup)
     # and whole-training-data pipeline (quality -> dedup+components ->

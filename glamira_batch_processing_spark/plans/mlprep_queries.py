@@ -852,3 +852,129 @@ def corpus_shuffle_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
         "shard",
         F.row_number().over(w).cast("long").alias("pos_in_shard"),
     )
+
+
+@query(
+    "mix_temperature_sampling",
+    oracle="""
+    WITH c AS (
+      SELECT source, COUNT(*) AS n_docs FROM documents GROUP BY source
+    ),
+    tot AS (
+      SELECT CAST(SUM(n_docs) // 2 AS BIGINT) AS target FROM c
+    ),
+    s AS (
+      SELECT list_reduce(
+               list(sqrt(CAST(n_docs AS DOUBLE)) ORDER BY source),
+               (a, b) -> a + b) AS ssum
+      FROM c
+    ),
+    quota AS (
+      SELECT c.source, c.n_docs,
+             CAST(floor(CAST((SELECT target FROM tot) AS DOUBLE)
+                        * sqrt(CAST(c.n_docs AS DOUBLE))
+                        / (SELECT ssum FROM s)) AS BIGINT) AS n_keep
+      FROM c
+    ),
+    ranked AS (
+      SELECT d.source, d.doc_id,
+             row_number() OVER (
+               PARTITION BY d.source
+               ORDER BY md5(CAST(d.doc_id AS VARCHAR) || 'temp-v1'), d.doc_id
+             ) AS rk
+      FROM documents d
+    )
+    SELECT q.source, q.n_docs, q.n_keep,
+           CAST(q.n_keep AS DOUBLE) / q.n_docs AS frac_kept,
+           k.min_kept_doc, k.max_kept_doc
+    FROM quota q
+    JOIN (SELECT r.source, MIN(r.doc_id) AS min_kept_doc,
+                 MAX(r.doc_id) AS max_kept_doc
+          FROM ranked r JOIN quota q2 ON r.source = q2.source
+          WHERE r.rk <= q2.n_keep GROUP BY r.source) k
+      USING (source)
+    ORDER BY source
+    """,
+)
+def mix_temperature_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-based source sampling (the multilingual flattening
+    rule of XLM-R/mT5, public research: sample source s with
+    probability ∝ n_s^alpha, alpha=0.5): downsample the corpus to half
+    its size with per-source quotas ∝ sqrt(n_s), so small sources keep
+    a LARGER fraction than big ones — the property the oracle's
+    frac_kept column exposes directly.
+
+    Cross-engine exactness discipline: sqrt is correctly rounded in
+    IEEE-754 (bit-identical in both engines), but the denominator
+    SUM of sqrts is float addition — order-sensitive — so it is an
+    ORDERED fold over the source-sorted list, never a parallel SUM;
+    target and counts stay integers until the one quota expression,
+    which both engines evaluate with identical operand order.
+    Survivors are the same deterministic md5-rank discipline as
+    mix_resample_sources (stable under reruns and appends), and the
+    oracle verifies the kept SAMPLE (min/max doc per source), not just
+    the quota arithmetic.
+
+    Scale shape: one map-side-combinable count per source, a 1-row
+    broadcast of (target, ssum), a #sources-row quota broadcast, and
+    ONE per-source rank window over the corpus. Nothing grows with
+    anything but the data."""
+    docs = table(spark, sf_dir, "documents")
+    c = docs.groupBy("source").agg(F.count("*").alias("n_docs"))
+    stats = c.agg(
+        (F.sum("n_docs") / 2).cast("bigint").alias("target"),
+        F.aggregate(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.struct(
+                            F.col("source"),
+                            F.sqrt(F.col("n_docs").cast("double")).alias("sq"),
+                        )
+                    )
+                ),
+                lambda s: s.getField("sq"),
+            ),
+            F.lit(0.0),
+            lambda a, b: a + b,
+        ).alias("ssum"),
+    )
+    quota = c.join(F.broadcast(stats)).select(
+        "source",
+        "n_docs",
+        F.floor(
+            F.col("target").cast("double")
+            * F.sqrt(F.col("n_docs").cast("double"))
+            / F.col("ssum")
+        )
+        .cast("bigint")
+        .alias("n_keep"),
+    )
+    w = Window.partitionBy("source").orderBy(
+        F.md5(F.concat(F.col("doc_id").cast("string"), F.lit("temp-v1"))),
+        "doc_id",
+    )
+    ranked = docs.select("source", "doc_id").withColumn(
+        "rk", F.row_number().over(w)
+    )
+    kept = (
+        ranked.join(F.broadcast(quota.select("source", "n_keep")), "source")
+        .filter(F.col("rk") <= F.col("n_keep"))
+        .groupBy("source")
+        .agg(
+            F.min("doc_id").alias("min_kept_doc"),
+            F.max("doc_id").alias("max_kept_doc"),
+        )
+    )
+    return (
+        quota.join(kept, "source")
+        .select(
+            "source",
+            "n_docs",
+            "n_keep",
+            (F.col("n_keep").cast("double") / F.col("n_docs")).alias("frac_kept"),
+            "min_kept_doc",
+            "max_kept_doc",
+        )
+        .orderBy("source")
+    )
