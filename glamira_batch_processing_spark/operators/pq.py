@@ -298,6 +298,11 @@ def ivfpq_adc_topk(
     Shuffle budget: one exchange for the per-(vector, subspace) code
     min-agg, one for the (query, candidate) partial sum, one for the
     per-query top-k window — none touch raw vectors.
+
+    ``query_pred`` should select a PROBE-sized set: the per-query
+    distance table (m*ks rows each) broadcasts, so all-vectors-as-
+    queries (query_pred=None) is only sane on small corpora — exactly
+    like handing a full table to any broadcast side.
     """
     from pyspark.sql import Window
 

@@ -449,7 +449,12 @@ def semdedup_prune(
     Pairwise work is an equi-self-join ON cluster_id, never all-pairs:
     with k ~ sqrt(N) clusters the quadratic term is bounded by cluster
     population, which is what makes embedding dedup feasible at
-    100 TB."""
+    100 TB.
+
+    Zero vectors have no direction: their cosine is NaN, every
+    threshold comparison is false, and they pass through unpruned
+    (and prune nothing) — callers who consider zero embeddings
+    duplicates of each other should drop or impute them first."""
     from .clustering import lloyd_assign
 
     assigned = vecs.withColumn(

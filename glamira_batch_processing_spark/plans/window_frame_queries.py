@@ -172,7 +172,7 @@ def w6_ntile_percent_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
              RANGE BETWEEN 259200 PRECEDING AND CURRENT ROW
            ) AS BIGINT) AS trailing_3d_cents
     FROM orders
-    WHERE o_custkey % 50 = 0
+    WHERE o_custkey % 50 = 0 AND o_orderdate IS NOT NULL
     """,
 )
 def w7_range_interval_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -185,9 +185,13 @@ def w7_range_interval_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: one exchange on the customer key, per-partition sort
     by the numeric epoch, and the RANGE bound is evaluated by frame
     pointer advance (no self-join, no explode-into-days); the
-    sampling filter pushes to the scan. Sums are exact integer
-    cents."""
-    o = table(spark, sf_dir, "orders").filter(F.col("o_custkey") % 50 == 0)
+    sampling filter pushes to the scan. Sums are exact integer cents.
+    Null order dates are excluded on BOTH engines — engines disagree
+    on how a null ordering key joins a RANGE frame's peer group, so a
+    null-dated order must never reach the frame."""
+    o = table(spark, sf_dir, "orders").filter(
+        (F.col("o_custkey") % 50 == 0) & F.col("o_orderdate").isNotNull()
+    )
     w = (
         Window.partitionBy("o_custkey")
         .orderBy(F.unix_timestamp(F.col("o_orderdate")))

@@ -58,6 +58,11 @@ def _sniff_schema(first_line: str) -> StructType:
     null leading values sniff as string (the raw layer's lenient
     default — staging casts decide the real type, SURVEY §1.3)."""
     rec = json.loads(first_line)
+    if not isinstance(rec, dict):
+        raise ValueError(
+            "chunked_export: first record is not a JSON object — JSONL "
+            "chunks must contain one object per line"
+        )
     fields = []
     for k, v in rec.items():
         typ = _JSON_SPARK_TYPES.get(type(v), StringType())
@@ -96,7 +101,17 @@ class ChunkedExportReader(DataSourceReader):
                 line = line.strip()
                 if not line:
                     continue
-                rec = json.loads(line)
+                try:
+                    rec = json.loads(line)
+                except ValueError as e:
+                    raise ValueError(
+                        f"chunked_export: corrupt JSON in {partition.path}: {e}"
+                    ) from e
+                if not isinstance(rec, dict):
+                    raise ValueError(
+                        f"chunked_export: non-object record in {partition.path}"
+                        " (JSONL chunks must contain one object per line)"
+                    )
                 row = []
                 for name, cast in zip(names, casts):
                     v = rec.get(name)
