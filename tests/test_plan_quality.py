@@ -508,3 +508,79 @@ def test_w7_range_frame_single_exchange_no_explode(spark):
     assert plan.count("Window") == 1
     assert "Generate" not in plan
     assert "Join" not in plan
+
+
+def test_dynamic_partition_pruning_injects_subquery(spark, tmp_path):
+    """A disk-partitioned fact joined to a filtered dim on the
+    partition column must get a dynamicpruningexpression in its
+    PartitionFilters — Spark plans a runtime subquery that reads ONLY
+    the dim-selected partitions. At 100 TB this is the difference
+    between scanning 12 months and scanning the 2 the dim kept."""
+    fact = spark.range(100000).select(
+        F.col("id").alias("k"),
+        (F.col("id") % 12).cast("string").alias("month"),
+        (F.col("id") % 97).alias("v"),
+    )
+    fact.write.partitionBy("month").parquet(str(tmp_path / "fact"))
+    dim = spark.createDataFrame(
+        [(str(i), "keep" if i < 2 else "drop") for i in range(12)],
+        "month string, flag string",
+    )
+    j = (
+        spark.read.parquet(str(tmp_path / "fact"))
+        .join(dim.filter(F.col("flag") == "keep"), "month")
+        .groupBy("month")
+        .count()
+    )
+    plan = plan_of(j)
+    assert "dynamicpruningexpression" in plan.lower(), plan
+
+
+def test_aqe_splits_skewed_join_partitions(spark):
+    """With one hot key dominating the left side, AQE must detect the
+    skew at runtime and split the oversized partition:
+    SortMergeJoin(skew=true) + 'coalesced and skewed' shuffle reads in
+    the FINAL adaptive plan. This is the runtime half of the skew
+    story (the planned half is the salting operator, skew_salted_agg);
+    thresholds are lowered to make toy data cross the same code path a
+    100 TB hot key crosses with defaults."""
+    saved = {
+        k: spark.conf.get(k, None)
+        for k in (
+            "spark.sql.autoBroadcastJoinThreshold",
+            "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+        )
+    }
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set(
+            "spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2"
+        )
+        spark.conf.set(
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+            "65536",
+        )
+        spark.conf.set(
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes", "65536"
+        )
+        left = spark.range(300000).select(
+            F.when(F.col("id") % 3 != 0, 0)
+            .otherwise(F.col("id") % 101)
+            .alias("k"),
+            F.col("id").alias("lv"),
+        )
+        right = spark.range(101).select(
+            F.col("id").alias("k"), F.col("id").alias("rv")
+        )
+        j = left.join(right, "k").select(F.sum("lv").alias("s"))
+        j.collect()  # AQE decides at runtime; read the FINAL plan
+        plan = plan_of(j)
+        assert "skew=true" in plan, plan
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
