@@ -70,6 +70,38 @@ def _sniff_schema(first_line: str) -> StructType:
     return StructType(fields)
 
 
+def _coercer(dtype):
+    """PERMISSIVE-style scalar coercion (the contract of
+    spark.read.json's default mode): a value whose JSON type does not
+    match the sniffed column type becomes NULL instead of crashing the
+    task — later records may drift (the reference's whole
+    normalize_parquet_run exists because they do), and the raw layer's
+    job is to land them, not to die. String columns accept ANY value
+    (objects/arrays re-serialized, scalars stringified — the
+    reference's stringify-all-objects defensive encode,
+    export_to_gcs.py:179)."""
+    if isinstance(dtype, StringType):
+        def to_str(v):
+            if v is None or isinstance(v, str):
+                return v
+            if isinstance(v, (dict, list)):
+                return json.dumps(v)
+            if isinstance(v, bool):
+                return "true" if v else "false"
+            return str(v)
+
+        return to_str
+    if isinstance(dtype, BooleanType):
+        return lambda v: v if isinstance(v, bool) else None
+    if isinstance(dtype, LongType):
+        return lambda v: v if type(v) is int else None
+    if isinstance(dtype, DoubleType):
+        return lambda v: (
+            float(v) if type(v) in (int, float) else None
+        )
+    return lambda v: None  # unreachable with sniffed schemas
+
+
 class _ChunkPartition(InputPartition):
     def __init__(self, path: str):
         self.path = path
@@ -91,11 +123,7 @@ class ChunkedExportReader(DataSourceReader):
         return [_ChunkPartition(f) for f in self._files()]
 
     def read(self, partition: _ChunkPartition):
-        names = [f.name for f in self._schema.fields]
-        casts = [
-            (str if isinstance(f.dataType, StringType) else None)
-            for f in self._schema.fields
-        ]
+        fields = [(f.name, _coercer(f.dataType)) for f in self._schema.fields]
         with open(partition.path, encoding="utf-8") as fh:
             for line in fh:
                 line = line.strip()
@@ -112,16 +140,7 @@ class ChunkedExportReader(DataSourceReader):
                         f"chunked_export: non-object record in {partition.path}"
                         " (JSONL chunks must contain one object per line)"
                     )
-                row = []
-                for name, cast in zip(names, casts):
-                    v = rec.get(name)
-                    # Lenient raw layer: stringly-typed column accepts
-                    # any JSON scalar (the reference stringifies object
-                    # columns for the same reason, export_to_gcs.py:179).
-                    if v is not None and cast is str and not isinstance(v, str):
-                        v = json.dumps(v) if isinstance(v, (dict, list)) else str(v)
-                    row.append(v)
-                yield tuple(row)
+                yield tuple(coerce(rec.get(name)) for name, coerce in fields)
 
 
 class ChunkedExportDataSource(DataSource):

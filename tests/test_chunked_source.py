@@ -144,3 +144,32 @@ def test_chunked_source_stream_resumes_at_unseen_chunk(spark, tmp_path):
     back = spark.read.parquet(out)
     assert back.count() == 12
     assert back.filter(F.col("_id") >= 200).count() == 4
+
+
+def test_chunked_source_permissive_type_drift(spark, tmp_path):
+    """Later records may drift from the sniffed schema (the reference's
+    normalize_parquet_run exists because they do): a mismatched scalar
+    lands as NULL — spark.read.json PERMISSIVE semantics — while
+    string columns absorb anything (objects re-serialized, scalars
+    stringified)."""
+    _register(spark)
+    recs = [
+        {"_id": 1, "price": 9.5, "active": True, "note": "ok"},
+        # drifted: _id string, price bool, active int, note object
+        {"_id": "x", "price": True, "active": 2, "note": {"a": 1}},
+        # drifted: price int (int widens to double), note number
+        {"_id": 3, "price": 7, "active": False, "note": 4.5},
+    ]
+    with open(tmp_path / "chunk_00000.jsonl", "w") as f:
+        for r in recs:
+            f.write(json.dumps(r) + "\n")
+    df = spark.read.format("chunked_export").option(
+        "path", str(tmp_path)
+    ).load()
+    rows = sorted(df.collect(), key=lambda r: (r._id is None, r._id or 0))
+    by = {r.note: r for r in rows}
+    assert by["ok"]._id == 1 and by["ok"].price == 9.5 and by["ok"].active is True
+    drifted = by['{"a": 1}']
+    assert drifted._id is None and drifted.price is None and drifted.active is None
+    widened = by["4.5"]
+    assert widened._id == 3 and widened.price == 7.0 and widened.active is False
