@@ -434,12 +434,18 @@ def range_lookup_ip_geo(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM lineitem
     ),
     sums AS (
+      -- HUGEINT -> DOUBLE double-rounds in DuckDB (upper*2^64 + lower
+      -- evaluated in double arithmetic), so past 2^63 the direct cast
+      -- is off by an ulp from the correctly-rounded value Spark's
+      -- decimal->double produces. Routing through VARCHAR uses the
+      -- correctly-rounded string->double parse instead — bit-identical
+      -- to Spark at every scale.
       SELECT CAST(COUNT(*) AS DOUBLE) AS n,
-             CAST(SUM(x) AS DOUBLE) AS sx,
-             CAST(SUM(y) AS DOUBLE) AS sy,
-             CAST(SUM(x*x) AS DOUBLE) AS sxx,
-             CAST(SUM(y*y) AS DOUBLE) AS syy,
-             CAST(SUM(x*y) AS DOUBLE) AS sxy
+             CAST(CAST(SUM(x) AS VARCHAR) AS DOUBLE) AS sx,
+             CAST(CAST(SUM(y) AS VARCHAR) AS DOUBLE) AS sy,
+             CAST(CAST(SUM(x*x) AS VARCHAR) AS DOUBLE) AS sxx,
+             CAST(CAST(SUM(y*y) AS VARCHAR) AS DOUBLE) AS syy,
+             CAST(CAST(SUM(x*y) AS VARCHAR) AS DOUBLE) AS sxy
       FROM c
     )
     SELECT CAST(n AS BIGINT) AS n_rows,
@@ -457,7 +463,12 @@ def stats_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
     result is engine-bit-exact where the engines' native corr()
     (Welford-style streaming accumulators, summation-order dependent)
     is not. One map-side-combinable aggregate pass at any scale;
-    nothing shuffles but six partial sums per partition."""
+    nothing shuffles but six partial sums per partition.
+
+    Cross-scale exactness: sums past 2^63 expose DuckDB's
+    double-rounding HUGEINT->DOUBLE cast (found by running the oracle
+    gate at sf0.1); the oracle converts via VARCHAR (correctly-rounded
+    parse) to match Spark's correctly-rounded decimal->double."""
     from .core_queries import _dec38, cents
 
     l = table(spark, sf_dir, "lineitem")
