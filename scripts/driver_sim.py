@@ -49,6 +49,10 @@ def main() -> int:
         SparkSession.builder.master("local[16]")
         .config("spark.sql.shuffle.partitions", "16")
         .config("spark.ui.enabled", "false")
+        # The default 1g driver heap OOMs on the 10x (.scale/sf1)
+        # cross-scale runs; the driver's own harness uses a larger
+        # heap too, so match session.py's sizing.
+        .config("spark.driver.memory", "8g")
         .appName("driver-sim")
         .getOrCreate()
     )
@@ -64,7 +68,11 @@ def main() -> int:
         qs = {n: f for n, f in qs.items() if n in only}
     con = duckdb.connect()
     for t in TABLES:
-        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf}/{t}.parquet'")
+        # Driver testdata is one file per table; Spark-written sets
+        # (.scale/sf1) are a directory of part files.
+        p = Path(sf) / f"{t}.parquet"
+        src = f"{p}/*.parquet" if p.is_dir() else str(p)
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{src}'")
 
     fails = []
     for name, fn in sorted(qs.items()):
