@@ -57,6 +57,20 @@ def pq_codebooks(dim: int, m: int = 8, ks: int = 16) -> list[list[list[float]]]:
     return books
 
 
+def subspace_fold_q(term, ds: int) -> Column:
+    """THE engine-exactness-critical fold, defined once: left-assoc sum
+    of ``term(i)`` for i in [0, ds) — ((t0+t1)+t2)... matching DuckDB's
+    list_reduce — micro-quantized floor(x*1e6 + 0.5) as bigint. Every
+    PQ/IVFADC code path builds its subspace distance through this
+    helper so the cross-engine bit-for-bit contract has a single
+    definition to keep correct."""
+    total: Column | None = None
+    for i in range(ds):
+        t = term(i)
+        total = t if total is None else total + t
+    return F.floor(total * QUANT + F.lit(0.5)).cast("long")
+
+
 def _subdist_q(vec: Column, s: int, centroid: list[float]) -> Column:
     """Quantized squared L2 between subspace s of ``vec`` and a literal
     centroid: left-associated term sum -> floor(x*1e6 + 0.5) bigint.
@@ -67,12 +81,12 @@ def _subdist_q(vec: Column, s: int, centroid: list[float]) -> Column:
     ~6x slower than the codegen'd explicit sum. The left-assoc order
     ((t1+t2)+t3)... matches DuckDB's list_reduce fold exactly."""
     ds = len(centroid)
-    total: Column | None = None
-    for i, c in enumerate(centroid):
-        x = F.element_at(vec, s * ds + i + 1).cast("double") - F.lit(c)
-        t = x * x
-        total = t if total is None else total + t
-    return F.floor(total * QUANT + F.lit(0.5)).cast("long")
+
+    def term(i: int) -> Column:
+        x = F.element_at(vec, s * ds + i + 1).cast("double") - F.lit(centroid[i])
+        return x * x
+
+    return subspace_fold_q(term, ds)
 
 
 def pq_encode_expr(vec: Column, codebooks: list[list[list[float]]]) -> list[Column]:
@@ -125,6 +139,7 @@ def pq_adc_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     k: int = 10,
+    exclude_self: bool = True,
 ) -> DataFrame:
     """(query_id, neighbor_id, rank, adc_q1e6): top-k candidates per
     query by ADC distance over PQ codes.
@@ -135,11 +150,15 @@ def pq_adc_topk(
     per query) and summing m exact bigint partials. Shuffle budget:
     one exchange for the (query, candidate) partial sum, one for the
     per-query top-k window — independent of dim.
+
+    ``exclude_self`` drops candidates whose id equals the query_id —
+    correct ONLY when queries are drawn from the corpus id space; set
+    False for external query sets, where an id coincidence would
+    silently exclude a legitimate neighbor.
     """
     from pyspark.sql import Window
 
     spark = embeddings.sparkSession
-    m = len(codebooks)
     ds = len(codebooks[0][0])
     ks = len(codebooks[0])
 
@@ -152,14 +171,17 @@ def pq_adc_topk(
     # join at sf0.1. Shuffle volume here is m compact rows per vector
     # (the size of the codes themselves).
     cents = pq_centroids_df(spark, codebooks)
-    fold_c: Column | None = None
-    for i in range(ds):
-        x = F.element_at(F.col(vec_col), F.col("s") * ds + i + 1).cast(
-            "double"
-        ) - F.element_at(F.col("cent"), i + 1)
-        t = x * x
-        fold_c = t if fold_c is None else fold_c + t
-    dist_q = F.floor(fold_c * QUANT + F.lit(0.5)).cast("long")
+
+    def rel_term(vec_name: str):
+        def term(i: int) -> Column:
+            x = F.element_at(F.col(vec_name), F.col("s") * ds + i + 1).cast(
+                "double"
+            ) - F.element_at(F.col("cent"), i + 1)
+            return x * x
+
+        return term
+
+    dist_q = subspace_fold_q(rel_term(vec_col), ds)
     codes = (
         embeddings.crossJoin(F.broadcast(cents))
         .select(
@@ -170,25 +192,18 @@ def pq_adc_topk(
         .groupBy("neighbor_id", "s")
         .agg((F.min("key") % ks).cast("int").alias("code"))
     )
-    fold: Column | None = None
-    for i in range(ds):
-        x = F.element_at(F.col("qvec"), F.col("s") * ds + i + 1).cast(
-            "double"
-        ) - F.element_at(F.col("cent"), i + 1)
-        t = x * x
-        fold = t if fold is None else fold + t
     qtab = queries.crossJoin(F.broadcast(cents)).select(
         "query_id",
         "s",
         F.col("c").alias("code"),
-        F.floor(fold * QUANT + F.lit(0.5)).cast("long").alias("partial_q"),
+        subspace_fold_q(rel_term("qvec"), ds).alias("partial_q"),
     )
 
-    scored = (
-        codes.join(F.broadcast(qtab), ["s", "code"])
-        .filter(F.col("query_id") != F.col("neighbor_id"))
-        .groupBy("query_id", "neighbor_id")
-        .agg(F.sum("partial_q").alias("adc_q1e6"))
+    scored = codes.join(F.broadcast(qtab), ["s", "code"])
+    if exclude_self:
+        scored = scored.filter(F.col("query_id") != F.col("neighbor_id"))
+    scored = scored.groupBy("query_id", "neighbor_id").agg(
+        F.sum("partial_q").alias("adc_q1e6")
     )
     w = Window.partitionBy("query_id").orderBy("adc_q1e6", "neighbor_id")
     return (
@@ -249,9 +264,12 @@ def pq_quantization_mse(
     Computed as one map-side-combinable aggregate over the same
     broadcast-centroid argmin join the encoder uses."""
     spark = embeddings.sparkSession
-    m = len(codebooks)
     ds = len(codebooks[0][0])
     cents = pq_centroids_df(spark, codebooks)
+    # Intentionally NOT subspace_fold_q: MSE is a quality metric
+    # compared by inequality (trained < seeded), not an oracle-bitwise
+    # value, so it keeps full double precision instead of the 1e-6
+    # quantization.
     fold: Column | None = None
     for i in range(ds):
         x = F.element_at(F.col(vec_col), F.col("s") * ds + i + 1).cast(
@@ -279,6 +297,7 @@ def ivfpq_adc_topk(
     vec_col: str = "embedding",
     query_pred: Column | None = None,
     k: int = 5,
+    exclude_self: bool = True,
 ) -> DataFrame:
     """IVF + PQ with RESIDUAL encoding (Jegou et al. 2011 §IV — the
     composition FAISS calls IVFADC): assign every vector to its
@@ -302,14 +321,15 @@ def ivfpq_adc_topk(
     ``query_pred`` should select a PROBE-sized set: the per-query
     distance table (m*ks rows each) broadcasts, so all-vectors-as-
     queries (query_pred=None) is only sane on small corpora — exactly
-    like handing a full table to any broadcast side.
+    like handing a full table to any broadcast side. ``exclude_self``
+    as in :func:`pq_adc_topk` (queries here ARE corpus rows, so the
+    default True is right for this entry point).
     """
     from pyspark.sql import Window
 
     from .clustering import lloyd_assign
 
     spark = embeddings.sparkSession
-    m = len(codebooks)
     ds = len(codebooks[0][0])
     ks = len(codebooks[0])
 
@@ -325,19 +345,17 @@ def ivfpq_adc_topk(
     cents = pq_centroids_df(spark, codebooks)
 
     def resid_subdist(vec: str) -> Column:
-        # Left-assoc fold of ((x_i - coarse_i) - cent_i)^2 over the
-        # subspace, matching the DuckDB list_reduce twin exactly.
-        total: Column | None = None
-        for i in range(ds):
+        # ((x_i - coarse_i) - cent_i)^2 through the shared exact fold.
+        def term(i: int) -> Column:
             idx = F.col("s") * ds + i + 1
             x = (
                 F.element_at(F.col(vec), idx).cast("double")
                 - F.element_at(F.col("ccent"), idx)
                 - F.element_at(F.col("cent"), i + 1)
             )
-            t = x * x
-            total = t if total is None else total + t
-        return F.floor(total * QUANT + F.lit(0.5)).cast("long")
+            return x * x
+
+        return subspace_fold_q(term, ds)
 
     codes = (
         base.crossJoin(F.broadcast(cents))
@@ -360,16 +378,16 @@ def ivfpq_adc_topk(
         resid_subdist("vec").alias("partial_q"),
     )
 
-    scored = (
-        codes.join(
-            F.broadcast(qtab),
-            (codes.s == qtab.s)
-            & (codes.code == qtab.code)
-            & (codes.cell == qtab.qcell),
-        )
-        .filter(F.col("query_id") != F.col("neighbor_id"))
-        .groupBy("query_id", "neighbor_id")
-        .agg(F.sum("partial_q").alias("adc_q1e6"))
+    scored = codes.join(
+        F.broadcast(qtab),
+        (codes.s == qtab.s)
+        & (codes.code == qtab.code)
+        & (codes.cell == qtab.qcell),
+    )
+    if exclude_self:
+        scored = scored.filter(F.col("query_id") != F.col("neighbor_id"))
+    scored = scored.groupBy("query_id", "neighbor_id").agg(
+        F.sum("partial_q").alias("adc_q1e6")
     )
     w = Window.partitionBy("query_id").orderBy("adc_q1e6", "neighbor_id")
     return (

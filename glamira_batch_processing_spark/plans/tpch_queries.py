@@ -142,26 +142,42 @@ def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: the nation-pair disjunction cannot be pushed below
     the joins wholesale, but its implied union
-    (n1 IN (9,10) AND n2 IN (9,10)) CAN — Catalyst derives the
-    per-side IN filters from the OR via constraint propagation, so
-    supplier and customer shrink to two nations' worth before the fact
-    joins. The only fact-sized shuffle is lineitem-orders; nation and
-    the pre-filtered supplier/customer broadcast."""
-    s = table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
-    c = table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    (n1 IN (9,10) AND n2 IN (9,10)) CAN — stated here as explicit
+    nation filters (what constraint propagation would derive), so
+    supplier and customer are PRE-JOINED to the two-nation dim and
+    genuinely shrink to 2/25 of their size BEFORE the broadcast hint
+    applies. The only fact-sized shuffle is lineitem-orders; the
+    shrunken supplier (~800 rows/SF) broadcasts at any realistic SF,
+    the shrunken customer (~12k rows/SF) to roughly SF100 — past the
+    broadcast budget, drop the hint and AQE takes the second fact
+    shuffle."""
     o = table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
-    n = table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    n = table(spark, sf_dir, "nation").select("n_nationkey", "n_name").filter(
+        F.col("n_name").isin("NATION_9", "NATION_10")
+    )
     l = table(spark, sf_dir, "lineitem").filter(
         F.to_date("l_shipdate").between(
             F.lit("1996-01-01").cast("date"), F.lit("1997-12-31").cast("date")
         )
     ).select("l_orderkey", "l_suppkey", "l_shipdate",
              "l_extendedprice", "l_discount")
-    n1 = n.withColumnRenamed("n_name", "supp_nation").withColumnRenamed(
-        "n_nationkey", "n1_key"
+    n1 = n.select(
+        F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("supp_nation")
     )
-    n2 = n.withColumnRenamed("n_name", "cust_nation").withColumnRenamed(
-        "n_nationkey", "n2_key"
+    n2 = n.select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("cust_nation")
+    )
+    s = (
+        table(spark, sf_dir, "supplier")
+        .select("s_suppkey", "s_nationkey")
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("n1_key"))
+        .select("s_suppkey", "supp_nation")
+    )
+    c = (
+        table(spark, sf_dir, "customer")
+        .select("c_custkey", "c_nationkey")
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("n2_key"))
+        .select("c_custkey", "cust_nation")
     )
     pair = (
         (F.col("supp_nation") == "NATION_9") & (F.col("cust_nation") == "NATION_10")
@@ -172,8 +188,6 @@ def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
         l.join(o, l.l_orderkey == o.o_orderkey)
         .join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
         .join(F.broadcast(c), o.o_custkey == c.c_custkey)
-        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("n1_key"))
-        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("n2_key"))
         .filter(pair)
         .groupBy(
             "supp_nation",
@@ -219,15 +233,17 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: the eight-table star collapses to ONE fact-sized
     shuffle (lineitem-orders); part is pre-filtered by type and
-    broadcast, supplier/customer/nation/region broadcast. The share is
+    broadcast; customer is PRE-JOINED to the region-filtered nation
+    dim (1/5 of customers) before its broadcast hint; supplier (the
+    smallest fact-scaling dim, 10k rows/SF) broadcasts with its
+    nation name attached — defensible to roughly SF500, past which
+    drop the hints and AQE shuffles those joins. The share is
     a conditional sum over the SAME exact-integer revenue expression —
     one pass, no self-join — and the final double division happens on
     two exact sums with identical operand order in both engines."""
     p = table(spark, sf_dir, "part").filter(F.col("p_type") == "PROMO").select(
         "p_partkey"
     )
-    s = table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
-    c = table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
     n = table(spark, sf_dir, "nation")
     r = table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
     o = table(spark, sf_dir, "orders").filter(
@@ -241,8 +257,23 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     n1 = n.select(
         F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("supp_nation")
     )
+    s = (
+        table(spark, sf_dir, "supplier")
+        .select("s_suppkey", "s_nationkey")
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("n1_key"))
+        .select("s_suppkey", "supp_nation")
+    )
     n2 = n.select(
         F.col("n_nationkey").alias("n2_key"), F.col("n_regionkey").alias("n2_region")
+    )
+    asia_nations = n2.join(
+        F.broadcast(r), F.col("n2_region") == r.r_regionkey
+    ).select("n2_key")
+    c = (
+        table(spark, sf_dir, "customer")
+        .select("c_custkey", "c_nationkey")
+        .join(F.broadcast(asia_nations), F.col("c_nationkey") == F.col("n2_key"))
+        .select("c_custkey")
     )
     units = _rev_units()
     return (
@@ -250,9 +281,6 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(o, l.l_orderkey == o.o_orderkey)
         .join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
         .join(F.broadcast(c), o.o_custkey == c.c_custkey)
-        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("n1_key"))
-        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("n2_key"))
-        .join(F.broadcast(r), F.col("n2_region") == r.r_regionkey)
         .groupBy(F.year(F.to_date("o_orderdate")).cast("bigint").alias("o_year"))
         .agg(
             F.sum(
@@ -449,7 +477,7 @@ def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
         .join(F.broadcast(qlim), l.l_partkey == F.col("a_partkey"))
         .filter(F.col("l_quantity") < F.col("qty_limit"))
-        .agg(F.sum(cents(F.col("l_extendedprice")).cast("decimal(38,0)")).alias("c"))
+        .agg(F.sum(_dec38(cents(F.col("l_extendedprice")))).alias("c"))
         .select(
             (F.col("c").cast("double") / 100 / F.lit(7.0)).alias("avg_yearly")
         )

@@ -39,6 +39,8 @@ from pyspark.sql.datasource import (
 from pyspark.sql.types import (
     BooleanType,
     DoubleType,
+    FloatType,
+    IntegerType,
     LongType,
     StringType,
     StructField,
@@ -94,12 +96,39 @@ def _coercer(dtype):
     if isinstance(dtype, BooleanType):
         return lambda v: v if isinstance(v, bool) else None
     if isinstance(dtype, LongType):
-        return lambda v: v if type(v) is int else None
-    if isinstance(dtype, DoubleType):
+        # Bound-check: a JSON integer past int64 would crash the task
+        # at Arrow conversion — the exact death PERMISSIVE forbids.
         return lambda v: (
-            float(v) if type(v) in (int, float) else None
+            v if type(v) is int and -(2**63) <= v < 2**63 else None
         )
-    return lambda v: None  # unreachable with sniffed schemas
+    if isinstance(dtype, IntegerType):
+        return lambda v: (
+            v if type(v) is int and -(2**31) <= v < 2**31 else None
+        )
+    if isinstance(dtype, (DoubleType, FloatType)):
+        return lambda v: float(v) if type(v) in (int, float) else None
+    # A silent all-NULL column would be worse than an error: fail fast
+    # on schema types this source does not know how to coerce.
+    raise ValueError(
+        f"chunked_export: unsupported column type {dtype.simpleString()} "
+        "(supported: boolean, int, bigint, float, double, string)"
+    )
+
+
+def _list_chunks(options: dict) -> list[str]:
+    """Chunk files in ingestion order — ONE definition shared by the
+    batch reader, the stream reader and schema sniffing so the three
+    can never see different file sets. Ordered by (name length, name):
+    zero-padded monotone names stay in export order even across a
+    padding-width rollover (chunk_99999 -> chunk_100000 would sort
+    MID-LIST lexicographically and be silently skipped by the
+    streaming offset; length-first ordering keeps it at the tail)."""
+    path = options["path"]
+    suffix = options.get("suffix", ".jsonl")
+    return sorted(
+        (str(p) for p in Path(path).glob(f"*{suffix}")),
+        key=lambda f: (len(Path(f).name), Path(f).name),
+    )
 
 
 class _ChunkPartition(InputPartition):
@@ -114,9 +143,7 @@ class ChunkedExportReader(DataSourceReader):
         self._schema = schema
 
     def _files(self) -> list[str]:
-        return sorted(
-            str(p) for p in Path(self._path).glob(f"*{self._suffix}")
-        )
+        return _list_chunks({"path": self._path, "suffix": self._suffix})
 
     def partitions(self):
         # Driver metadata pass: file listing only, no data bytes.
@@ -149,11 +176,7 @@ class ChunkedExportDataSource(DataSource):
         return "chunked_export"
 
     def schema(self) -> StructType:
-        for f in sorted(
-            Path(self.options["path"]).glob(
-                f"*{self.options.get('suffix', '.jsonl')}"
-            )
-        ):
+        for f in _list_chunks(self.options):
             with open(f, encoding="utf-8") as fh:
                 for line in fh:
                     if line.strip():
@@ -173,8 +196,11 @@ class ChunkedExportStreamReader(DataSourceStreamReader):
     """Streaming form: the RESUMABLE export (ref export_to_gcs.py
     checkpoint/resume, :272-293,388-405). The offset is the count of
     chunk files already ingested — valid because the exporter names
-    pages monotonically (keyset cursor ⇒ ordered chunk_NNNNN files),
-    so the sorted listing only ever grows at the tail. Spark's
+    pages monotonically (keyset cursor ⇒ ordered chunk_NNNNN files;
+    the length-first listing order keeps a padding-width rollover at
+    the tail) and chunks are IMMUTABLE once written (rows appended to
+    an already-counted file would be lost — the exporter's
+    write-then-advance-checkpoint protocol guarantees this). Spark's
     checkpoint persists the offset; a restarted stream resumes at the
     first unseen chunk, never re-reading or skipping a page."""
 

@@ -35,6 +35,20 @@ if TYPE_CHECKING:  # pragma: no cover
 ALERT_OUTPUT_SCHEMA = "user_id bigint, total double, crossed_at_total double"
 
 
+def _cents(series):
+    """Exact integer cents of a pandas double series (floor(v*100+0.5),
+    the warehouse money rule)."""
+    import numpy as np
+
+    return np.floor(series.to_numpy() * 100.0 + 0.5).astype("int64")
+
+
+def _cents_scalar(v: float) -> int:
+    import math
+
+    return int(math.floor(v * 100.0 + 0.5))
+
+
 class SpendAlertProcessor(StatefulProcessor):
     """Emit one (user_id, running_total, crossing_total) row per user
     the first time cumulative `value` crosses ``threshold``."""
@@ -44,8 +58,12 @@ class SpendAlertProcessor(StatefulProcessor):
 
     def init(self, handle: StatefulProcessorHandle) -> None:
         # Typed state variables — the API difference vs the legacy
-        # applyInPandasWithState single-tuple GroupState.
-        self._total = handle.getValueState("total", "total double")
+        # applyInPandasWithState single-tuple GroupState. The running
+        # total is EXACT INTEGER CENTS (the repo-wide money
+        # discipline): a double accumulator drifts with event count,
+        # so a long-lived key would cross the threshold at the wrong
+        # event — or, one ulp short, never.
+        self._total = handle.getValueState("total", "total_cents bigint")
         self._alerted = handle.getValueState("alerted", "alerted boolean")
 
     def handleInputRows(
@@ -54,15 +72,14 @@ class SpendAlertProcessor(StatefulProcessor):
         import pandas as pd
 
         (user_id,) = key
-        total = self._total.get()[0] if self._total.exists() else 0.0
+        total_c = self._total.get()[0] if self._total.exists() else 0
         alerted = self._alerted.get()[0] if self._alerted.exists() else False
-        batch_sum = 0.0
         for pdf in rows:
-            batch_sum += float(pdf["value"].sum())
-        total += batch_sum
-        self._total.update((total,))
-        if not alerted and total >= self._threshold:
+            total_c += int(_cents(pdf["value"]).sum())
+        self._total.update((total_c,))
+        if not alerted and total_c >= _cents_scalar(self._threshold):
             self._alerted.update((True,))
+            total = total_c / 100.0
             yield pd.DataFrame(
                 [(int(user_id), total, total)],
                 columns=["user_id", "total", "crossed_at_total"],
@@ -105,14 +122,14 @@ def spend_alerts_legacy(grouped, threshold: float = 100.0):
         import pandas as pd
 
         (user_id,) = key
-        total, alerted = state.get if state.exists else (0.0, False)
+        total_c, alerted = state.get if state.exists else (0, False)
         for pdf in pdfs:
-            total += float(pdf["value"].sum())
+            total_c += int(_cents(pdf["value"]).sum())
         rows = []
-        if not alerted and total >= threshold:
+        if not alerted and total_c >= _cents_scalar(threshold):
             alerted = True
-            rows.append((int(user_id), total, total))
-        state.update((total, alerted))
+            rows.append((int(user_id), total_c / 100.0, total_c / 100.0))
+        state.update((total_c, alerted))
         yield pd.DataFrame(
             rows, columns=["user_id", "total", "crossed_at_total"]
         )
@@ -120,7 +137,7 @@ def spend_alerts_legacy(grouped, threshold: float = 100.0):
     return grouped.applyInPandasWithState(
         fn,
         ALERT_OUTPUT_SCHEMA,
-        "total double, alerted boolean",
+        "total_cents bigint, alerted boolean",
         "append",
         GroupStateTimeout.NoTimeout,
     )
