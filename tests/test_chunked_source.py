@@ -173,3 +173,46 @@ def test_chunked_source_permissive_type_drift(spark, tmp_path):
     assert drifted._id is None and drifted.price is None and drifted.active is None
     widened = by["4.5"]
     assert widened._id == 3 and widened.price == 7.0 and widened.active is False
+
+
+def test_chunk_listing_survives_padding_width_rollover(tmp_path):
+    """chunk_99999 -> chunk_100000 must stay at the TAIL of the
+    listing (length-first order); plain lexicographic order would put
+    the wider name mid-list, where the streaming offset (a file count)
+    would skip it forever."""
+    from glamira_batch_processing_spark.sources.chunked_source import (
+        _list_chunks,
+    )
+
+    names = ["chunk_99998.jsonl", "chunk_99999.jsonl", "chunk_100000.jsonl"]
+    for n in names:
+        (tmp_path / n).write_text('{"a": 1}\n')
+    got = [f.rsplit("/", 1)[-1] for f in _list_chunks({"path": str(tmp_path)})]
+    assert got == names
+
+
+def test_chunked_source_oversized_int_becomes_null(spark, tmp_path):
+    """A JSON integer past int64 must land as NULL (PERMISSIVE), not
+    kill the task at Arrow conversion."""
+    _register(spark)
+    with open(tmp_path / "chunk_00000.jsonl", "w") as f:
+        f.write(json.dumps({"_id": 1, "v": 7}) + "\n")
+        f.write(json.dumps({"_id": 2, "v": 2**64}) + "\n")
+    df = spark.read.format("chunked_export").option("path", str(tmp_path)).load()
+    got = {r._id: r.v for r in df.collect()}
+    assert got == {1: 7, 2: None}
+
+
+def test_chunked_source_unsupported_schema_type_fails_fast(spark, tmp_path):
+    """A user schema with a type the source cannot coerce must raise a
+    clear error, never silently NULL the whole column."""
+    import pytest as _pytest
+    from pyspark.sql.types import DateType
+
+    _register(spark)
+    (tmp_path / "chunk_00000.jsonl").write_text('{"d": "2024-01-01"}\n')
+    sch = StructType([StructField("d", DateType())])
+    with _pytest.raises(Exception, match="unsupported column type"):
+        spark.read.format("chunked_export").schema(sch).option(
+            "path", str(tmp_path)
+        ).load().collect()
