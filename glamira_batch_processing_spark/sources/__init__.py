@@ -1,7 +1,8 @@
 """Sources & sinks: synthetic raw generation, schema-reconciling readers,
 partitioned / z-ordered writers, versioned (transactional) tables."""
 
-from .versioned import VersionConflictError, VersionedTable
+from .chunked_source import ChunkedExportDataSource
+from .versioned import StagedWrite, VersionConflictError, VersionedTable
 from .writers import (
     sql_zorder_key,
     write_csv,
@@ -13,6 +14,8 @@ from .writers import (
 )
 
 __all__ = [
+    "ChunkedExportDataSource",
+    "StagedWrite",
     "VersionConflictError",
     "VersionedTable",
     "sql_zorder_key",
