@@ -101,8 +101,8 @@ from glamira_batch_processing_spark.plans.registry import ORACLE, QUERIES
 # sessionize_builtin_window, interval_join_attribution, plus the round-6
 # additions: q9_product_profit, q18_large_volume_customer,
 # search_hybrid_rrf, corpus_shuffle_deterministic, the ten TPC-H
-# shapes in plans/tpch_queries.py (q4/q6/q7/q8/q13/q14/q15/q17/q19/
-# q21/q22), dedup_semdedup_prune (cluster-scoped semantic dedup),
+# shapes in plans/tpch_queries.py (q4/q6/q7/q8/q12/q13/q14/q15/q17/
+# q19/q21/q22), dedup_semdedup_prune (cluster-scoped semantic dedup),
 # ann_ivfpq_residual_topk (residual IVFADC), w7_range_interval_frame,
 # dedup_lsh_recall_eval (planted-dup recall of the LSH stage),
 # f12_variant_extract, f13_collated_group, mix_temperature_sampling.

@@ -673,3 +673,66 @@ def q21_waiting_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("numwait"), "s_name")
         .limit(20)
     )
+
+
+@query(
+    "q12_latency_priority_classes",
+    oracle="""
+    SELECT CASE
+             WHEN CAST(l.l_shipdate AS DATE)
+                  <= CAST(o.o_orderdate AS DATE) + 30 THEN 'on_time'
+             WHEN CAST(l.l_shipdate AS DATE)
+                  <= CAST(o.o_orderdate AS DATE) + 90 THEN 'late'
+             ELSE 'very_late'
+           END AS delay_class,
+           CAST(SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(SUM(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+    FROM lineitem l
+    JOIN orders o ON o.o_orderkey = l.l_orderkey
+    WHERE CAST(l.l_shipdate AS DATE) >= DATE '1997-01-01'
+      AND CAST(l.l_shipdate AS DATE) < DATE '1998-01-01'
+    GROUP BY delay_class
+    ORDER BY delay_class
+    """,
+)
+def q12_latency_priority_classes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape (shipping modes and order priority), adapted:
+    no shipmode column, so the grouping key is the ship-delay class
+    (on_time <= 30 days, late <= 90, very_late beyond) and the
+    measures are Q12's high/low-priority line counts.
+
+    Scale shape: the year filter pushes into the lineitem scan, the
+    single fact-fact join (lineitem-orders on the order key) carries
+    the derived delay class, and both priority counts ride ONE
+    conditional-sum aggregate over three groups — map-side combined,
+    no second pass."""
+    o = table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate", "o_orderpriority"
+    )
+    l = table(spark, sf_dir, "lineitem").filter(
+        (F.to_date("l_shipdate") >= F.lit("1997-01-01").cast("date"))
+        & (F.to_date("l_shipdate") < F.lit("1998-01-01").cast("date"))
+    ).select("l_orderkey", "l_shipdate")
+    ship = F.to_date("l_shipdate")
+    od = F.to_date("o_orderdate")
+    delay_class = (
+        F.when(ship <= F.date_add(od, 30), "on_time")
+        .when(ship <= F.date_add(od, 90), "late")
+        .otherwise("very_late")
+    )
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .groupBy(delay_class.alias("delay_class"))
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).cast("bigint").alias(
+                "high_line_count"
+            ),
+            F.sum(F.when(~high, 1).otherwise(0)).cast("bigint").alias(
+                "low_line_count"
+            ),
+        )
+        .orderBy("delay_class")
+    )
