@@ -90,6 +90,11 @@ MEASURED = [
     "q17_small_quantity_revenue",
     "q19_disjunctive_revenue",
     "q22_dormant_customers",
+    "q21_waiting_supplier",
+    "q12_latency_priority_classes",
+    "w7_range_interval_frame",
+    "mix_temperature_sampling",
+    "dedup_lsh_recall_eval",
 ]
 
 # Round-6 (VERDICT r5 ask #3): the five queries flagged perf-weak at

@@ -584,3 +584,16 @@ def test_aqe_splits_skewed_join_partitions(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_q12_single_aggregate_no_second_pass(spark):
+    """Q12's two priority counts must ride ONE aggregate over the
+    year-pruned fact join — no cartesian/nested-loop, no extra
+    distinct or second aggregation pass over the fact."""
+    plan = plan_of(QUERIES["q12_latency_priority_classes"](spark, SF_SMALL))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # partial + final of the single conditional-sum aggregate
+    assert plan.count("HashAggregate") <= 2
+    assert "PushedFilters: [" in plan
+    assert "l_shipdate" in plan.split("PushedFilters:")[1][:300]
