@@ -55,19 +55,40 @@ _JSON_SPARK_TYPES = {
 }
 
 
-def _sniff_schema(first_line: str) -> StructType:
-    """Schema from the first record, first-seen key order. Unknown /
-    null leading values sniff as string (the raw layer's lenient
-    default — staging casts decide the real type, SURVEY §1.3)."""
-    rec = json.loads(first_line)
-    if not isinstance(rec, dict):
-        raise ValueError(
-            "chunked_export: first record is not a JSON object — JSONL "
-            "chunks must contain one object per line"
-        )
+def _sniff_schema(lines: "list[str]") -> StructType:
+    """Schema from a SAMPLE of records (not just the first), first-seen
+    key order, mirroring how spark.read.json merges fields across its
+    sample: a key absent from the first record but present in a later
+    sampled one still gets a column (NULL-filled where missing) instead
+    of being silently dropped from the whole dataset. Per-key type
+    resolution: a single observed JSON type wins; {int, float} widens
+    to double; any other mix — and keys seen only as null — fall back
+    to string (the raw layer's lenient default — staging casts decide
+    the real type, SURVEY §1.3)."""
+    seen: dict[str, set] = {}
+    order: list[str] = []
+    for i, line in enumerate(lines):
+        rec = json.loads(line)
+        if not isinstance(rec, dict):
+            raise ValueError(
+                f"chunked_export: sampled record {i} is not a JSON object "
+                "— JSONL chunks must contain one object per line"
+            )
+        for k, v in rec.items():
+            if k not in seen:
+                seen[k] = set()
+                order.append(k)
+            if v is not None:
+                seen[k].add(type(v))
     fields = []
-    for k, v in rec.items():
-        typ = _JSON_SPARK_TYPES.get(type(v), StringType())
+    for k in order:
+        types = seen[k]
+        if len(types) == 1:
+            typ = _JSON_SPARK_TYPES.get(next(iter(types)), StringType())
+        elif types == {int, float}:
+            typ = DoubleType()
+        else:  # empty (all-null) or conflicting: lenient string
+            typ = StringType()
         fields.append(StructField(k, typ, nullable=True))
     return StructType(fields)
 
@@ -176,14 +197,31 @@ class ChunkedExportDataSource(DataSource):
         return "chunked_export"
 
     def schema(self) -> StructType:
-        for f in _list_chunks(self.options):
+        # Sample up to sampleSize records (default 100) spread over the
+        # LEADING records of every chunk — a key first appearing in a
+        # later chunk's head is still discovered without a full scan.
+        # Raise sampleSize if fields can first appear deep inside a
+        # single chunk; pass an explicit .schema(...) to skip sniffing.
+        budget = int(self.options.get("sampleSize", "100"))
+        chunks = _list_chunks(self.options)
+        per_chunk = max(1, budget // max(1, len(chunks)))
+        sample: list[str] = []
+        for f in chunks:
+            taken = 0
             with open(f, encoding="utf-8") as fh:
                 for line in fh:
                     if line.strip():
-                        return _sniff_schema(line)
-        raise ValueError(
-            f"chunked_export: no records under {self.options['path']}"
-        )
+                        sample.append(line)
+                        taken += 1
+                        if taken >= per_chunk or len(sample) >= budget:
+                            break
+            if len(sample) >= budget:
+                break
+        if not sample:
+            raise ValueError(
+                f"chunked_export: no records under {self.options['path']}"
+            )
+        return _sniff_schema(sample)
 
     def reader(self, schema: StructType) -> ChunkedExportReader:
         return ChunkedExportReader(self.options, schema)

@@ -242,17 +242,13 @@ class VersionedTable:
 
     # -- data plane -------------------------------------------------------
 
-    def _write_version(
-        self,
-        df: DataFrame,
-        version: int,
-        operation: str,
-        txn_id: str | None = None,
-    ) -> int:
-        # Unique dir per ATTEMPT: racing writers for the same version
-        # never collide on the data path — only the manifest O_EXCL
-        # race decides, and the loser removes its own orphan.
-        data_dir = self.path / _DATA_DIR / f"v{version:05d}-{uuid.uuid4().hex[:8]}"
+    def _write_data_with_stats(
+        self, df: DataFrame, data_dir: Path
+    ) -> tuple[list[dict] | None, list[list[str]]]:
+        """Write ``df`` under ``data_dir`` and collect the per-file
+        footer stats + schema every manifest records. Shared by the
+        committed path (:meth:`_write_version`) and the staged path
+        (:meth:`stage`) so the two cannot drift."""
         df.write.mode("errorifexists").parquet(str(data_dir))
         files = None
         if self.stat_columns:
@@ -277,6 +273,20 @@ class VersionedTable:
                 for p, rows, stats in results
             ]
         schema = [[f.name, f.dataType.simpleString()] for f in df.schema.fields]
+        return files, schema
+
+    def _write_version(
+        self,
+        df: DataFrame,
+        version: int,
+        operation: str,
+        txn_id: str | None = None,
+    ) -> int:
+        # Unique dir per ATTEMPT: racing writers for the same version
+        # never collide on the data path — only the manifest O_EXCL
+        # race decides, and the loser removes its own orphan.
+        data_dir = self.path / _DATA_DIR / f"v{version:05d}-{uuid.uuid4().hex[:8]}"
+        files, schema = self._write_data_with_stats(df, data_dir)
         self._commit(
             version, data_dir, operation, txn_id=txn_id, files=files, schema=schema
         )
@@ -436,25 +446,7 @@ class VersionedTable:
         Iceberg/Delta write-audit-publish pattern on the same manifest
         machinery every other commit uses."""
         data_dir = self.path / _DATA_DIR / f"staged-{uuid.uuid4().hex[:12]}"
-        df.write.mode("errorifexists").parquet(str(data_dir))
-        files = None
-        if self.stat_columns:
-            from concurrent.futures import ThreadPoolExecutor
-
-            parts = sorted(str(p) for p in data_dir.glob("part-*.parquet"))
-            with ThreadPoolExecutor(max_workers=min(32, max(1, len(parts)))) as pool:
-                results = list(
-                    pool.map(lambda p: _file_column_stats(p, self.stat_columns), parts)
-                )
-            files = [
-                {
-                    "path": str(Path(p).relative_to(data_dir)),
-                    "rows": rows,
-                    "stats": stats,
-                }
-                for p, rows, stats in results
-            ]
-        schema = [[f.name, f.dataType.simpleString()] for f in df.schema.fields]
+        files, schema = self._write_data_with_stats(df, data_dir)
         return StagedWrite(self, data_dir, files, schema, txn_id)
 
     def publish(self, staged: "StagedWrite", operation: str = "wap-publish") -> int:
@@ -462,7 +454,18 @@ class VersionedTable:
         under concurrent committers: a manifest race does NOT delete
         the staged files (cleanup_on_conflict=False) — publish simply
         retries at the new head, because the staged snapshot is
-        self-contained (full-replace semantics, like overwrite)."""
+        self-contained (full-replace semantics, like overwrite).
+
+        Like :meth:`merge`, a ``txn_id`` on the staged write makes the
+        publish EXACTLY-ONCE under replay: if any retained manifest
+        already carries the token, publish returns that version as a
+        no-op (and drops the now-redundant staged files) instead of
+        committing a duplicate."""
+        if staged.txn_id is not None:
+            for v in reversed(self.versions()):
+                if self.manifest(v).get("txn_id") == staged.txn_id:
+                    self.abort(staged)
+                    return v
         while True:
             latest = self.latest_version()
             version = 0 if latest is None else latest + 1
@@ -502,10 +505,18 @@ class VersionedTable:
         staged_df = staged.read(df.sparkSession)
         results: dict[str, bool] = {}
         ok = True
-        for name, check in checks:
-            passed = bool(check(staged_df))
-            results[name] = passed
-            ok = ok and passed
+        try:
+            for name, check in checks:
+                passed = bool(check(staged_df))
+                results[name] = passed
+                ok = ok and passed
+        except BaseException:
+            # A raising check (e.g. an AnalysisException inside the
+            # callback) must not strand unreferenced staged files on
+            # disk — no manifest points at them, so vacuum() could
+            # never reclaim them.
+            self.abort(staged)
+            raise
         if not ok:
             self.abort(staged)
             return None, results

@@ -163,9 +163,12 @@ def test_chunked_source_permissive_type_drift(spark, tmp_path):
     with open(tmp_path / "chunk_00000.jsonl", "w") as f:
         for r in recs:
             f.write(json.dumps(r) + "\n")
+    # sampleSize=1 pins first-record sniffing so the LATER records are
+    # genuine drift against the sniffed types (the multi-record default
+    # would fold the drift into the sample and widen to string).
     df = spark.read.format("chunked_export").option(
         "path", str(tmp_path)
-    ).load()
+    ).option("sampleSize", "1").load()
     rows = sorted(df.collect(), key=lambda r: (r._id is None, r._id or 0))
     by = {r.note: r for r in rows}
     assert by["ok"]._id == 1 and by["ok"].price == 9.5 and by["ok"].active is True
@@ -173,6 +176,33 @@ def test_chunked_source_permissive_type_drift(spark, tmp_path):
     assert drifted._id is None and drifted.price is None and drifted.active is None
     widened = by["4.5"]
     assert widened._id == 3 and widened.price == 7.0 and widened.active is False
+
+
+def test_chunked_source_sniffs_fields_beyond_first_record(spark, tmp_path):
+    """A key absent from the first record but present later in the
+    sample must still become a column (NULL where missing) — the
+    single-record sniff silently DROPPED it from the whole dataset.
+    Conflicting sampled types widen: {int,float}→double, else string."""
+    _register(spark)
+    recs = [
+        {"_id": 1, "qty": 2},
+        {"_id": 2, "qty": 2.5, "discount": 0.1},   # late field + int/float mix
+        {"_id": "three", "flag": True},            # late field + type conflict
+    ]
+    with open(tmp_path / "chunk_00000.jsonl", "w") as f:
+        for r in recs:
+            f.write(json.dumps(r) + "\n")
+    df = spark.read.format("chunked_export").option("path", str(tmp_path)).load()
+    assert df.columns == ["_id", "qty", "discount", "flag"]
+    types = dict(df.dtypes)
+    assert types["_id"] == "string"      # int vs str conflict
+    assert types["qty"] == "double"      # int widens to double
+    assert types["discount"] == "double"
+    assert types["flag"] == "boolean"
+    rows = {r.flag: r for r in df.collect()}
+    assert rows[True]._id == "three" and rows[True].qty is None
+    got = sorted((r.discount or 0.0) for r in df.collect())
+    assert got == [0.0, 0.0, 0.1]
 
 
 def test_chunk_listing_survives_padding_width_rollover(tmp_path):

@@ -499,6 +499,49 @@ def test_write_audit_publish_passing_checks_publishes_atomically(spark, tmp_path
     assert t.read(spark, version=0).count() == 1
 
 
+def test_write_audit_publish_raising_check_aborts_staged_files(spark, tmp_path):
+    """A check that RAISES (not just returns False) must still clean up
+    the staged directory — unreferenced files are unreclaimable by
+    vacuum() — and propagate the error."""
+    from glamira_batch_processing_spark.sources.versioned import VersionedTable
+
+    t = VersionedTable(tmp_path / "wap_raise")
+    t.create(spark.createDataFrame([(1, "a")], "k long, v string"))
+
+    def exploding_check(df):
+        return df.filter(F.col("no_such_column") > 0).count() == 0
+
+    with pytest.raises(Exception):
+        t.write_audit_publish(
+            spark.createDataFrame([(2, "b")], "k long, v string"),
+            checks=[("boom", exploding_check)],
+        )
+    assert t.latest_version() == 0
+    assert list((tmp_path / "wap_raise").rglob("staged-*")) == []
+
+
+def test_publish_with_txn_id_is_exactly_once_under_replay(spark, tmp_path):
+    """A replayed publish carrying an already-committed txn_id must be
+    a no-op returning the original version (mirrors merge()'s replay
+    scan), and must drop its redundant staged files."""
+    from glamira_batch_processing_spark.sources.versioned import VersionedTable
+
+    t = VersionedTable(tmp_path / "wap_txn")
+    t.create(spark.createDataFrame([(1, "a")], "k long, v string"))
+    df = spark.createDataFrame([(2, "b")], "k long, v string")
+    v1 = t.publish(t.stage(df, txn_id="batch-42"))
+    assert v1 == 1
+    # another writer lands in between, as in merge()'s replay scenario
+    t.overwrite(spark.createDataFrame([(5, "e")], "k long, v string"))
+    # v1's committed data dir keeps its staged- name; only NEW staged
+    # dirs (the replay's redundant files) must be cleaned up.
+    before = set((tmp_path / "wap_txn").rglob("staged-*"))
+    replay = t.publish(t.stage(df, txn_id="batch-42"))
+    assert replay == v1
+    assert t.latest_version() == 2  # no duplicate version appended
+    assert set((tmp_path / "wap_txn").rglob("staged-*")) == before
+
+
 def test_publish_survives_concurrent_commit_between_stage_and_publish(
     spark, tmp_path
 ):
