@@ -92,20 +92,58 @@ from glamira_batch_processing_spark.plans.registry import ORACLE, QUERIES
 #   heavy_hitters_by_lang (r3/5) -> skew_salted_agg (skew-aware agg)
 #   sketch_kmv_distinct (r3/5) -> sketch_hll_registers (sketch family)
 #   j6_agg_join_back stays (its family has no alternate).
-# Remaining never-gated candidates for round 7+: q10_returned_items,
-# text_tfidf_topterms, sketch_countmin_tokens, cohort_retention,
-# anomaly_error_spike, q3_shipping_priority, text_winnow_fingerprints,
-# url_canonicalize_dedup, quality_bigram_familiarity, quality_gopher_filter,
-# ann_recall_eval/_multiprobe, ann_ivf_trained, mix_resample_sources,
-# gapfill_forward_fill, stats_correlation, multimodal_audio_resample,
-# sessionize_builtin_window, interval_join_attribution, plus the round-6
-# additions: q9_product_profit, q18_large_volume_customer,
-# search_hybrid_rrf, corpus_shuffle_deterministic, the ten TPC-H
-# shapes in plans/tpch_queries.py (q4/q6/q7/q8/q12/q13/q14/q15/q17/
-# q19/q21/q22), dedup_semdedup_prune (cluster-scoped semantic dedup),
-# ann_ivfpq_residual_topk (residual IVFADC), w7_range_interval_frame,
-# dedup_lsh_recall_eval (planted-dup recall of the LSH stage),
-# f12_variant_extract, f13_collated_group, mix_temperature_sampling.
+# Round 7 (VERDICT r6 ask #1): all 50 r6 rows came back green, so the
+# round-6 swaps hold their first external rows and rotation proceeds.
+# 20 swaps rotate in never-gated queries (19 first-time names;
+# interval_join_attribution holds one r2 green and re-gates). Every
+# rotated-out name holds >=2 green external rounds
+# (CORRECTNESS_r0{1,2,3,5,6}.json) and its GATE_FAMILIES family keeps
+# an in-window representative (guard test enforces; tuples extended
+# where the incoming query is the same family in a new shape):
+#   p6_latest_snapshot_filter (r1/2/3/5/6) -> q22_dormant_customers
+#     (scalar-subquery-filtered scan, the A6 family; also anti-join)
+#   j6_agg_join_back (r1/2/3/5/6) -> q18_large_volume_customer
+#     (HAVING-subquery aggregate joined back to detail)
+#   j9_orphan_rate_audit (r1/2/3/5/6) -> q21_waiting_supplier
+#     (multi-EXISTS/NOT-EXISTS semi/anti stress)
+#   a7_group_max_count (r1/2/3/5/6) -> q15_top_supplier (group-max
+#     via scalar-MAX subquery joined back; covers group_max +
+#     agg_join_back)
+#   f6_time_arithmetic (r5/6) -> q12_latency_priority_classes
+#     (ship/commit/receipt date-arithmetic classes; date_time family)
+#   stats_histogram (r5/6) -> q13_customer_distribution
+#     (distribution-of-counts histogram)
+#   o4_topk_composite_order (r3/5/6) -> q3_shipping_priority
+#     (TakeOrdered top-k, composite order)
+#   w5_running_totals (r5/6) -> w7_range_interval_frame (RANGE
+#     interval frame; window_frames family)
+#   f8_json_extract (r1/3/5/6) -> f12_variant_extract (VARIANT =
+#     Spark-4 form of the JSON-extraction family)
+#   search_bm25_topk (r5/6) -> search_hybrid_rrf (BM25+dense RRF)
+#   sample_exact_k (r5/6) -> mix_temperature_sampling
+#   kmeans_lloyd_step (r5/6) -> dedup_semdedup_prune (centroid
+#     assignment + within-cluster prune; clustering + dedup_near)
+#   dedup_exact (r1/2/3/5/6) -> url_canonicalize_dedup (exact dedup
+#     on canonicalized keys)
+#   decontaminate_benchmark_overlap (r3/5/6) -> text_winnow_fingerprints
+#     (winnowing fingerprint selection, the document-overlap /
+#     contamination-detection primitive)
+#   text_repetition_stats (r5/6) -> quality_gopher_filter
+#   stats_column_profile (r5/6) -> stats_correlation
+#   split_train_val_test (r2/3/5/6) -> corpus_shuffle_deterministic
+#   multimodal_audio_meta (r5/6) -> multimodal_audio_resample
+#   asof_join_last_purchase (r3/5/6) + range_lookup_ip_geo (r5/6) ->
+#     interval_join_attribution (member of BOTH temporal-join
+#     families) + q4_order_priority (EXISTS semi-join count)
+# Round-8 head of queue (structurally blocked this round — their
+# family anchors q5/ann_pq_adc_topk/dedup_substring_spans hold only
+# one green, so no slot frees for them until r7 lands): q9_product_profit,
+# q19_disjunctive_revenue, ann_ivfpq_residual_topk, dedup_lsh_recall_eval;
+# then q6/q7/q8/q14/q17, gapfill_forward_fill, cohort_retention,
+# sketch_countmin_tokens, sessionize_builtin_window, w6_ntile_percent_rank,
+# q2_min_cost_supplier/q11_important_stock/q16_parts_supplier/
+# q20_potential_promotion (new this round), f13_collated_group,
+# quality_bigram_familiarity, mix_resample_sources, ann_recall_eval.
 _PRIORITY: list[str] = [
     # Flagships: whole-warehouse DAG (staging -> SCD -> marts -> rollup)
     # and whole-training-data pipeline (quality -> dedup+components ->
@@ -113,28 +151,32 @@ _PRIORITY: list[str] = [
     "glamira_pipeline_e2e",
     "datapipe_e2e",
     "q1_pricing_summary",
-    # §2 projections / filters.
+    # §2 projections / filters (q22 = scalar-subquery-filtered scan).
     "p1_typed_projection",
     "p4_fake_null_cleaning",
-    "p6_latest_snapshot_filter",
-    # §2 joins (q5 = TPC-H multi-dim join-ordering stress, never gated).
+    "q22_dormant_customers",
+    # §2 joins (TPC-H relational stress: multi-dim chains, agg-join-back,
+    # semi/anti).
     "j1_posexplode_outer",
     "q5_local_supplier_volume",
-    "j6_agg_join_back",
-    "j9_orphan_rate_audit",
+    "q18_large_volume_customer",
+    "q21_waiting_supplier",
     "j11_incremental_merge",
+    "q4_order_priority",
     # §2 aggregations (funnel = per-user distinct-stage counting;
     # mix_importance_weights = DSIR conditional-count pass).
     "funnel_view_click_purchase",
     "mix_importance_weights",
-    "a7_group_max_count",
+    "q12_latency_priority_classes",
+    "q13_customer_distribution",
+    "q15_top_supplier",
     "grouping_sets_priority_status",
     # §2 windows / ordering / timeseries downsampling.
     "ohlc_hourly_bars",
     "w2_canonical_per_group",
     "w3_scd2_history",
-    "w5_running_totals",
-    "o4_topk_composite_order",
+    "w7_range_interval_frame",
+    "q3_shipping_priority",
     # §2 set ops.
     "u2_intersect_except",
     # §2 scalar-function families (boilerplate = line-level string
@@ -143,34 +185,31 @@ _PRIORITY: list[str] = [
     "f3_parse_localized_prices",
     "f4_currency_resolution",
     "f5_surrogate_key_inputs",
-    "f6_time_arithmetic",
-    "f8_json_extract",
-    # Round-5 additions: lexical retrieval + iterative graph ranking.
-    "search_bm25_topk",
+    "f12_variant_extract",
+    # Retrieval + iterative graph ranking.
+    "search_hybrid_rrf",
     "graph_pagerank_parts",
     # LLM-data-pipeline operator families (one representative each).
-    "dedup_exact",
+    "url_canonicalize_dedup",
     "dedup_substring_spans",
+    "dedup_semdedup_prune",
     "dedup_cluster_components",
     "ann_pq_adc_topk",
-    "kmeans_lloyd_step",
     "text_langid_trained",
-    "text_repetition_stats",
+    "quality_gopher_filter",
     "multimodal_pixel_digest",
-    "multimodal_audio_meta",
-    "asof_join_last_purchase",
-    "split_train_val_test",
-    "sample_exact_k",
+    "multimodal_audio_resample",
+    "interval_join_attribution",
+    "corpus_shuffle_deterministic",
+    "mix_temperature_sampling",
     "pii_luhn_validate",
     "chunk_token_windows",
-    "decontaminate_benchmark_overlap",
+    "text_winnow_fingerprints",
     "skew_salted_agg",
     "sketch_hll_registers",
-    # Scale-infrastructure operators (never gated before round 4).
-    "stats_column_profile",
-    "stats_histogram",
+    # Scale-infrastructure operators.
+    "stats_correlation",
     "zorder_key_orders",
-    "range_lookup_ip_geo",
 ]
 
 

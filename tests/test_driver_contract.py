@@ -40,7 +40,10 @@ GATE_FAMILIES: dict[str, tuple[str, ...]] = {
     "pricing_agg": ("q1_pricing_summary",),
     "projection": ("p1_typed_projection", "p5_drop_columns"),
     "fake_null": ("p4_fake_null_cleaning",),
-    "snapshot_filter": ("p6_latest_snapshot_filter",),
+    # Round 7: both members filter a scan by a scalar subquery (SURVEY
+    # A6: p6 = MAX-snapshot, q22 = AVG-balance) — q22 rotates in while
+    # p6 (green r1/2/3/5/6) rotates out.
+    "snapshot_filter": ("p6_latest_snapshot_filter", "q22_dormant_customers"),
     "explode": ("j1_posexplode_outer",),
     # Round 6: q5/q10 (TPC-H multi-dim join chains) join the dim-join reps —
     # q5 rotates in while j2 (green r1/2/3/5) rotates out.
@@ -53,8 +56,24 @@ GATE_FAMILIES: dict[str, tuple[str, ...]] = {
         "q18_large_volume_customer",
         "q9_product_profit",
     ),
-    "agg_join_back": ("j6_agg_join_back",),
-    "semi_anti_orphan": ("j9_orphan_rate_audit", "j13_semi_anti_join"),
+    # Round 7: the TPC-H HAVING-subquery / scalar-subquery join-backs are
+    # the same agg-result-joined-to-detail family — q18 and q15 rotate in
+    # while j6 (green r1/2/3/5/6) rotates out.
+    "agg_join_back": (
+        "j6_agg_join_back",
+        "q18_large_volume_customer",
+        "q15_top_supplier",
+        "q17_small_quantity_revenue",
+    ),
+    # Round 7: the TPC-H EXISTS/NOT-EXISTS shapes join the semi/anti
+    # family — q21 rotates in while j9 (green r1/2/3/5/6) rotates out.
+    "semi_anti_orphan": (
+        "j9_orphan_rate_audit",
+        "j13_semi_anti_join",
+        "q21_waiting_supplier",
+        "q4_order_priority",
+        "q22_dormant_customers",
+    ),
     "merge_upsert": ("j11_incremental_merge",),
     # Round 6: funnel's per-user distinct-stage counting represents the
     # distinct-counting family while a2 (green r1/2/3/5) rotates out;
@@ -62,7 +81,7 @@ GATE_FAMILIES: dict[str, tuple[str, ...]] = {
     # while a4 (green r1/2/3/5) rotates out.
     "count_distinct": ("a2_multiplicity_flag", "funnel_view_click_purchase"),
     "conditional_agg": ("a4_null_rate_audit", "mix_importance_weights"),
-    "group_max": ("a7_group_max_count", "a3_distinct_pairs"),
+    "group_max": ("a7_group_max_count", "a3_distinct_pairs", "q15_top_supplier"),
     "grouping_sets": ("grouping_sets_priority_status", "rollup_revenue_by_region"),
     # Round 6: the two row_number-pick-one-per-key families merged (both
     # are windowed dedupe); w2 stays in-window while w1 (green r1/2/3/5)
@@ -74,8 +93,8 @@ GATE_FAMILIES: dict[str, tuple[str, ...]] = {
     ),
     "timeseries": ("ohlc_hourly_bars", "gapfill_forward_fill", "rolling_7d_active_users"),
     "scd2": ("w3_scd2_history",),
-    "window_frames": ("w5_running_totals",),
-    "topk_order": ("o4_topk_composite_order",),
+    "window_frames": ("w5_running_totals", "w7_range_interval_frame"),
+    "topk_order": ("o4_topk_composite_order", "q3_shipping_priority"),
     "union": ("u1_union_all", "u2_intersect_except"),
     "string_normalize": ("f1_string_normalize", "boilerplate_strip_lines"),
     "localized_parse": ("f3_parse_localized_prices",),
@@ -85,9 +104,16 @@ GATE_FAMILIES: dict[str, tuple[str, ...]] = {
     # date/time coverage; f6_time_arithmetic (a round-4 never-gated
     # rotation) represents the pair while f6_date_dimension (green r1+r3)
     # freed its slot for the graph family.
-    "date_time": ("f6_date_dimension", "f6_time_arithmetic"),
-    "json_extract": ("f8_json_extract",),
-    "dedup_exact": ("dedup_exact",),
+    # Round 7: q12's ship/commit/receipt delay classes are date
+    # arithmetic — q12 rotates in while f6_time_arithmetic (green r5/6)
+    # rotates out.
+    "date_time": (
+        "f6_date_dimension",
+        "f6_time_arithmetic",
+        "q12_latency_priority_classes",
+    ),
+    "json_extract": ("f8_json_extract", "f12_variant_extract"),
+    "dedup_exact": ("dedup_exact", "url_canonicalize_dedup"),
     # Round 6: sub-document span dedup joins the near-dup reps (same
     # family at finer granularity) — spans rotates in, minhash (green
     # r1/2/3/5) rotates out.
@@ -96,6 +122,7 @@ GATE_FAMILIES: dict[str, tuple[str, ...]] = {
         "dedup_simhash",
         "dedup_ngram_jaccard",
         "dedup_substring_spans",
+        "dedup_semdedup_prune",
     ),
     "dedup_components": ("dedup_cluster_components",),
     "ann": (
@@ -105,32 +132,60 @@ GATE_FAMILIES: dict[str, tuple[str, ...]] = {
         "ann_ivf_trained",
         "ann_pq_adc_topk",
     ),
-    "clustering": ("kmeans_lloyd_step",),
+    # Round 7: SemDeDup's gate row exercises centroid assignment +
+    # within-cluster pruning (clustering machinery) — it rotates in
+    # while kmeans_lloyd_step (green r5/6) rotates out.
+    "clustering": ("kmeans_lloyd_step", "dedup_semdedup_prune"),
     "langid": ("text_langid", "text_langid_trained"),
-    "text_quality": ("text_repetition_stats", "text_quality_score"),
+    "text_quality": (
+        "text_repetition_stats",
+        "text_quality_score",
+        "quality_gopher_filter",
+    ),
     "multimodal_image": (
         "multimodal_image_meta",
         "multimodal_decode_meta",
         "multimodal_pixel_digest",
     ),
-    "multimodal_audio": ("multimodal_audio_meta",),
-    "asof": ("asof_join_last_purchase",),
-    "split": ("split_train_val_test",),
-    "sampling": ("sample_stratified_lang", "sample_exact_k", "sample_weighted_by_length"),
+    "multimodal_audio": ("multimodal_audio_meta", "multimodal_audio_resample"),
+    # Round 7: interval_join_attribution is a member of BOTH temporal-join
+    # families (event-in-interval attribution = as-of semantics over a
+    # range predicate) — it rotates in while asof (green r3/5/6) and
+    # range_lookup_ip_geo (green r5/6) rotate out.
+    "asof": ("asof_join_last_purchase", "interval_join_attribution"),
+    # Round 7: deterministic corpus shuffling is the ordering half of the
+    # same train-prep partitioning family as the hash split.
+    "split": ("split_train_val_test", "corpus_shuffle_deterministic"),
+    "sampling": (
+        "sample_stratified_lang",
+        "sample_exact_k",
+        "sample_weighted_by_length",
+        "mix_temperature_sampling",
+    ),
     "pii": ("pii_redact", "pii_luhn_validate"),
     "chunk_pack": ("chunk_token_windows", "pack_sequences"),
-    "decontaminate": ("decontaminate_benchmark_overlap",),
+    # Round 7: winnowing fingerprint selection (Schleimer et al.) is the
+    # standard document-overlap/contamination-detection primitive — it
+    # rotates in while decontaminate_benchmark_overlap (green r3/5/6)
+    # rotates out.
+    "decontaminate": ("decontaminate_benchmark_overlap", "text_winnow_fingerprints"),
     # Round 6: skew-aware aggregation (frequency top-k + salted two-phase
     # agg are both hot-key-robust groupBy designs); skew_salted_agg
     # rotates in, heavy_hitters (green r3/5) rotates out.
     "heavy_hitters": ("heavy_hitters_by_lang", "skew_salted_agg"),
     "sketch": ("sketch_kmv_distinct", "sketch_countmin_tokens", "sketch_hll_registers"),
-    "column_profile": ("stats_column_profile",),
-    "histogram": ("stats_histogram", "stats_percentiles"),
+    "column_profile": ("stats_column_profile", "stats_correlation"),
+    # Round 7: q13's distribution-of-counts is a histogram query — it
+    # rotates in while stats_histogram (green r5/6) rotates out.
+    "histogram": (
+        "stats_histogram",
+        "stats_percentiles",
+        "q13_customer_distribution",
+    ),
     "zorder": ("zorder_key_orders",),
-    "range_join": ("range_lookup_ip_geo",),
+    "range_join": ("range_lookup_ip_geo", "interval_join_attribution"),
     # Round-5 families: lexical retrieval and iterative graph ranking.
-    "retrieval": ("search_bm25_topk",),
+    "retrieval": ("search_bm25_topk", "search_hybrid_rrf"),
     "graph_rank": ("graph_pagerank_parts",),
 }
 
@@ -161,21 +216,24 @@ def test_priority_order_covers_gate_window():
         if not set(reps) & set(prio)
     }
     assert not uncovered, f"families with no gate-window representative: {uncovered}"
-    # The 11 round-4 rotations hold exactly ONE green external round
-    # (r5 — round 4 produced no artifacts), so they stay in-window
-    # until a second green row lands (rotation policy: >=2 greens).
+    # The round-6 rotations hold exactly ONE green external round (r6),
+    # so they stay in-window until a second green row lands (rotation
+    # policy: >=2 greens). Round 7 rotated out the round-4/5 cohort,
+    # which earned its second green in r6.
     for required in (
-        "stats_column_profile",
-        "stats_histogram",
-        "kmeans_lloyd_step",
-        "multimodal_audio_meta",
-        "zorder_key_orders",
-        "range_lookup_ip_geo",
-        "sample_exact_k",
-        "text_repetition_stats",
-        "w5_running_totals",
-        "grouping_sets_priority_status",
-        "f6_time_arithmetic",
+        "q5_local_supplier_volume",
+        "funnel_view_click_purchase",
+        "mix_importance_weights",
+        "ohlc_hourly_bars",
+        "u2_intersect_except",
+        "boilerplate_strip_lines",
+        "dedup_substring_spans",
+        "ann_pq_adc_topk",
+        "text_langid_trained",
+        "multimodal_pixel_digest",
+        "pii_luhn_validate",
+        "skew_salted_agg",
+        "sketch_hll_registers",
     ):
         assert required in prio, required
 
