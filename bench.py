@@ -135,21 +135,31 @@ def main() -> None:
     pinned_total = sum(t for n, t in timings.items() if n in HEADLINE_PINNED)
     extended_total = sum(t for n, t in timings.items() if n in EXTENDED)
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
-    print(
+    # Totals-first compact stdout line, kept under ~2 KB (round-7 bench
+    # hygiene — the r6 driver artifact lost its per-query head to tail
+    # truncation): scalars lead so a truncated capture still carries
+    # them, per-query medians are compacted to ms precision, and the
+    # stddev map lives only in BENCH_SUMMARY.json (written next to this
+    # script and committed), which holds the full-precision record.
+    summary = {
+        "metric": "headline_queries_total",
+        "value": round(pinned_total + extended_total, 4),
+        "unit": "sec",
+        "headline_pinned_total": round(pinned_total, 4),
+        "extended_total": round(extended_total, 4),
+        "reps": REPS,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "queries": {n: round(t, 3) for n, t in timings.items()},
+    }
+    Path(__file__).resolve().parent.joinpath("BENCH_SUMMARY.json").write_text(
         json.dumps(
-            {
-                "metric": "headline_queries_total",
-                "value": round(pinned_total + extended_total, 4),
-                "unit": "sec",
-                "queries": timings,
-                "stddev": stddevs,
-                "headline_pinned_total": round(pinned_total, 4),
-                "extended_total": round(extended_total, 4),
-                "reps": REPS,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-            }
+            {**summary, "queries": timings, "stddev": stddevs}, indent=1
         )
+        + "\n"
     )
+    line = json.dumps(summary, separators=(",", ":"))
+    assert len(line) < 2000, f"bench stdout line grew to {len(line)} bytes"
+    print(line)
 
 
 if __name__ == "__main__":
