@@ -109,6 +109,10 @@ WEAK_VS_DUCK = [
     "glamira_e2e_revenue_rollup",
     "ann_pq_adc_topk",
     "w4_rank_dedupe_merge",
+    # Round-7 (VERDICT r6 ask #4): the two queries whose sf0.1 crossing
+    # lacked committed sf1 twin evidence.
+    "datapipe_e2e",
+    "q1_pricing_summary",
 ]
 
 
