@@ -418,6 +418,41 @@ def test_rasterize_resize_operator(spark):
     assert got[5].format == "error" and got[5].pixels is None
 
 
+def test_rasterize_resize_quarantines_unsupported_jpeg_variants(spark):
+    """Structurally valid JPEGs whose pixel coding is unimplemented
+    (arithmetic, 12-bit, CMYK) must surface as metadata-only QUARANTINE
+    rows — header dims populated, pixels NULL, format carrying the
+    specific variant label — while junk payloads stay format='error'
+    (round-7, VERDICT r6 ask #7)."""
+    import struct
+
+    from glamira_batch_processing_spark.operators.multimodal import (
+        rasterize_resize,
+    )
+
+    def sof_jpeg(marker, precision=8, ncomp=3, w=17, h=9):
+        comps = b"".join(bytes([i + 1, 0x11, 0]) for i in range(ncomp))
+        seg = bytes([precision]) + struct.pack(">HH", h, w) + bytes([ncomp]) + comps
+        return (
+            b"\xff\xd8" + bytes([0xFF, marker]) + struct.pack(">H", len(seg) + 2) + seg
+        )
+
+    rows = [
+        (1, bytearray(sof_jpeg(0xC9))),               # arithmetic
+        (2, bytearray(sof_jpeg(0xC0, precision=12))),  # 12-bit
+        (3, bytearray(sof_jpeg(0xC0, ncomp=4))),       # Adobe CMYK
+        (4, bytearray(b"not an image at all")),        # junk
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    got = {r.doc_id: r for r in rasterize_resize(df, max_side=96).collect()}
+    for doc_id, label in ((1, "jpeg-arithmetic"), (2, "jpeg-12bit"), (3, "jpeg-cmyk")):
+        r = got[doc_id]
+        assert r.format == label
+        assert (r.width, r.height) == (17, 9)
+        assert r.pixels is None and r.target_width is None
+    assert got[4].format == "error" and got[4].width is None
+
+
 def test_range_lookup_join_semantics(spark):
     """Bucketed range join == naive BETWEEN join: inclusive bounds,
     overlapping ranges fan out, bucket-straddling ranges still match,
