@@ -87,6 +87,11 @@ EXTENDED = [
     "graph_pagerank_parts",
     "quality_gopher_filter",
     "mix_importance_weights",
+    # round 7: the four TPC-H shapes completing the 22-query suite
+    "q2_min_cost_supplier",
+    "q11_important_stock",
+    "q16_parts_supplier",
+    "q20_potential_promotion",
 ]
 
 HEADLINE = HEADLINE_PINNED + EXTENDED

@@ -736,3 +736,298 @@ def q12_latency_priority_classes(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("delay_class")
     )
+
+
+# ---------------------------------------------------------------------------
+# Round 7: the four remaining TPC-H shapes (Q2/Q11/Q16/Q20), completing
+# the 22-query suite. The driver schema has no partsupp table, so the
+# supplier-part "supply" relation is derived from lineitem history (the
+# same trimmed-schema adaptation round 6 applied to commitdate/phone):
+# unit cost := min integer-milli-cents per unit ever charged, stock
+# share := shipped quantity. The RELATIONAL shapes — correlated
+# min-per-group join-back, global-share HAVING with a reused aggregate,
+# NOT-IN anti join under a distinct count, and nested IN-subquery semi
+# joins — are exactly Q2/Q11/Q16/Q20's.
+# ---------------------------------------------------------------------------
+
+_COST_MILLI_SQL = (
+    "(CAST(floor(l.l_extendedprice*100 + 0.5) AS BIGINT) * 1000)"
+    " // CAST(l.l_quantity AS BIGINT)"
+)
+
+
+@query(
+    "q2_min_cost_supplier",
+    oracle=f"""
+    WITH supply AS (
+      SELECT l.l_partkey, l.l_suppkey, min({_COST_MILLI_SQL}) AS cost_milli
+      FROM lineitem l
+      GROUP BY 1, 2
+    ),
+    esupp AS (
+      SELECT s.s_suppkey, s.s_name, s.s_acctbal, n.n_name
+      FROM supplier s
+      JOIN nation n ON s.s_nationkey = n.n_nationkey
+      JOIN region r ON n.n_regionkey = r.r_regionkey
+      WHERE r.r_name = 'EUROPE'
+    ),
+    cand AS (
+      SELECT p.p_partkey, p.p_name, e.s_suppkey, e.s_name, e.s_acctbal,
+             e.n_name, sp.cost_milli
+      FROM part p
+      JOIN supply sp ON sp.l_partkey = p.p_partkey
+      JOIN esupp e ON e.s_suppkey = sp.l_suppkey
+      WHERE p.p_size <= 10 AND p.p_type = 'LARGE'
+    )
+    SELECT p_partkey, p_name, s_suppkey, s_name, s_acctbal, n_name,
+           CAST(cost_milli AS DOUBLE) / 100000 AS unit_cost
+    FROM cand c
+    WHERE cost_milli = (SELECT min(cost_milli) FROM cand c2
+                        WHERE c2.p_partkey = c.p_partkey)
+    """,
+)
+def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 (minimum-cost supplier): for each qualifying part, the
+    European supplier(s) offering it at the lowest unit cost — Q2's
+    correlated scalar-MIN subquery over a region-restricted supply
+    relation, decorrelated to a per-part MIN joined back on equality.
+
+    Unit cost is exact integer milli-cents (price-cents * 1000 DIV
+    quantity — both engines use integer division on BIGINT), so the
+    min-equality join has no floating tie ambiguity.
+
+    Scale shape: the supply relation is one map-side-combined aggregate
+    over (partkey, suppkey); the region-supplier chain and the filtered
+    part dim are broadcast; the per-part MIN is dimension-sized and
+    broadcasts back. One fact-sized shuffle total (the supply groupBy),
+    reused by both the candidate join and the min — Spark's exchange
+    reuse dedups the shared subtree."""
+    l = table(spark, sf_dir, "lineitem")
+    supply = (
+        l.select(
+            "l_partkey",
+            "l_suppkey",
+            F.expr(
+                "CAST(floor(l_extendedprice*100 + 0.5) AS BIGINT) * 1000"
+                " DIV CAST(l_quantity AS BIGINT)"
+            ).alias("unit_milli"),
+        )
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.min("unit_milli").alias("cost_milli"))
+    )
+    s = table(spark, sf_dir, "supplier")
+    n = table(spark, sf_dir, "nation")
+    r = table(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    esupp = (
+        s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    )
+    p = (
+        table(spark, sf_dir, "part")
+        .filter((F.col("p_size") <= 10) & (F.col("p_type") == "LARGE"))
+        .select("p_partkey", "p_name")
+    )
+    cand = (
+        supply.join(F.broadcast(p), supply.l_partkey == p.p_partkey)
+        .join(F.broadcast(esupp), supply.l_suppkey == F.col("s_suppkey"))
+        .select(
+            "p_partkey", "p_name", "s_suppkey", "s_name", "s_acctbal",
+            "n_name", "cost_milli",
+        )
+    )
+    mins = cand.groupBy(F.col("p_partkey").alias("mk")).agg(
+        F.min("cost_milli").alias("min_milli")
+    )
+    return (
+        cand.join(
+            F.broadcast(mins),
+            (cand.p_partkey == mins.mk) & (cand.cost_milli == mins.min_milli),
+        )
+        .select(
+            "p_partkey", "p_name", "s_suppkey", "s_name", "s_acctbal", "n_name",
+            (F.col("cost_milli").cast("double") / 100000).alias("unit_cost"),
+        )
+    )
+
+
+@query(
+    "q11_important_stock",
+    oracle="""
+    WITH val AS (
+      SELECT l.l_partkey,
+             SUM(CAST(floor(l.l_extendedprice*100 + 0.5) AS BIGINT)
+                 * CAST(l.l_quantity AS BIGINT)) AS value_units
+      FROM lineitem l
+      JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      JOIN nation n ON s.s_nationkey = n.n_nationkey
+      JOIN region r ON n.n_regionkey = r.r_regionkey
+      WHERE r.r_name = 'EUROPE'
+      GROUP BY 1)
+    SELECT l_partkey AS p_partkey,
+           CAST(value_units AS DOUBLE) / 100 AS total_value
+    FROM val
+    WHERE value_units * 1000 > (SELECT SUM(value_units) FROM val)
+    """,
+)
+def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 (important stock identification): parts whose
+    European-supplied inventory value exceeds 0.1% of the total — Q11's
+    HAVING-against-a-scalar-fraction-of-the-same-aggregate shape.
+
+    The share test is exact integer algebra (value*1000 > total on
+    decimal sums), not a double fraction, so both engines agree at the
+    threshold boundary bit-for-bit.
+
+    Scale shape: ONE fact aggregate, physically reused for both the
+    per-part values and the grand total (exchange reuse); the total is
+    a 1-row broadcast; the supplier-region restriction is a broadcast
+    chain applied before the shuffle."""
+    l = table(spark, sf_dir, "lineitem")
+    s = table(spark, sf_dir, "supplier")
+    n = table(spark, sf_dir, "nation")
+    r = table(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    esupp = (
+        s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .select("s_suppkey")
+    )
+    units = cents(F.col("l_extendedprice")) * F.col("l_quantity").cast("long")
+    val = (
+        l.join(F.broadcast(esupp), l.l_suppkey == F.col("s_suppkey"))
+        .groupBy("l_partkey")
+        .agg(F.sum(_dec38(units)).alias("value_units"))
+    )
+    total = val.agg(F.sum("value_units").alias("grand_total"))
+    return (
+        val.join(F.broadcast(total), F.col("value_units") * 1000 > F.col("grand_total"))
+        .select(
+            F.col("l_partkey").alias("p_partkey"),
+            (F.col("value_units").cast("double") / 100).alias("total_value"),
+        )
+    )
+
+
+@query(
+    "q16_parts_supplier",
+    oracle="""
+    WITH pairs AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem)
+    SELECT p.p_brand, p.p_type, p.p_size,
+           count(DISTINCT pr.l_suppkey) AS supplier_cnt
+    FROM pairs pr
+    JOIN part p ON p.p_partkey = pr.l_partkey
+    WHERE p.p_brand <> 'Brand#1' AND p.p_type NOT LIKE 'PROMO%'
+      AND p.p_size IN (1, 4, 9, 16, 25, 36, 49)
+      AND pr.l_suppkey NOT IN
+          (SELECT s_suppkey FROM supplier WHERE s_acctbal < 1000)
+    GROUP BY 1, 2, 3
+    """,
+)
+def q16_parts_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 (parts/supplier relationship): distinct supplier count
+    per (brand, type, size) bucket, excluding disqualified suppliers —
+    Q16's NOT-IN subquery (here: suppliers in the low-balance book, the
+    trimmed schema's stand-in for the comment-scan complaint filter)
+    under a COUNT DISTINCT.
+
+    Scale shape: the distinct (part, supplier) pair set is one
+    map-side-combined aggregate; the part filter and the NOT-IN
+    exclusion list are broadcasts (the exclusion is a broadcast ANTI
+    join — suppkeys are non-null, so NOT IN is anti-join-safe); the
+    final count-distinct groups by dimension attributes only."""
+    l = table(spark, sf_dir, "lineitem")
+    pairs = l.select("l_partkey", "l_suppkey").distinct()
+    p = (
+        table(spark, sf_dir, "part")
+        .filter(
+            (F.col("p_brand") != "Brand#1")
+            & (~F.col("p_type").startswith("PROMO"))
+            & (F.col("p_size").isin(1, 4, 9, 16, 25, 36, 49))
+        )
+        .select("p_partkey", "p_brand", "p_type", "p_size")
+    )
+    bad = table(spark, sf_dir, "supplier").filter(
+        F.col("s_acctbal") < 1000
+    ).select("s_suppkey")
+    return (
+        pairs.join(F.broadcast(p), pairs.l_partkey == p.p_partkey)
+        .join(
+            F.broadcast(bad),
+            pairs.l_suppkey == bad.s_suppkey,
+            "left_anti",
+        )
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+@query(
+    "q20_potential_promotion",
+    oracle="""
+    WITH shipped AS (
+      SELECT l_partkey, l_suppkey, SUM(CAST(l_quantity AS BIGINT)) AS qty
+      FROM lineitem
+      WHERE CAST(l_shipdate AS DATE) >= DATE '1997-01-01'
+        AND CAST(l_shipdate AS DATE) < DATE '1998-01-01'
+      GROUP BY 1, 2),
+    tot AS (SELECT l_partkey, SUM(qty) AS part_qty FROM shipped GROUP BY 1)
+    SELECT s.s_suppkey, s.s_name, n.n_name
+    FROM supplier s
+    JOIN nation n ON s.s_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    WHERE r.r_name = 'ASIA'
+      AND s.s_suppkey IN (
+        SELECT sh.l_suppkey FROM shipped sh
+        JOIN tot ON tot.l_partkey = sh.l_partkey
+        WHERE sh.l_partkey IN
+              (SELECT p_partkey FROM part WHERE p_name LIKE '%widget')
+          AND 2 * sh.qty > tot.part_qty)
+    """,
+)
+def q20_potential_promotion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 (potential part promotion): Asian suppliers who
+    dominated a widget part's shipments this year (more than half the
+    part's total quantity) — Q20's nested IN-subquery chain
+    (supplier IN (... part IN (...))) as layered semi joins over a
+    derived supply relation.
+
+    The dominance test is exact: 2*qty > part_qty on BIGINT sums.
+
+    Scale shape: shipped is one date-pruned map-side-combined
+    aggregate; its per-part total derives from the SAME aggregate
+    (exchange reuse, no second fact scan); the widget part list
+    broadcasts into a semi join; the dominant-supplier id set is
+    supplier-dimension-sized and broadcasts into the final LEFT SEMI."""
+    l = table(spark, sf_dir, "lineitem").filter(
+        (F.to_date("l_shipdate") >= F.lit("1997-01-01").cast("date"))
+        & (F.to_date("l_shipdate") < F.lit("1998-01-01").cast("date"))
+    )
+    shipped = (
+        l.select("l_partkey", "l_suppkey", F.col("l_quantity").cast("long").alias("q"))
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.sum("q").alias("qty"))
+    )
+    widgets = table(spark, sf_dir, "part").filter(
+        F.col("p_name").like("%widget")
+    ).select("p_partkey")
+    wshipped = shipped.join(
+        F.broadcast(widgets), shipped.l_partkey == F.col("p_partkey"), "left_semi"
+    )
+    tot = wshipped.groupBy(F.col("l_partkey").alias("tk")).agg(
+        F.sum("qty").alias("part_qty")
+    )
+    dominant = (
+        wshipped.join(F.broadcast(tot), wshipped.l_partkey == F.col("tk"))
+        .filter(2 * F.col("qty") > F.col("part_qty"))
+        .select("l_suppkey")
+        .distinct()
+    )
+    s = table(spark, sf_dir, "supplier")
+    n = table(spark, sf_dir, "nation")
+    r = table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    return (
+        s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .join(F.broadcast(dominant), s.s_suppkey == F.col("l_suppkey"), "left_semi")
+        .select("s_suppkey", "s_name", "n_name")
+    )

@@ -95,6 +95,12 @@ MEASURED = [
     "w7_range_interval_frame",
     "mix_temperature_sampling",
     "dedup_lsh_recall_eval",
+    # round-7 additions: the remaining TPC-H shapes + variant routing
+    "q2_min_cost_supplier",
+    "q11_important_stock",
+    "q16_parts_supplier",
+    "q20_potential_promotion",
+    "multimodal_variant_routing",
 ]
 
 # Round-6 (VERDICT r5 ask #3): the five queries flagged perf-weak at

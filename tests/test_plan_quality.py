@@ -597,3 +597,61 @@ def test_q12_single_aggregate_no_second_pass(spark):
     assert plan.count("HashAggregate") <= 2
     assert "PushedFilters: [" in plan
     assert "l_shipdate" in plan.split("PushedFilters:")[1][:300]
+
+
+def test_q2_supply_min_join_back_all_dims_broadcast(spark):
+    """Q2's decorrelated min-per-part join-back: every dimension side
+    (part filter, region-supplier chain, per-part MIN) must broadcast —
+    the only shuffles are the supply aggregate and the min re-group, no
+    sort-merge join and no cartesian anywhere."""
+    plan = plan_of(QUERIES["q2_min_cost_supplier"](spark, SF_SMALL))
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert plan.count("BroadcastHashJoin") >= 4
+
+
+def test_q11_single_fact_aggregate_reused_for_total(spark):
+    """Q11's grand total must derive from the SAME per-part aggregate
+    (no second fact scan): exactly one lineitem scan pair in the
+    partial/final aggregate chain, and the share comparison joins a
+    1-row broadcast (nested-loop on a single-row build is the scalar
+    subquery pattern, not a cartesian blowup)."""
+    df = QUERIES["q11_important_stock"](spark, SF_SMALL)
+    plan = plan_of(df)
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+    # lineitem is scanned at most twice pre-AQE (value + total branches
+    # share a canonical subtree; runtime exchange reuse dedups them)
+    assert plan.count("lineitem.parquet") <= 2
+    # AQE collapses the duplicated value-aggregate subtree at runtime:
+    # after executing THIS QueryExecution (collect, not a write, which
+    # would clone the plan) the total branch must hang off a
+    # ReusedExchange, leaving ONE live lineitem scan.
+    df.collect()
+    final = plan_of(df)
+    assert "ReusedExchange" in final or final.count("lineitem.parquet") == 1
+
+
+def test_q16_not_in_is_broadcast_anti_join(spark):
+    """Q16's NOT-IN exclusion must plan as a broadcast ANTI join (keys
+    are non-null), never as a nested-loop NOT-IN; the distinct pair set
+    is one map-side-combined aggregate."""
+    plan = plan_of(QUERIES["q16_parts_supplier"](spark, SF_SMALL))
+    assert "BroadcastHashJoin LeftAnti" in plan or (
+        "LeftAnti, BuildRight" in plan
+    )
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_q20_nested_in_subqueries_plan_as_semi_joins(spark):
+    """Q20's supplier IN (... part IN (...)) chain must appear as LEFT
+    SEMI joins with broadcast builds — no cartesian, no sort-merge at
+    this scale, and the widget part list prunes shipped BEFORE the
+    per-part total (tot derives from the pruned aggregate)."""
+    plan = plan_of(QUERIES["q20_potential_promotion"](spark, SF_SMALL))
+    assert plan.count("LeftSemi") >= 2
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan
+    assert "PushedFilters: [" in plan
