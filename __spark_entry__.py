@@ -142,7 +142,9 @@ from glamira_batch_processing_spark.plans.registry import ORACLE, QUERIES
 # then q6/q7/q8/q14/q17, gapfill_forward_fill, cohort_retention,
 # sketch_countmin_tokens, sessionize_builtin_window, w6_ntile_percent_rank,
 # q2_min_cost_supplier/q11_important_stock/q16_parts_supplier/
-# q20_potential_promotion (new this round), f13_collated_group,
+# q20_potential_promotion (new this round — completing the 22-query
+# TPC-H suite), multimodal_variant_routing (new this round — the
+# unsupported-JPEG quarantine gate), f13_collated_group,
 # quality_bigram_familiarity, mix_resample_sources, ann_recall_eval.
 _PRIORITY: list[str] = [
     # Flagships: whole-warehouse DAG (staging -> SCD -> marts -> rollup)

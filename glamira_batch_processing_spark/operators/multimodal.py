@@ -882,6 +882,42 @@ def wav_bytes(
     return buf.getvalue()
 
 
+# WAVE fmt-tag -> quarantine label. stdlib ``wave`` decodes only
+# integer PCM (tag 1); everything else is labelled so a pipeline can
+# route the long tail by format instead of dropping it as 'error'
+# (the audio twin of the JPEG variant routing, round 7).
+WAV_FORMAT_TAGS: dict[int, str] = {
+    2: "wav-adpcm",
+    3: "wav-float",
+    6: "wav-alaw",
+    7: "wav-mulaw",
+    0x11: "wav-ima-adpcm",
+    0x55: "wav-mp3",
+    0xFFFE: "wav-extensible",
+}
+
+
+def _wav_fmt_probe(b: bytes) -> tuple[int, int, str] | None:
+    """RIFF/WAVE 'fmt ' chunk walk: (channels, sample_rate, label) for
+    a structurally valid WAV whose coding stdlib ``wave`` refuses, else
+    None. The fmt chunk layout (tag u16, nch u16, rate u32) is shared
+    by every WAVE coding, so header metadata survives even when sample
+    decode is off the table."""
+    if len(b) < 12 or b[:4] != b"RIFF" or b[8:12] != b"WAVE":
+        return None
+    i = 12
+    while i + 8 <= len(b):
+        cid = b[i : i + 4]
+        (csize,) = struct.unpack("<I", b[i + 4 : i + 8])
+        if cid == b"fmt " and i + 16 <= len(b):
+            tag, nch = struct.unpack("<HH", b[i + 8 : i + 12])
+            (rate,) = struct.unpack("<I", b[i + 12 : i + 16])
+            label = WAV_FORMAT_TAGS.get(tag, f"wav-tag{tag}")
+            return nch, rate, label
+        i += 8 + csize + (csize & 1)  # chunks are word-aligned
+    return None
+
+
 def decode_audio(
     df: DataFrame,
     payload_col: str = "payload",
@@ -890,9 +926,13 @@ def decode_audio(
     """binary payload -> typed audio metadata via mapInPandas.
 
     REAL decode for WAV containers (stdlib ``wave``): channel count,
-    sample rate, frame count, duration. Non-WAV payloads surface as
-    NULL metadata with ``format='error'`` — audio pipelines filter on
-    ``format`` rather than crashing mid-scan on one bad object.
+    sample rate, frame count, duration. Structurally valid WAVs with a
+    non-PCM coding (a-law, mu-law, float, ADPCM, MP3-in-WAV, ...)
+    surface as QUARANTINE rows — channels and sample rate from the fmt
+    chunk, frame fields NULL, ``format`` carrying the specific
+    ``wav-<variant>`` label — so pipelines route the long tail by
+    format. Non-WAV payloads surface as NULL metadata with
+    ``format='error'``; the scan never crashes on one bad object.
     """
 
     def fn(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
@@ -922,7 +962,16 @@ def decode_audio(
                         )
                     )
                 except (wave.Error, EOFError):
-                    rows.append((int(doc_id), len(b), None, None, None, None, "error"))
+                    probe = _wav_fmt_probe(b)
+                    if probe is not None:
+                        nch, rate, label = probe
+                        rows.append(
+                            (int(doc_id), len(b), nch, rate, None, None, label)
+                        )
+                    else:
+                        rows.append(
+                            (int(doc_id), len(b), None, None, None, None, "error")
+                        )
             yield pd.DataFrame(
                 rows, columns=[f.name for f in AUDIO_META_SCHEMA.fields]
             )

@@ -173,6 +173,56 @@ def test_decode_images_strict_and_audio(spark):
     assert agot[2].format == "error" and agot[2].sample_rate is None
 
 
+def _variant_wav(fmt_tag: int, nch: int = 2, rate: int = 8000) -> bytes:
+    """Minimal RIFF/WAVE with a non-PCM fmt tag and an empty data chunk."""
+    import struct as _s
+
+    fmt = _s.pack("<HHIIHH", fmt_tag, nch, rate, rate * nch, nch, 8)
+    chunks = b"fmt " + _s.pack("<I", len(fmt)) + fmt + b"data" + _s.pack("<I", 0)
+    return b"RIFF" + _s.pack("<I", 4 + len(chunks)) + b"WAVE" + chunks
+
+
+def test_decode_audio_quarantines_non_pcm_wav_variants(spark):
+    """Structurally valid WAVs whose coding stdlib wave refuses (a-law,
+    mu-law, float, ADPCM, MP3-in-WAV) must surface as quarantine rows:
+    channels + sample rate from the fmt chunk, frame fields NULL, and a
+    specific wav-<variant> format label — the audio twin of the JPEG
+    variant routing. Junk stays format='error'."""
+    from glamira_batch_processing_spark.operators.multimodal import decode_audio
+
+    rows = [
+        (1, bytearray(_variant_wav(6, nch=1, rate=8000))),    # a-law
+        (2, bytearray(_variant_wav(7, nch=2, rate=16000))),   # mu-law
+        (3, bytearray(_variant_wav(3, nch=2, rate=44100))),   # float32
+        (4, bytearray(_variant_wav(0x55, nch=2, rate=22050))),  # mp3-in-wav
+        (5, bytearray(b"RIFFjunk")),                          # truncated riff
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    got = {r.doc_id: r for r in decode_audio(df).collect()}
+    expect = {1: ("wav-alaw", 1, 8000), 2: ("wav-mulaw", 2, 16000),
+              3: ("wav-float", 2, 44100), 4: ("wav-mp3", 2, 22050)}
+    for doc_id, (label, nch, rate) in expect.items():
+        r = got[doc_id]
+        assert r.format == label
+        assert (r.n_channels, r.sample_rate) == (nch, rate)
+        assert r.n_frames is None and r.duration_ms is None
+    assert got[5].format == "error" and got[5].sample_rate is None
+
+
+def test_wav_fmt_probe_truncation_never_crashes():
+    """Byte-truncations of every variant fixture: the probe returns a
+    labelled tuple or None — never raises."""
+    from glamira_batch_processing_spark.operators.multimodal import _wav_fmt_probe
+
+    for tag in (2, 3, 6, 7, 0x11, 0x55, 0xFFFE, 0x9999):
+        data = _variant_wav(tag)
+        full = _wav_fmt_probe(data)
+        assert full is not None and full[2].startswith("wav-")
+        for cut in range(len(data)):
+            out = _wav_fmt_probe(data[:cut])
+            assert out is None or out[2].startswith("wav-")
+
+
 def test_cosine_topk_np_matches_fold(spark):
     """numpy matmul path agrees with the exact-fold path: same neighbor
     sets and ranks; similarities equal to ~1e-12 relative."""
