@@ -113,22 +113,26 @@ def main() -> None:
 
     spark = get_spark("glamira-bench")
     qs = queries()
-    # Warm up JIT/codegen per query shape on the tiny SF first, so the
-    # timed run measures steady-state execution, not first-compile.
-    warm_sf = "/root/testdata/sf0.001"
+    # Warm up JIT/codegen per query AT THE TARGET SF, immediately before
+    # its timed reps. The old tiny-SF warm-up compiled the WRONG plan
+    # shapes for AQE-heavy queries (plans differ by input size), so the
+    # first sf0.1 execution of the warehouse DAG still paid 15-30 s of
+    # whole-stage-codegen class compilation + JIT — a constant that is
+    # irrelevant at 100 TB but, bleeding into the 3-rep median, made
+    # `glamira_pipeline_e2e` read bimodally as 6 s or 17 s across
+    # otherwise-identical quiet runs (round-7 diagnosis). One untimed
+    # pass at SF_DIR per query compiles exactly the measured shapes.
     spark.read.parquet(f"{SF_DIR}/region.parquet").count()
-    for name in HEADLINE:
-        if name in qs:
-            try:
-                force(qs[name](spark, warm_sf))
-            except Exception:
-                pass
 
     timings: dict[str, float] = {}
     stddevs: dict[str, float] = {}
     for name in HEADLINE:
         if name not in qs:
             continue
+        try:
+            force(qs[name](spark, SF_DIR))
+        except Exception:
+            pass
         reps: list[float] = []
         for _ in range(REPS):
             t0 = time.perf_counter()
