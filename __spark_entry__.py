@@ -144,7 +144,9 @@ from glamira_batch_processing_spark.plans.registry import ORACLE, QUERIES
 # q2_min_cost_supplier/q11_important_stock/q16_parts_supplier/
 # q20_potential_promotion (new this round — completing the 22-query
 # TPC-H suite), multimodal_variant_routing (new this round — the
-# unsupported-JPEG quarantine gate), f13_collated_group,
+# unsupported-JPEG quarantine gate), ann_sq8_topk / sketch_theta_overlap /
+# qa_snapshot_drift (new this round — SQ8 quantization, theta-sketch set
+# algebra, snapshot-drift audit), f13_collated_group,
 # quality_bigram_familiarity, mix_resample_sources, ann_recall_eval.
 _PRIORITY: list[str] = [
     # Flagships: whole-warehouse DAG (staging -> SCD -> marts -> rollup)

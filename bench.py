@@ -92,6 +92,10 @@ EXTENDED = [
     "q11_important_stock",
     "q16_parts_supplier",
     "q20_potential_promotion",
+    # round 7: SQ8 quantized ANN, theta-sketch set algebra, drift audit
+    "ann_sq8_topk",
+    "sketch_theta_overlap",
+    "qa_snapshot_drift",
 ]
 
 HEADLINE = HEADLINE_PINNED + EXTENDED

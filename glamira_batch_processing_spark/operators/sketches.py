@@ -243,3 +243,119 @@ def hll_estimate(registers: list[tuple[int, int]], m: int = 64) -> float:
 
         return m * math.log(m / zeros)
     return raw
+
+
+# ---------------------------------------------------------------------------
+# Theta-sketch set algebra over KMV states (union / intersection /
+# Jaccard without joining the underlying corpora).
+# ---------------------------------------------------------------------------
+
+
+def _kmv_frac(h: Column) -> Column:
+    """Hash-fraction in [0, 1) from the first 8 md5 hex chars (monotone
+    with the full-string ordering — same mapping as kmv_estimate)."""
+    return (
+        F.conv(F.substring(h, 1, 8), 16, 10).cast("bigint").cast("double")
+        / F.lit(TWO_32)
+    )
+
+
+def kmv_theta_ops(
+    df_a: DataFrame,
+    col_a: Column,
+    df_b: DataFrame,
+    col_b: Column,
+    k: int = 64,
+) -> DataFrame:
+    """One row of theta-sketch set estimates from two KMV sketches.
+
+    The classic theta-sketch trick (Dasgupta et al., "Theta Sketch
+    Framework"): form the UNION sketch as the k smallest hashes of
+    A's-sketch union B's-sketch, take theta = its kth-min fraction, and
+    count, among those k retained hashes, how many are present in BOTH
+    input sketches (each retained hash is below both inputs' thresholds,
+    so membership in the input sketch state decides true membership in
+    the input SET for exactly these survivors). Then
+
+      est_union       = (k_used - 1) / theta          (KMV estimator)
+      est_intersect   = n_common / theta
+      jaccard_k       = n_common / k_used
+
+    Everything is a deterministic function of md5, so the whole output
+    row is oracle-exact cross-engine — the sketch algebra itself is
+    under test, not just its error bound.
+
+    Scale design: each input sketch is one TakeOrdered over a map-side
+    distinct (state = k hashes, no full shuffle of the distinct sets);
+    the algebra then runs on two k-row relations — broadcast territory
+    no matter the corpus size. At 100 TB this estimates cross-corpus
+    overlap (e.g. train-vs-eval user contamination rate) for the cost
+    of two scans and zero joins of the raw data.
+    """
+    sa = kmv_sketch(df_a, col_a, k).withColumn("in_a", F.lit(1))
+    sb = kmv_sketch(df_b, col_b, k).withColumn("in_b", F.lit(1))
+    u = (
+        sa.select("h")
+        .union(sb.select("h"))
+        .distinct()
+        .orderBy("h")
+        .limit(k)
+    )
+    flagged = (
+        u.join(F.broadcast(sa), "h", "left")
+        .join(F.broadcast(sb), "h", "left")
+        .select(
+            _kmv_frac(F.col("h")).alias("f"),
+            F.coalesce("in_a", F.lit(0)).alias("in_a"),
+            F.coalesce("in_b", F.lit(0)).alias("in_b"),
+        )
+    )
+    return flagged.agg(
+        F.count("*").cast("bigint").alias("k_used"),
+        F.max("f").alias("theta"),
+        F.sum(F.col("in_a") * F.col("in_b")).cast("bigint").alias("n_common"),
+        ((F.count("*") - 1) / F.max("f")).alias("est_union"),
+        (F.sum(F.col("in_a") * F.col("in_b")) / F.max("f")).alias("est_intersect"),
+        (F.sum(F.col("in_a") * F.col("in_b")) / F.count("*")).alias("jaccard_k"),
+    )
+
+
+def sql_kmv_theta_ops(
+    source_a: str,
+    col_a_sql: str,
+    source_b: str,
+    col_b_sql: str,
+    k: int = 64,
+) -> str:
+    """DuckDB twin of :func:`kmv_theta_ops` (bit-identical output row)."""
+    return f"""
+    WITH ska AS (
+      SELECT h FROM (
+        SELECT DISTINCT md5(CAST({col_a_sql} AS VARCHAR)) AS h FROM {source_a}
+      ) ORDER BY h LIMIT {k}
+    ),
+    skb AS (
+      SELECT h FROM (
+        SELECT DISTINCT md5(CAST({col_b_sql} AS VARCHAR)) AS h FROM {source_b}
+      ) ORDER BY h LIMIT {k}
+    ),
+    u AS (
+      SELECT h FROM (
+        SELECT h FROM ska UNION SELECT h FROM skb
+      ) ORDER BY h LIMIT {k}
+    ),
+    flagged AS (
+      SELECT
+        CAST(CAST(concat('0x', substr(u.h, 1, 8)) AS BIGINT) AS DOUBLE) / {TWO_32!r} AS f,
+        CASE WHEN u.h IN (SELECT h FROM ska) THEN 1 ELSE 0 END AS in_a,
+        CASE WHEN u.h IN (SELECT h FROM skb) THEN 1 ELSE 0 END AS in_b
+      FROM u
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS k_used,
+           max(f) AS theta,
+           CAST(SUM(in_a * in_b) AS BIGINT) AS n_common,
+           (COUNT(*) - 1) / max(f) AS est_union,
+           SUM(in_a * in_b) / max(f) AS est_intersect,
+           SUM(in_a * in_b) / CAST(COUNT(*) AS DOUBLE) AS jaccard_k
+    FROM flagged
+    """

@@ -367,3 +367,119 @@ def stats_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(19),
     )
     return o.groupBy(bucket.alias("bucket")).agg(F.count("*").alias("n"))
+
+
+# ---------------------------------------------------------------------------
+# Snapshot drift: distribution shift between two table snapshots
+# (chi-square + Kolmogorov-Smirnov over a fixed bucket grid).
+# ---------------------------------------------------------------------------
+@query(
+    "qa_snapshot_drift",
+    oracle="""
+    WITH b AS (
+      SELECT LEAST(GREATEST(CAST(FLOOR(o_totalprice / 50000.0) AS BIGINT), 0), 9) AS bucket,
+             CASE WHEN o_orderdate < TIMESTAMP '1998-07-01' THEN 1 ELSE 0 END AS is_old
+      FROM orders
+    ),
+    g AS (
+      SELECT bucket,
+             CAST(SUM(is_old) AS BIGINT) AS n_old,
+             CAST(SUM(1 - is_old) AS BIGINT) AS n_new
+      FROM b GROUP BY bucket
+    ),
+    w AS (
+      SELECT bucket, n_old, n_new,
+             CAST(SUM(n_old) OVER (ORDER BY bucket ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_old,
+             CAST(SUM(n_new) OVER (ORDER BY bucket ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_new,
+             CAST(SUM(n_old) OVER () AS BIGINT) AS t_old,
+             CAST(SUM(n_new) OVER () AS BIGINT) AS t_new
+      FROM g
+    ),
+    e AS (
+      SELECT *,
+             CAST(n_old AS DOUBLE) * CAST(t_new AS DOUBLE) / CAST(t_old AS DOUBLE) AS expected_new
+      FROM w
+    )
+    SELECT bucket, n_old, n_new,
+           CAST(n_old * 1000000 // t_old AS BIGINT) AS share_old_ppm,
+           CAST(n_new * 1000000 // t_new AS BIGINT) AS share_new_ppm,
+           CASE WHEN n_old = 0 THEN NULL
+                ELSE CAST(FLOOR(
+                  (CAST(n_new AS DOUBLE) - expected_new)
+                  * (CAST(n_new AS DOUBLE) - expected_new)
+                  / expected_new * 1000000.0 + 0.5) AS BIGINT)
+           END AS chi2_term_q1e6,
+           CAST(ABS(cum_old * t_new - cum_new * t_old) AS BIGINT) AS ks_scaled
+    FROM e
+    """,
+)
+def qa_snapshot_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-drift audit between two snapshots of a fact table
+    (here: orders before vs after 1998-07-01) on a FIXED bucket grid —
+    the data-quality gate a 100 TB warehouse runs between loads before
+    publishing (pairs with VersionedTable's write-audit-publish: a
+    drift check is exactly the kind of WAP audit callback this
+    computes).
+
+    Per bucket: counts, exact-integer ppm shares, the chi-square term
+    quantized to micro-units, and the Kolmogorov-Smirnov CDF gap in
+    EXACT cross-multiplied integers (``|cum_old*t_new - cum_new*t_old|``
+    — max over buckets / (t_old*t_new) is the KS statistic; the cross
+    product stays under 2^63 through sf100). PSI is deliberately NOT
+    emitted: its ln() is libm-dependent and would break the cross-engine
+    exactness discipline; chi-square + KS are pure rational arithmetic.
+
+    One scan, one 10-key map-side-combinable groupBy, then windows over
+    the 10-row aggregate — no second pass over the fact."""
+    from pyspark.sql import Window
+
+    o = table(spark, sf_dir, "orders")
+    bucket = F.least(
+        F.greatest(F.floor(F.col("o_totalprice") / 50000.0).cast("long"), F.lit(0)),
+        F.lit(9),
+    )
+    is_old = F.when(
+        F.col("o_orderdate") < F.lit("1998-07-01").cast("timestamp"), 1
+    ).otherwise(0)
+    g = o.groupBy(bucket.alias("bucket")).agg(
+        F.sum(is_old).cast("bigint").alias("n_old"),
+        F.sum(1 - is_old).cast("bigint").alias("n_new"),
+    )
+    cum = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, 0)
+    tot = Window.partitionBy()
+    w = g.select(
+        "bucket",
+        "n_old",
+        "n_new",
+        F.sum("n_old").over(cum).cast("bigint").alias("cum_old"),
+        F.sum("n_new").over(cum).cast("bigint").alias("cum_new"),
+        F.sum("n_old").over(tot).cast("bigint").alias("t_old"),
+        F.sum("n_new").over(tot).cast("bigint").alias("t_new"),
+    )
+    # expected_new staged in its own projection (the round-7 expression-
+    # staging rule: multi-referenced non-trivial expressions evaluate
+    # once per row, not once per mention).
+    e = w.withColumn(
+        "expected_new",
+        F.col("n_old").cast("double")
+        * F.col("t_new").cast("double")
+        / F.col("t_old").cast("double"),
+    )
+    resid = F.col("n_new").cast("double") - F.col("expected_new")
+    return e.select(
+        "bucket",
+        "n_old",
+        "n_new",
+        F.expr("CAST(n_old * 1000000 DIV t_old AS BIGINT)").alias("share_old_ppm"),
+        F.expr("CAST(n_new * 1000000 DIV t_new AS BIGINT)").alias("share_new_ppm"),
+        F.when(F.col("n_old") == 0, F.lit(None).cast("bigint"))
+        .otherwise(
+            F.floor(
+                resid * resid / F.col("expected_new") * F.lit(1000000.0) + F.lit(0.5)
+            ).cast("bigint")
+        )
+        .alias("chi2_term_q1e6"),
+        F.abs(
+            F.col("cum_old") * F.col("t_new") - F.col("cum_new") * F.col("t_old")
+        ).cast("bigint").alias("ks_scaled"),
+    )

@@ -1443,3 +1443,72 @@ def dedup_lsh_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("dup_class")
     )
+
+
+# ---------------------------------------------------------------------------
+# ANN: SQ8 scalar quantization (the int8 warm tier between raw floats
+# and PQ codes — d bytes/vector, no codebook training).
+# ---------------------------------------------------------------------------
+
+from ..operators.sq import (  # noqa: E402
+    sql_sq8_codes,
+    sql_sq8_dequant,
+    sql_sq8_params_cte,
+    sq8_params,
+    sq8_topk,
+)
+
+_SQ_DIM = 64
+
+
+@query(
+    "ann_sq8_topk",
+    oracle=f"""
+    WITH {sql_sq8_params_cte("embeddings", "embedding", _SQ_DIM)},
+    codes AS (
+      SELECT vec_id, {sql_sq8_codes("embedding", _SQ_DIM)} AS codes
+      FROM embeddings, sqparams
+    ),
+    deq AS (
+      SELECT vec_id, {sql_sq8_dequant("codes", _SQ_DIM)} AS deq
+      FROM codes, sqparams
+    ),
+    scored AS (
+      SELECT q.vec_id AS query_id, d.vec_id AS neighbor_id,
+             CAST(FLOOR(list_reduce(
+               list_transform(range(1, {_SQ_DIM + 1}),
+                 i -> (CAST(q.embedding[i] AS DOUBLE) - d.deq[i])
+                    * (CAST(q.embedding[i] AS DOUBLE) - d.deq[i])),
+               (x, y) -> x + y) * 1000000.0 + 0.5) AS BIGINT) AS adc_q1e6
+      FROM embeddings q JOIN deq d ON q.vec_id != d.vec_id
+      WHERE q.vec_id % 100 = 0
+    )
+    SELECT query_id, neighbor_id, rank, adc_q1e6 FROM (
+      SELECT *, row_number() OVER (
+        PARTITION BY query_id ORDER BY adc_q1e6, neighbor_id
+      ) AS rank
+      FROM scored
+    )
+    WHERE rank <= 10
+    """,
+)
+def ann_sq8_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQ8 scalar-quantized ANN (``operators/sq.py``): per-dimension
+    int8 affine codes (4x smaller than float32, no training beyond a
+    d-constant min/max pass), exact-integer asymmetric top-10. The
+    oracle restates training, encoding, dequantization and ranking in
+    SQL, so the full quantize->search path is bit-identical cross-
+    engine. Completes the quantization ladder: raw floats (exact) >
+    SQ8 (this) > IVF cells > PQ codes > residual IVF+PQ.
+
+    100 TB story: training shuffles d constant keys; the 1-row range
+    table broadcasts into the encode scan (zero shuffle); queries
+    broadcast; the only wide op is the per-query top-k window."""
+    e = table(spark, sf_dir, "embeddings").repartition(
+        spark.sparkContext.defaultParallelism, F.col("vec_id")
+    )
+    params = sq8_params(e, "embedding")
+    queries = e.filter(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
+    )
+    return sq8_topk(e, queries, params, id_col="vec_id", k=10)

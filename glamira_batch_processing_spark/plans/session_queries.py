@@ -221,3 +221,37 @@ def sketch_quantile_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
             "p90_est"
         ),
     )
+
+
+from ..operators.sketches import kmv_theta_ops, sql_kmv_theta_ops  # noqa: E402
+
+
+@query(
+    "sketch_theta_overlap",
+    oracle=sql_kmv_theta_ops(
+        "(SELECT o_custkey FROM orders WHERE o_orderdate < TIMESTAMP '1997-01-01')",
+        "o_custkey",
+        "(SELECT o_custkey FROM orders WHERE o_orderdate >= TIMESTAMP '2000-01-01')",
+        "o_custkey",
+        k=64,
+    ),
+)
+def sketch_theta_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theta-sketch set algebra: estimated union / intersection /
+    Jaccard between the early-era (pre-1997) and late-era (2000+)
+    customer bases, from two 64-hash KMV states and NO join of the raw
+    corpora anywhere (``operators/sketches.py::kmv_theta_ops``). The
+    oracle restates the full sketch algebra, so every estimate is
+    cross-engine exact. The 100 TB use: cross-corpus overlap /
+    contamination rates (train vs eval, shard vs shard) from per-shard
+    sketch states instead of a distinct-join of the corpora."""
+    o = table(spark, sf_dir, "orders")
+    cut_lo = F.lit("1997-01-01").cast("timestamp")
+    cut_hi = F.lit("2000-01-01").cast("timestamp")
+    return kmv_theta_ops(
+        o.filter(F.col("o_orderdate") < cut_lo),
+        F.col("o_custkey"),
+        o.filter(F.col("o_orderdate") >= cut_hi),
+        F.col("o_custkey"),
+        k=64,
+    )

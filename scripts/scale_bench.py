@@ -101,6 +101,9 @@ MEASURED = [
     "q16_parts_supplier",
     "q20_potential_promotion",
     "multimodal_variant_routing",
+    "ann_sq8_topk",
+    "sketch_theta_overlap",
+    "qa_snapshot_drift",
 ]
 
 # Round-6 (VERDICT r5 ask #3): the five queries flagged perf-weak at

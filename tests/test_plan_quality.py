@@ -655,3 +655,31 @@ def test_q20_nested_in_subqueries_plan_as_semi_joins(spark):
     assert "CartesianProduct" not in plan
     assert "SortMergeJoin" not in plan
     assert "PushedFilters: [" in plan
+
+
+def test_sq8_topk_no_sort_merge_join(spark):
+    """SQ8 search: the params row and the query set are broadcast; the
+    corpus side must never sort-merge (the 100 TB contract: the only
+    wide op is the per-query top-k window)."""
+    df = QUERIES["ann_sq8_topk"](spark, SF_SMALL)
+    plan = plan_of(df)
+    assert "SortMergeJoin" not in plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+
+
+def test_theta_overlap_sketches_take_ordered(spark):
+    """Each KMV sketch must build via per-partition top-k
+    (TakeOrderedAndProject), never a global sort of the distinct set."""
+    df = QUERIES["sketch_theta_overlap"](spark, SF_SMALL)
+    plan = plan_of(df)
+    assert "TakeOrderedAndProject" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_snapshot_drift_single_fact_scan(spark):
+    """The drift audit reads orders ONCE: one scan, one 10-key groupBy,
+    windows over the 10-row aggregate."""
+    df = QUERIES["qa_snapshot_drift"](spark, SF_SMALL)
+    plan = plan_of(df)
+    assert plan.count("Scan parquet") == 1
+    assert "SortMergeJoin" not in plan and "BroadcastHashJoin" not in plan
