@@ -18,7 +18,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from .core_queries import _dec38, cents
+from .core_queries import _dec38, cents, split_sum, split_total
 from .registry import query, table
 
 # Exact revenue units: cents(price) * (100 - cents(discount)); divide
@@ -111,8 +111,8 @@ def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             & cents(F.col("l_discount")).between(5, 7)
             & (F.col("l_quantity") < 24)
         )
-        .agg(F.sum(_dec38(units)).alias("u"))
-        .select((F.col("u").cast("double") / 10000).alias("revenue"))
+        .agg(*split_sum(units, "u"))
+        .select((split_total("u").cast("double") / 10000).alias("revenue"))
     )
 
 
@@ -194,12 +194,12 @@ def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
             "cust_nation",
             F.year(F.to_date("l_shipdate")).cast("bigint").alias("l_year"),
         )
-        .agg(F.sum(_dec38(_rev_units())).alias("u"))
+        .agg(*split_sum(_rev_units(), "u"))
         .select(
             "supp_nation",
             "cust_nation",
             "l_year",
-            (F.col("u").cast("double") / 10000).alias("revenue"),
+            (split_total("u").cast("double") / 10000).alias("revenue"),
         )
         .orderBy("supp_nation", "cust_nation", "l_year")
     )
@@ -283,14 +283,14 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(c), o.o_custkey == c.c_custkey)
         .groupBy(F.year(F.to_date("o_orderdate")).cast("bigint").alias("o_year"))
         .agg(
-            F.sum(
-                _dec38(F.when(F.col("supp_nation") == "NATION_9", units).otherwise(0))
-            ).alias("nat_u"),
-            F.sum(_dec38(units)).alias("tot_u"),
+            *split_sum(
+                F.when(F.col("supp_nation") == "NATION_9", units).otherwise(0), "nat"
+            ),
+            *split_sum(units, "tot"),
         )
         .select(
             "o_year",
-            (F.col("nat_u").cast("double") / F.col("tot_u").cast("double")).alias(
+            (split_total("nat").cast("double") / split_total("tot").cast("double")).alias(
                 "mkt_share"
             ),
         )
@@ -372,16 +372,16 @@ def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
         .agg(
-            F.sum(
-                _dec38(F.when(F.col("p_type") == "PROMO", units).otherwise(0))
-            ).alias("promo_u"),
-            F.sum(_dec38(units)).alias("tot_u"),
+            *split_sum(
+                F.when(F.col("p_type") == "PROMO", units).otherwise(0), "promo"
+            ),
+            *split_sum(units, "tot"),
         )
         .select(
             (
                 F.lit(100.0)
-                * F.col("promo_u").cast("double")
-                / F.col("tot_u").cast("double")
+                * split_total("promo").cast("double")
+                / split_total("tot").cast("double")
             ).alias("promo_share")
         )
     )
@@ -420,7 +420,8 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     rev = (
         l.groupBy("l_suppkey")
-        .agg(F.sum(_dec38(_rev_units())).alias("total"))
+        .agg(*split_sum(_rev_units(), "t"))
+        .withColumn("total", split_total("t"))
     )
     top = rev.agg(F.max("total").alias("mx"))
     s = table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
@@ -477,9 +478,9 @@ def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
         .join(F.broadcast(qlim), l.l_partkey == F.col("a_partkey"))
         .filter(F.col("l_quantity") < F.col("qty_limit"))
-        .agg(F.sum(_dec38(cents(F.col("l_extendedprice")))).alias("c"))
+        .agg(*split_sum(cents(F.col("l_extendedprice")), "c"))
         .select(
-            (F.col("c").cast("double") / 100 / F.lit(7.0)).alias("avg_yearly")
+            (split_total("c").cast("double") / 100 / F.lit(7.0)).alias("avg_yearly")
         )
     )
 
@@ -532,8 +533,8 @@ def q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
         .filter(cond)
-        .agg(F.sum(_dec38(_rev_units())).alias("u"))
-        .select((F.col("u").cast("double") / 10000).alias("revenue"))
+        .agg(*split_sum(_rev_units(), "u"))
+        .select((split_total("u").cast("double") / 10000).alias("revenue"))
     )
 
 
@@ -896,7 +897,8 @@ def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
     val = (
         l.join(F.broadcast(esupp), l.l_suppkey == F.col("s_suppkey"))
         .groupBy("l_partkey")
-        .agg(F.sum(_dec38(units)).alias("value_units"))
+        .agg(*split_sum(units, "v"))
+        .withColumn("value_units", split_total("v"))
     )
     total = val.agg(F.sum("value_units").alias("grand_total"))
     return (
