@@ -34,20 +34,23 @@ def tumbling_window_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     window()+watermark plan a readStream source would run, where the
     watermark bounds (window, key) state (SURVEY §2.9 extension).
 
-    Value sums ride on integer cents in a decimal(38,0) accumulator
-    (order-insensitive, bit-exact vs the oracle — double sums are
-    neither). Tumbling windows align to the unix epoch in both engines,
+    Value sums ride on integer cents in split-BIGINT aggregate state
+    (core_queries.split_sum — order-insensitive, bit-exact vs the
+    oracle, codegen'd where a decimal(38,0) accumulator is interpreted).
+    Tumbling windows align to the unix epoch in both engines,
     so the oracle is a plain floor-div bucket."""
+    from .core_queries import split_sum, split_total
+
     e = table(spark, sf_dir, "events")
     return (
         e.withWatermark("ts", "2 hours")
         .groupBy(F.window("ts", "6 hours").alias("w"), "event_type")
         .agg(
             F.count("*").alias("n_events"),
-            (F.sum(cents(F.col("value")).cast("decimal(38,0)")).cast("double") / 100)
-            .alias("sum_value"),
+            *split_sum(cents(F.col("value")), "v"),
             F.countDistinct("user_id").alias("n_users"),
         )
+        .withColumn("sum_value", split_total("v").cast("double") / 100)
         .select(
             F.unix_micros("w.start").alias("window_start_us"),
             "event_type",
