@@ -146,7 +146,8 @@ from glamira_batch_processing_spark.plans.registry import ORACLE, QUERIES
 # TPC-H suite), multimodal_variant_routing (new this round — the
 # unsupported-JPEG quarantine gate), ann_sq8_topk / sketch_theta_overlap /
 # qa_snapshot_drift (new this round — SQ8 quantization, theta-sketch set
-# algebra, snapshot-drift audit), f13_collated_group,
+# algebra, snapshot-drift audit; unigram_train_pieces/_encode_stats are
+# rows-only by nature, like the BPE pair), f13_collated_group,
 # quality_bigram_familiarity, mix_resample_sources, ann_recall_eval.
 _PRIORITY: list[str] = [
     # Flagships: whole-warehouse DAG (staging -> SCD -> marts -> rollup)

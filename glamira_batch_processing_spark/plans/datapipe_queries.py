@@ -1512,3 +1512,133 @@ def ann_sq8_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
     )
     return sq8_topk(e, queries, params, id_col="vec_id", k=10)
+
+
+_SQ_RECALL_K = 5
+
+_SQL_SQ_L2 = (
+    "CAST(FLOOR(list_reduce("
+    "list_transform(range(1, {dim1}), "
+    "i -> (CAST({a}[i] AS DOUBLE) - CAST({b}[i] AS DOUBLE))"
+    " * (CAST({a}[i] AS DOUBLE) - CAST({b}[i] AS DOUBLE))), "
+    "(x, y) -> x + y) * 1000000.0 + 0.5) AS BIGINT)"
+)
+
+
+@query(
+    "ann_sq8_recall_eval",
+    oracle=f"""
+    WITH {sql_sq8_params_cte("embeddings", "embedding", _SQ_DIM)},
+    exact AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+               row_number() OVER (
+                 PARTITION BY q.vec_id
+                 ORDER BY {_SQL_SQ_L2.format(a="q.embedding", b="c.embedding", dim1=_SQ_DIM + 1)},
+                          c.vec_id
+               ) AS rank
+        FROM embeddings q JOIN embeddings c ON q.vec_id != c.vec_id
+        WHERE q.vec_id % 100 = 0
+      ) WHERE rank <= {_SQ_RECALL_K}
+    ),
+    codes AS (
+      SELECT vec_id, {sql_sq8_codes("embedding", _SQ_DIM)} AS codes
+      FROM embeddings, sqparams
+    ),
+    deq AS (
+      SELECT vec_id, {sql_sq8_dequant("codes", _SQ_DIM)} AS deq
+      FROM codes, sqparams
+    ),
+    approx AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT q.vec_id AS query_id, d.vec_id AS neighbor_id,
+               row_number() OVER (
+                 PARTITION BY q.vec_id
+                 ORDER BY CAST(FLOOR(list_reduce(
+                   list_transform(range(1, {_SQ_DIM + 1}),
+                     i -> (CAST(q.embedding[i] AS DOUBLE) - d.deq[i])
+                        * (CAST(q.embedding[i] AS DOUBLE) - d.deq[i])),
+                   (x, y) -> x + y) * 1000000.0 + 0.5) AS BIGINT), d.vec_id
+               ) AS rank
+        FROM embeddings q JOIN deq d ON q.vec_id != d.vec_id
+        WHERE q.vec_id % 100 = 0
+      ) WHERE rank <= {_SQ_RECALL_K}
+    ),
+    hits AS (
+      SELECT e.query_id, COUNT(*) AS n_hits
+      FROM exact e JOIN approx a
+        ON a.query_id = e.query_id AND a.neighbor_id = e.neighbor_id
+      GROUP BY e.query_id
+    )
+    SELECT q.query_id,
+           CAST({_SQ_RECALL_K} AS BIGINT) AS k,
+           CAST(COALESCE(h.n_hits, 0) AS BIGINT) AS n_hits,
+           CAST(COALESCE(h.n_hits, 0) AS DOUBLE) / {_SQ_RECALL_K}.0 AS recall_at_k
+    FROM (SELECT DISTINCT query_id FROM exact) q
+    LEFT JOIN hits h ON h.query_id = q.query_id
+    """,
+)
+def ann_sq8_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@k of the SQ8 tier against EXACT squared-L2 ground truth
+    over the raw floats — the pure quantization-loss metric (same
+    distance family on both sides, unlike a cosine-vs-L2 mix), the
+    number that decides whether the int8 tier can serve directly or
+    must rescore into floats. Ground truth and candidate ranking both
+    use the exact-bigint micro-unit fold, so the measured recall itself
+    is cross-engine exact (ann_recall_eval precedent).
+
+    Scale shape: ground truth only for the bounded query sample; the
+    corpus-sized work is the SQ8 plan's own linear path; the hit join
+    keys on (query_id, neighbor_id) and aggregates map-side."""
+    e = table(spark, sf_dir, "embeddings").repartition(
+        spark.sparkContext.defaultParallelism, F.col("vec_id")
+    )
+    queries = e.filter(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
+    )
+    cand = e.select(F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("cvec"))
+    pairs = cand.join(F.broadcast(queries), F.col("query_id") != F.col("neighbor_id"))
+    sq_l2 = F.aggregate(
+        F.zip_with(
+            F.col("qvec"),
+            F.col("cvec"),
+            lambda a, b: (a.cast("double") - b.cast("double"))
+            * (a.cast("double") - b.cast("double")),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    w = Window.partitionBy("query_id").orderBy("d_q1e6", "neighbor_id")
+    exact = (
+        pairs.select(
+            "query_id",
+            "neighbor_id",
+            F.floor(sq_l2 * F.lit(1e6) + F.lit(0.5)).cast("bigint").alias("d_q1e6"),
+        )
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= _SQ_RECALL_K)
+        .select("query_id", "neighbor_id")
+    )
+    approx = (
+        ann_sq8_topk(spark, sf_dir)
+        .filter(F.col("rank") <= _SQ_RECALL_K)
+        .select("query_id", "neighbor_id")
+    )
+    hits = (
+        exact.join(approx, ["query_id", "neighbor_id"])
+        .groupBy("query_id")
+        .agg(F.count("*").alias("n_hits"))
+    )
+    return (
+        exact.select("query_id")
+        .distinct()
+        .join(hits, "query_id", "left")
+        .select(
+            "query_id",
+            F.lit(_SQ_RECALL_K).cast("bigint").alias("k"),
+            F.coalesce("n_hits", F.lit(0)).cast("bigint").alias("n_hits"),
+            (
+                F.coalesce("n_hits", F.lit(0)).cast("double") / float(_SQ_RECALL_K)
+            ).alias("recall_at_k"),
+        )
+    )

@@ -588,3 +588,46 @@ def bpe_encode_stats_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     partition invariance) and the driver's rows-only check."""
     d = table(spark, sf_dir, "documents").select("doc_id", "text")
     return bpe_encode_stats(d, "text", "doc_id")
+
+
+# ---------------------------------------------------------------------------
+# Unigram-LM tokenizer (SentencePiece-style; no SQL form — pytest
+# parity + partition invariance, rows-only driver check).
+# ---------------------------------------------------------------------------
+
+from ..operators.unigram import unigram_encode_stats, unigram_train  # noqa: E402
+
+
+@query("unigram_train_pieces")
+def unigram_train_pieces(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram-LM tokenizer TRAINING on the corpus
+    (``operators/unigram.py::unigram_train``, Kudo 2018): over-complete
+    substring seed -> 2 Viterbi-EM rounds (exact integer counts, piece
+    scores computed once on the driver) -> count-ranked prune, single
+    characters immortal. Returns the learned vocabulary as
+    (rank, piece, count) rows. Deterministic and partition-invariant —
+    pinned by pytest; rows-only driver check (an iterative EM trainer
+    has no single SQL form)."""
+    d = table(spark, sf_dir, "documents").select("text")
+    vocab = unigram_train(
+        d, vocab_size=48, n_iters=2, max_piece_len=4, seed_size=256
+    )
+    return spark.createDataFrame(
+        [(i, p, c) for i, (p, c) in enumerate(vocab)],
+        "rank int, piece string, count long",
+    )
+
+
+@query("unigram_encode_stats")
+def unigram_encode_stats_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real unigram-LM tokenization with a vocabulary TRAINED in the
+    same plan (the trained-path proof, like ``text_langid_trained``):
+    per-doc Viterbi token counts and a segmentation digest via Arrow
+    mapInPandas with a per-batch word cache. Rows-only driver check;
+    hand-computed segmentations, tie determinism and partition
+    invariance are pinned in pytest."""
+    d = table(spark, sf_dir, "documents").select("doc_id", "text")
+    vocab = unigram_train(
+        d.select("text"), vocab_size=48, n_iters=2, max_piece_len=4, seed_size=256
+    )
+    return unigram_encode_stats(d, vocab, "text", "doc_id", max_piece_len=4)

@@ -559,3 +559,68 @@ def test_publish_survives_concurrent_commit_between_stage_and_publish(
     assert v == 2
     got = {(r.k, r.v) for r in t.read(spark).collect()}
     assert got == {(9, "z")}
+
+
+def test_write_audit_publish_drift_gate(spark, tmp_path):
+    """WAP + distribution-drift audit (the qa_snapshot_drift shape as a
+    check callback): an incoming batch whose value distribution matches
+    the table head publishes; a shifted batch is rejected with the head
+    untouched. The KS gap is computed in exact cross-multiplied
+    integers, same discipline as the contract query."""
+    from glamira_batch_processing_spark.sources.versioned import VersionedTable
+
+    def bucket_counts(df):
+        rows = (
+            df.groupBy(
+                F.least(
+                    F.greatest(F.floor(F.col("value") / 100.0).cast("long"), F.lit(0)),
+                    F.lit(9),
+                ).alias("bucket")
+            )
+            .agg(F.count("*").alias("n"))
+            .collect()
+        )
+        counts = [0] * 10
+        for r in rows:
+            counts[r.bucket] = r.n
+        return counts
+
+    def ks_gate(head_counts, max_ks_ppm=200_000):
+        t_old = sum(head_counts)
+
+        def check(staged_df):
+            new_counts = bucket_counts(staged_df)
+            t_new = sum(new_counts)
+            cum_old = cum_new = 0
+            worst = 0
+            for o, n in zip(head_counts, new_counts):
+                cum_old += o
+                cum_new += n
+                worst = max(worst, abs(cum_old * t_new - cum_new * t_old))
+            # KS statistic in ppm, exact integers until one division
+            return worst * 1_000_000 // (t_old * t_new) <= max_ks_ppm
+
+        return check
+
+    head = spark.createDataFrame(
+        [(i, float((i * 37) % 1000)) for i in range(400)], "k long, value double"
+    )
+    t = VersionedTable(tmp_path / "wapdrift")
+    t.create(head)
+    head_counts = bucket_counts(t.read(spark))
+
+    same_dist = spark.createDataFrame(
+        [(1000 + i, float((i * 59) % 1000)) for i in range(200)],
+        "k long, value double",
+    )
+    v, results = t.write_audit_publish(same_dist, checks=[("drift", ks_gate(head_counts))])
+    assert v is not None and results == {"drift": True}
+
+    shifted = spark.createDataFrame(
+        [(2000 + i, 900.0 + (i % 100)) for i in range(200)],
+        "k long, value double",
+    )
+    head_before = t.latest_version()
+    v2, results2 = t.write_audit_publish(shifted, checks=[("drift", ks_gate(head_counts))])
+    assert v2 is None and results2 == {"drift": False}
+    assert t.latest_version() == head_before
