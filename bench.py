@@ -18,7 +18,9 @@ reported) so the driver's single-number trend stays continuous.
 
 Each query is timed end-to-end (plan + execute + full materialization
 via a noop-format write, so Catalyst cannot prune projected expressions
-the way it can under ``count()``) after a warm-up pass of the session.
+the way it can under ``count()``) after an untimed warm-up pass of the
+SAME query at the TARGET SF (round 7: AQE plan shapes differ by input
+size, so only a target-SF pass compiles the measured codegen shapes).
 Per-query times are the MEDIAN of ``SPARK_GRAFT_BENCH_REPS`` (default 3)
 back-to-back reps, with the sample standard deviation reported in
 ``stddev`` — the round-5 driver artifact carried contention noise the
