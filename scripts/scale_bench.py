@@ -194,6 +194,8 @@ def _ann_frames(spark, sf_dir):
 
 
 def _sq8_full(vecs, probe):
+    from pyspark.sql import functions as F
+
     from glamira_batch_processing_spark.operators.sq import sq8_params, sq8_topk
 
     params = sq8_params(vecs)
@@ -253,7 +255,14 @@ def main() -> None:
                 bench.force(builders[sf_label][name]())
                 ts.append(time.perf_counter() - t0)
                 spark.catalog.clearCache()
-            row[sf_label] = statistics.median(ts)
+            # MIN across reps (round-7, same rationale as
+            # bench_compare.py): this box's co-tenant load is strictly
+            # additive noise and can quadruple a cell (a 1.5 s query
+            # measured 7.0 s mid-run); the minimum is the consistent
+            # estimator of uncontended runtime, and exponents are only
+            # meaningful on uncontended numbers. The spread still rides
+            # along so contended cells stay self-diagnosing.
+            row[sf_label] = min(ts)
             row[f"{sf_label}_stdev"] = statistics.stdev(ts)
         import math
 
@@ -286,7 +295,7 @@ def main() -> None:
         "texts are stopword-preserving word-mutated so dedup structure "
         "scales linearly; embeddings are rotation-decorrelated).",
         "",
-        f"Median of {RUNS} runs per cell. Exponent = log10(T_sf1/T_sf0.1): "
+        f"Min of {RUNS}+ runs per cell (the box's co-tenant load is additive noise; stdev reported). Exponent = log10(T_sf1/T_sf0.1): "
         "1.0 = linear, <1 = sublinear (fixed overhead amortizing), "
         ">1 = super-linear (a scale problem). `plan same` = the physical "
         "operator multiset is identical at both scales (no silent "
@@ -321,7 +330,7 @@ def main() -> None:
                 t0 = time.perf_counter()
                 con.sql(osql[name]).fetchall()
                 ts.append(time.perf_counter() - t0)
-            results[name][f"duck_{sf_label}"] = statistics.median(ts)
+            results[name][f"duck_{sf_label}"] = min(ts)  # symmetric min
         con.close()
     for name in WEAK_VS_DUCK:
         r = results[name]
@@ -356,7 +365,7 @@ def main() -> None:
         "### Perf-weak queries vs their DuckDB twin at 10x",
         "",
         "The five sf0.1 perf-weak queries (>1 s AND >2x DuckDB) re-timed "
-        "against the SAME DuckDB oracle SQL at both scales (median of "
+        "against the SAME DuckDB oracle SQL at both scales (min of "
         f"{RUNS}). Spark's per-stage floor amortizes with data volume "
         "while DuckDB grows ~linearly, so the sf1 ratio is the "
         "externally checkable form of the floor argument: a ratio that "
