@@ -1642,3 +1642,128 @@ def ann_sq8_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("recall_at_k"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Video: AVI/MJPEG container metadata + sampled-frame pixel decode.
+# ---------------------------------------------------------------------------
+
+
+def _video_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic MJPEG-AVI payloads over every 20th document:
+    dims/frame-count/rate are pure integer functions of doc_id, so the
+    DuckDB oracle regenerates every structural field (and every pixel)
+    arithmetically."""
+    from ..operators.video import mjpeg_video_bytes
+
+    d = table(spark, sf_dir, "documents").filter(F.col("doc_id") % 20 == 0).select("doc_id")
+
+    def gen(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            payloads = []
+            for i in pdf["doc_id"]:
+                # parameterize on doc_id // 20: doc_id % 20 == 0 makes
+                # doc_id % {4,5} constant, which would collapse the
+                # fixture to 2-frame 8-px-tall 10-fps videos and never
+                # exercise later sampled frames or varied rates
+                k = int(i) // 20
+                payloads.append(
+                    mjpeg_video_bytes(
+                        k,
+                        width=16 + (k % 3) * 8,
+                        height=8 + (k % 5) * 8,
+                        n_frames=2 + k % 4,
+                        rate=10 + k % 5,
+                        scale=1,
+                    )
+                )
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+    return d.mapInPandas(gen, "doc_id long, payload binary")
+
+
+@query(
+    "multimodal_video_meta",
+    oracle="""
+    SELECT doc_id,
+      'avi' AS container,
+      'mjpg' AS codec,
+      CAST(16 + ((doc_id // 20) % 3) * 8 AS INTEGER) AS width,
+      CAST(8 + ((doc_id // 20) % 5) * 8 AS INTEGER) AS height,
+      CAST(2 + (doc_id // 20) % 4 AS INTEGER) AS n_frames,
+      CAST(10 + (doc_id // 20) % 5 AS INTEGER) AS fps_num,
+      CAST(1 AS INTEGER) AS fps_den,
+      CAST((2 + (doc_id // 20) % 4) * 1000 // (10 + (doc_id // 20) % 5) AS BIGINT) AS duration_ms
+    FROM documents WHERE doc_id % 20 = 0
+    """,
+)
+def multimodal_video_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Container-level video routing pass: render genuine MJPEG AVIs
+    (full RIFF structure incl. idx1 seek index), parse them back with
+    the real pure-stdlib AVI parser, and emit structural metadata —
+    WITHOUT decoding any frame. The oracle recomputes every field
+    arithmetically (duration = frames * 1000 * scale / rate, dims and
+    rate from the doc_id formulas), so a parser that misreads any
+    header field, drops a movi chunk, or disagrees with the idx1 index
+    fails the value hash.
+
+    Scale shape: one Arrow-batched mapInPandas pass; header-only parse
+    cost per payload (frame bytes untouched); only 9 small typed
+    columns shuffle. This is the cheap everything-pass a 100 TB crawl
+    pipeline runs before committing to frame decode."""
+    from ..operators.video import video_meta
+
+    return video_meta(_video_corpus(spark, sf_dir))
+
+
+@query(
+    "multimodal_video_frames",
+    oracle="""
+    WITH docs AS (
+      SELECT doc_id,
+             CAST(16 + ((doc_id // 20) % 3) * 8 AS INTEGER) AS width,
+             CAST(8 + ((doc_id // 20) % 5) * 8 AS INTEGER) AS height,
+             CAST(2 + (doc_id // 20) % 4 AS INTEGER) AS n_frames
+      FROM documents WHERE doc_id % 20 = 0
+    ),
+    frames AS (
+      SELECT d.doc_id, d.width, d.height, d.n_frames,
+             CAST(f.f AS INTEGER) AS frame_index
+      FROM docs d, range(0, 5) f(f)
+      WHERE f.f < d.n_frames AND f.f % 2 = 0
+    ),
+    px AS (
+      SELECT fr.doc_id, fr.frame_index, fr.n_frames, fr.width, fr.height,
+             y.y, x.x,
+             ((x.x // 8) * 31 + (y.y // 8) * 17 + fr.frame_index * 29) % 256 AS v
+      FROM frames fr, range(0, 40) y(y), range(0, 32) x(x)
+      WHERE y.y < fr.height AND x.x < fr.width
+    )
+    SELECT doc_id, frame_index, n_frames, width, height,
+           md5(string_agg(
+             CAST(v AS VARCHAR) || ',' || CAST(v AS VARCHAR)
+               || ',' || CAST(v AS VARCHAR),
+             ';' ORDER BY y, x)) AS pixel_digest
+    FROM px
+    GROUP BY doc_id, frame_index, n_frames, width, height
+    """,
+)
+def multimodal_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sampled-frame pixel decode, externally checkable end-to-end:
+    MJPEG AVI -> container parse -> every-2nd-frame sample (from the
+    chunk index, so unsampled frames are never JPEG-decoded) -> real
+    baseline-JPEG pixel decode -> row-major 'r,g,b;...' md5 digest.
+    The fixture rasters are grayscale constant-per-8x8-block, so at
+    quant=1 every block is one exact integer DC coefficient and the
+    lossy round trip is bit-exact — the DuckDB oracle regenerates the
+    expected pixels arithmetically and digests the same string. A
+    single wrong pixel in any sampled frame of any container fails
+    the value hash.
+
+    Scale shape: decode bill scales with SAMPLED frames (1/N of total),
+    parallelism = input partitioning, only (ids, dims, digest) shuffle."""
+    from ..operators.video import sample_video_frames
+
+    return sample_video_frames(_video_corpus(spark, sf_dir), every_n=2)
