@@ -27,7 +27,10 @@ control-plane commit (one tiny JSON per version) runs on the driver.
 
 from __future__ import annotations
 
+import base64
+import hashlib
 import json
+import math
 import shutil
 import time
 import uuid
@@ -105,6 +108,81 @@ def _file_column_stats(path: str, columns: tuple[str, ...]):
     return path, md.num_rows, stats
 
 
+def _bloom_canon(v) -> bytes:
+    """Canonical hash input per value type — shared by build and probe,
+    so a probe matches iff the stored value hashes identically. Type
+    tags keep 1 and '1' (or 1.0) from aliasing."""
+    if isinstance(v, bool):
+        return b"t1" if v else b"t0"
+    if isinstance(v, int):
+        return b"i" + str(v).encode()
+    if isinstance(v, float):
+        return b"f" + repr(v).encode()
+    if isinstance(v, str):
+        return b"s" + v.encode("utf-8")
+    if isinstance(v, bytes):
+        return b"b" + v
+    raise TypeError(f"bloom: unhashable value type {type(v).__name__}")
+
+
+def _bloom_hashes(v, k: int, m: int):
+    """k bit positions via double hashing over one blake2b digest."""
+    d = hashlib.blake2b(_bloom_canon(v), digest_size=16).digest()
+    h1 = int.from_bytes(d[:8], "little")
+    h2 = int.from_bytes(d[8:], "little") | 1  # odd -> full cycle
+    return ((h1 + i * h2) % m for i in range(k))
+
+
+# Bitset cap per (file, column): 2^19 bits = 64 KiB of manifest payload.
+# Past the cap the fpp degrades gracefully instead of the manifest
+# bloating (at ~455k distinct values per file the capped fpp is ~1%).
+_BLOOM_MAX_BITS = 1 << 19
+
+
+def _bloom_build(values, fpp: float) -> dict:
+    """Bloom bitset over the distinct values: standard sizing
+    m = -n ln(p) / ln(2)^2, k = (m/n) ln 2, base64-encoded."""
+    distinct = set(values)
+    n = len(distinct)
+    if n == 0:
+        return {"m": 8, "k": 1, "b64": base64.b64encode(b"\x00").decode()}
+    m = int(math.ceil(-n * math.log(fpp) / (math.log(2) ** 2)))
+    m = min(max(8, (m + 7) // 8 * 8), _BLOOM_MAX_BITS)
+    k = max(1, round(m / n * math.log(2)))
+    bits = bytearray(m // 8)
+    for v in distinct:
+        for pos in _bloom_hashes(v, k, m):
+            bits[pos >> 3] |= 1 << (pos & 7)
+    return {"m": m, "k": k, "b64": base64.b64encode(bytes(bits)).decode()}
+
+
+def _bloom_probe(bloom: dict, v) -> bool:
+    """False = value DEFINITELY absent from the file; True = maybe."""
+    bits = base64.b64decode(bloom["b64"])
+    return all(
+        bits[pos >> 3] & (1 << (pos & 7))
+        for pos in _bloom_hashes(v, bloom["k"], bloom["m"])
+    )
+
+
+def _file_bloom_stats(path: str, columns: tuple[str, ...], fpp: float):
+    """(path, {col: bloom}) — reads ONLY the bloom columns' data pages
+    of one file (columnar projection). Unlike min/max this is a data
+    pass, which is why bloom columns are opt-in: spend it on the
+    high-cardinality point-lookup keys where min/max ranges overlap
+    every file and can't prune."""
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(path, columns=[c for c in columns])
+    blooms = {}
+    for col in columns:
+        if col not in t.column_names:
+            continue
+        vals = [v for v in t.column(col).to_pylist() if v is not None]
+        blooms[col] = _bloom_build(vals, fpp)
+    return path, blooms
+
+
 def _align_merge_schemas(
     target: DataFrame, source: DataFrame, keys: list[str]
 ) -> tuple[DataFrame, DataFrame]:
@@ -162,11 +240,29 @@ class VersionedTable:
     after a ZORDER :meth:`compact` on the same columns, a point/range
     query touches a small fraction of files before Spark even opens
     them.
+
+    ``bloom_columns``: additionally record a per-file BLOOM FILTER for
+    these columns (``bloom_fpp`` false-positive rate). Min/max can't
+    prune equality lookups on high-cardinality keys whose value range
+    spans every file (ids, hashes, emails); a bloom answers "definitely
+    not in this file" regardless of layout. Costs one columnar data
+    pass at write time and <=64 KiB of manifest per (file, column) —
+    the Delta/Iceberg puffin-bloom analog.
     """
 
-    def __init__(self, path: str | Path, stat_columns: tuple[str, ...] = ()):
+    def __init__(
+        self,
+        path: str | Path,
+        stat_columns: tuple[str, ...] = (),
+        bloom_columns: tuple[str, ...] = (),
+        bloom_fpp: float = 0.01,
+    ):
+        if not 0.0 < bloom_fpp < 1.0:
+            raise ValueError(f"bloom_fpp must be in (0, 1), got {bloom_fpp}")
         self.path = Path(path)
         self.stat_columns = tuple(stat_columns)
+        self.bloom_columns = tuple(bloom_columns)
+        self.bloom_fpp = bloom_fpp
 
     # -- control plane ----------------------------------------------------
 
@@ -251,12 +347,14 @@ class VersionedTable:
         (:meth:`stage`) so the two cannot drift."""
         df.write.mode("errorifexists").parquet(str(data_dir))
         files = None
-        if self.stat_columns:
+        if self.stat_columns or self.bloom_columns:
             # Footer-only stats pass over the files just written. Local
             # threads here; past readers._RDD_FOOTER_THRESHOLD files the
             # same map belongs on the cluster (sources/readers.py
             # _list_footers precedent) — footers are KBs, so either way
-            # no data pages are re-read.
+            # no data pages are re-read. Bloom columns ARE a data pass
+            # (columnar projection of just those columns); at cluster
+            # scale that map also belongs on executors.
             from concurrent.futures import ThreadPoolExecutor
 
             parts = sorted(str(p) for p in data_dir.glob("part-*.parquet"))
@@ -264,11 +362,22 @@ class VersionedTable:
                 results = list(
                     pool.map(lambda p: _file_column_stats(p, self.stat_columns), parts)
                 )
+                blooms: dict[str, dict] = {}
+                if self.bloom_columns:
+                    blooms = dict(
+                        pool.map(
+                            lambda p: _file_bloom_stats(
+                                p, self.bloom_columns, self.bloom_fpp
+                            ),
+                            parts,
+                        )
+                    )
             files = [
                 {
                     "path": str(Path(p).relative_to(data_dir)),
                     "rows": rows,
                     "stats": stats,
+                    **({"bloom": blooms[p]} if p in blooms else {}),
                 }
                 for p, rows, stats in results
             ]
@@ -325,6 +434,7 @@ class VersionedTable:
         lower=None,
         upper=None,
         version: int | None = None,
+        equals=None,
     ) -> tuple[DataFrame, dict]:
         """Snapshot read planning only the files whose recorded
         [min, max] for ``column`` can intersect [lower, upper] (either
@@ -334,14 +444,25 @@ class VersionedTable:
         never the filter itself, so a file lacking stats for the column
         is conservatively read.
 
+        ``equals`` is the point-lookup form (mutually exclusive with
+        lower/upper): range-prunes at [v, v] AND, when the manifest
+        carries a bloom for the column (``bloom_columns``), drops every
+        file whose bloom says the value is definitely absent — which
+        prunes on high-cardinality keys even when every file's min/max
+        range covers the whole key space.
+
         After ``compact(cluster_by=[column])`` file ranges are disjoint
         and a point lookup opens ~1 file; on an unclustered commit
-        ranges overlap and pruning degrades gracefully toward the full
-        list. Bounds must be the same primitive type the footer stats
-        recorded (int/float/str).
+        min/max pruning degrades toward the full list (blooms do not —
+        they are layout-independent). Bounds must be the same primitive
+        type the footer stats recorded (int/float/str).
         """
         from pyspark.sql import functions as F
 
+        if equals is not None:
+            if lower is not None or upper is not None:
+                raise ValueError("equals is mutually exclusive with lower/upper")
+            lower = upper = equals
         if version is None:
             version = self.latest_version()
             if version is None:
@@ -363,14 +484,17 @@ class VersionedTable:
 
         def _keep(f: dict) -> bool:
             rng = f.get("stats", {}).get(column)
-            if rng is None:
-                return True  # no stats -> must read (soundness)
-            lo, hi = rng
-            if upper is not None and lo > upper:
-                return False
-            if lower is not None and hi < lower:
-                return False
-            return True
+            if rng is not None:
+                lo, hi = rng
+                if upper is not None and lo > upper:
+                    return False
+                if lower is not None and hi < lower:
+                    return False
+            if equals is not None:
+                bloom = f.get("bloom", {}).get(column)
+                if bloom is not None and not _bloom_probe(bloom, equals):
+                    return False  # definitely absent from this file
+            return True  # no stats and bloom didn't rule it out -> read
 
         kept = [f for f in files if _keep(f)]
         info = {"files_total": len(files), "files_read": len(kept), "pruned": True}

@@ -624,3 +624,77 @@ def test_write_audit_publish_drift_gate(spark, tmp_path):
     v2, results2 = t.write_audit_publish(shifted, checks=[("drift", ks_gate(head_counts))])
     assert v2 is None and results2 == {"drift": False}
     assert t.latest_version() == head_before
+
+
+# ---------------------------------------------------------------------------
+# Bloom-filter file skipping (point lookups on high-cardinality keys)
+# ---------------------------------------------------------------------------
+
+
+def _mk_bloom_table(spark, path, n=4000, files=8):
+    """UNCLUSTERED high-cardinality key: every file's min/max range
+    spans ~the whole key space (round-robin repartition), so min/max
+    pruning is useless and any skipping is the bloom's doing."""
+    t = VersionedTable(
+        path, stat_columns=("uid",), bloom_columns=("uid",), bloom_fpp=0.001
+    )
+    df = spark.range(n).selectExpr(
+        "CONCAT('user-', CAST(id AS STRING)) AS uid", "id AS v"
+    )
+    t.create(df.repartition(files))
+    return t
+
+
+def test_bloom_recorded_per_file(spark, tmp_path):
+    t = _mk_bloom_table(spark, tmp_path / "tbl")
+    m = t.manifest(t.latest_version())
+    for f in m["files"]:
+        b = f["bloom"]["uid"]
+        assert b["m"] >= 8 and b["k"] >= 1 and len(b["b64"]) > 0
+
+
+def test_bloom_point_lookup_prunes_unclustered_files(spark, tmp_path):
+    t = _mk_bloom_table(spark, tmp_path / "tbl")
+    # min/max on uid covers the whole range per file; blooms still
+    # narrow a present key to the file(s) that may hold it
+    df, info = t.read_pruned(spark, "uid", equals="user-1234")
+    assert info["files_total"] == 8
+    assert info["files_read"] < info["files_total"]
+    assert [(r.uid, r.v) for r in df.collect()] == [("user-1234", 1234)]
+
+
+def test_bloom_absent_key_prunes_everything(spark, tmp_path):
+    t = _mk_bloom_table(spark, tmp_path / "tbl")
+    # deterministic fixture + deterministic hashes: with fpp 1e-3 and 8
+    # files this specific absent key probes clean everywhere
+    df, info = t.read_pruned(spark, "uid", equals="user-is-not-here")
+    assert info["files_read"] == 0
+    assert df.count() == 0 and df.columns == ["uid", "v"]
+
+
+def test_bloom_never_prunes_present_keys(spark, tmp_path):
+    t = _mk_bloom_table(spark, tmp_path / "tbl", n=500)
+    # soundness: EVERY present key must survive pruning (no-false-negative
+    # bloom property), checked exhaustively
+    for i in range(0, 500, 37):
+        df, _ = t.read_pruned(spark, "uid", equals=f"user-{i}")
+        assert df.count() == 1, f"user-{i} wrongly pruned"
+
+
+def test_bloom_survives_merge_commits(spark, tmp_path):
+    t = _mk_bloom_table(spark, tmp_path / "tbl", n=200, files=2)
+    src = spark.createDataFrame([("user-9999", 9999)], "uid string, v long")
+    t.merge(spark, src, keys=["uid"])
+    df, info = t.read_pruned(spark, "uid", equals="user-9999")
+    assert info["pruned"] and df.count() == 1
+
+
+def test_bloom_equals_mutually_exclusive_with_range(spark, tmp_path):
+    t = _mk_bloom_table(spark, tmp_path / "tbl", n=100, files=2)
+    with pytest.raises(ValueError, match="mutually exclusive"):
+        t.read_pruned(spark, "uid", lower="a", equals="user-1")
+
+
+def test_bloom_fpp_validation(tmp_path):
+    with pytest.raises(ValueError, match="bloom_fpp"):
+        VersionedTable(tmp_path / "tbl", bloom_columns=("k",), bloom_fpp=1.5)
