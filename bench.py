@@ -98,6 +98,8 @@ EXTENDED = [
     "ann_sq8_topk",
     "sketch_theta_overlap",
     "qa_snapshot_drift",
+    # round 7: AVI/MJPEG sampled-frame pixel decode
+    "multimodal_video_frames",
 ]
 
 HEADLINE = HEADLINE_PINNED + EXTENDED

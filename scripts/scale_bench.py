@@ -101,6 +101,7 @@ MEASURED = [
     "q16_parts_supplier",
     "q20_potential_promotion",
     "multimodal_variant_routing",
+    "multimodal_video_frames",
     # ann_sq8_topk is measured as ann_sq8_full below: the contract
     # query's probe set (vec_id % 100) grows WITH the corpus, so its
     # raw 10x timing reports designed-in quadratic pair growth (round-7
