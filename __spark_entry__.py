@@ -148,7 +148,9 @@ from glamira_batch_processing_spark.plans.registry import ORACLE, QUERIES
 # qa_snapshot_drift (new this round — SQ8 quantization, theta-sketch set
 # algebra, snapshot-drift audit; unigram_train_pieces/_encode_stats are
 # rows-only by nature, like the BPE pair), f13_collated_group,
-# quality_bigram_familiarity, mix_resample_sources, ann_recall_eval.
+# quality_bigram_familiarity, mix_resample_sources, ann_recall_eval,
+# multimodal_video_meta / multimodal_video_frames (new this round — the
+# AVI/MJPEG container parse + sampled-frame pixel-digest gates).
 _PRIORITY: list[str] = [
     # Flagships: whole-warehouse DAG (staging -> SCD -> marts -> rollup)
     # and whole-training-data pipeline (quality -> dedup+components ->
