@@ -434,3 +434,90 @@ def mjpeg_video_bytes(
         rgb = np.repeat(v[:, :, None], 3, axis=2).astype(np.uint8)
         frames.append(encode_baseline_jpeg(rgb, subsample=False, quant=1))
     return avi_bytes(frames, width, height, rate=rate, scale=scale)
+
+
+VIDEO_ROUTE_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("format", StringType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("n_frames", IntegerType()),
+    ]
+)
+
+# Fixture fourccs for codecs the frame decoder does NOT implement —
+# the routing query proves they quarantine instead of task-failing.
+NON_MJPEG_CODECS = ("xvid", "h264")
+
+
+def route_videos(
+    df: DataFrame, payload_col: str = "payload", id_col: str = "doc_id"
+) -> DataFrame:
+    """Quarantine routing for video payloads (the JPEG/WAV-variant
+    analog): every payload gets a row with a specific format label —
+    ``avi-<codec>`` for a structurally valid AVI (dims + frame count
+    from headers; only ``avi-mjpg`` is frame-decodable downstream),
+    ``avi-corrupt`` for a RIFF/AVI failing structural checks, and
+    ``video-unknown`` for non-RIFF bytes — with NULL metadata where
+    the container couldn't be trusted. A 100 TB crawl pipeline filters
+    labels aside instead of dying on the first truncated container."""
+
+    def fn(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf[id_col], pdf[payload_col]):
+                doc_id = int(doc_id)
+                try:
+                    info = parse_avi(payload)
+                    rows.append(
+                        (
+                            doc_id,
+                            f"avi-{info.codec}" if info.codec else "avi-corrupt",
+                            info.width,
+                            info.height,
+                            info.n_frames,
+                        )
+                    )
+                except ValueError as exc:
+                    label = (
+                        "video-unknown"
+                        if "not a RIFF/AVI" in str(exc)
+                        else "avi-corrupt"
+                    )
+                    rows.append((doc_id, label, None, None, None))
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in VIDEO_ROUTE_SCHEMA.fields]
+            )
+
+    return df.select(id_col, payload_col).mapInPandas(fn, VIDEO_ROUTE_SCHEMA)
+
+
+def variant_video_bytes(variant: str, width: int, height: int, n_frames: int) -> bytes:
+    """Video fixture of the given routing variant:
+
+    - ``mjpg``: a real decodable MJPEG AVI;
+    - ``xvid``/``h264``: a structurally VALID AVI whose stream handler
+      and frame chunks are the foreign codec (opaque frame bytes —
+      headers parse, frames are not MJPEG-decodable);
+    - ``corrupt``: an MJPEG AVI truncated mid-movi (RIFF size past EOF);
+    - ``unknown``: non-RIFF bytes.
+    """
+    if variant == "mjpg":
+        return mjpeg_video_bytes(0, width, height, n_frames)
+    if variant in NON_MJPEG_CODECS:
+        frames = [
+            (b"\x00\x01" + bytes([f % 256]) * 32) for f in range(n_frames)
+        ]
+        avi = avi_bytes(frames, width, height)
+        # swap both fccHandler (strh) and biCompression (strf) to the
+        # foreign codec tag; chunk ids stay 00dc (compressed video)
+        return avi.replace(b"MJPG", variant.upper().encode("ascii"))
+    if variant == "corrupt":
+        full = mjpeg_video_bytes(0, width, height, n_frames)
+        return full[: len(full) // 2]
+    if variant == "unknown":
+        return b"\x1aE\xdf\xa3" + b"\x00" * 64  # EBML-ish magic, not RIFF
+    raise ValueError(f"unknown video variant {variant!r}")

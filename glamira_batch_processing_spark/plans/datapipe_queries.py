@@ -1767,3 +1767,56 @@ def multimodal_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.video import sample_video_frames
 
     return sample_video_frames(_video_corpus(spark, sf_dir), every_n=2)
+
+
+@query(
+    "multimodal_video_routing",
+    oracle="""
+    SELECT doc_id,
+      CASE (doc_id // 10) % 5
+        WHEN 0 THEN 'avi-mjpg' WHEN 1 THEN 'avi-xvid'
+        WHEN 2 THEN 'avi-h264' WHEN 3 THEN 'avi-corrupt'
+        ELSE 'video-unknown' END AS format,
+      CASE WHEN (doc_id // 10) % 5 <= 2
+           THEN CAST(16 + ((doc_id // 10) % 3) * 8 AS INTEGER) END AS width,
+      CASE WHEN (doc_id // 10) % 5 <= 2
+           THEN CAST(8 + ((doc_id // 10) % 4) * 8 AS INTEGER) END AS height,
+      CASE WHEN (doc_id // 10) % 5 <= 2
+           THEN CAST(2 + (doc_id // 10) % 3 AS INTEGER) END AS n_frames
+    FROM documents WHERE doc_id % 10 = 7
+    """,
+)
+def multimodal_video_routing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video quarantine routing, oracle-gated (the AVI analog of the
+    JPEG-variant and WAV-coding quarantines): synthesize decodable
+    MJPEG AVIs alongside structurally valid foreign-codec AVIs
+    (XVID/H264 stream handlers — headers parse, frames are opaque),
+    truncated containers, and non-RIFF bytes; route every payload to a
+    specific label with NULL metadata where the container can't be
+    trusted. A crawl pipeline filters `avi-mjpg` into frame decode and
+    quarantines the rest instead of task-failing on the first
+    truncated container."""
+    from ..operators.video import route_videos, variant_video_bytes
+
+    d = table(spark, sf_dir, "documents").filter(F.col("doc_id") % 10 == 7).select("doc_id")
+    variants = ["mjpg", "xvid", "h264", "corrupt", "unknown"]
+
+    def gen(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            payloads = []
+            for i in pdf["doc_id"]:
+                k = int(i) // 10
+                payloads.append(
+                    variant_video_bytes(
+                        variants[k % 5],
+                        width=16 + (k % 3) * 8,
+                        height=8 + (k % 4) * 8,
+                        n_frames=2 + k % 3,
+                    )
+                )
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+    payloads = d.mapInPandas(gen, "doc_id long, payload binary")
+    return route_videos(payloads)

@@ -418,6 +418,64 @@ class VersionedTable:
             return self._write_version(df, 0, operation)
         return self._write_version(df, latest + 1, operation)
 
+    def delete_where(
+        self,
+        spark: SparkSession,
+        predicate: Column | str,
+        txn_id: str | None = None,
+    ) -> int:
+        """Row-level DELETE, completing the DML triad with merge/
+        overwrite: rewrite the latest snapshot minus the matching rows
+        as a new version (copy-on-write, the Delta DELETE strategy).
+        SQL DELETE semantics: a row is removed only when the predicate
+        is TRUE — NULL-predicate rows are KEPT, exactly as ANSI WHERE
+        would keep them in the complement. Old versions stay
+        time-travelable; :meth:`diff` reports the removed keys as
+        ``change_type='delete'``. ``txn_id`` gives replay-exactly-once,
+        same contract as merge()."""
+        from pyspark.sql import functions as F
+
+        latest = self.latest_version()
+        if latest is None:
+            raise FileNotFoundError(f"no committed version at {self.path}")
+        if txn_id is not None:
+            for v in self.versions():
+                if self.manifest(v).get("txn_id") == txn_id:
+                    return v  # replayed delete: already applied
+        pred = F.expr(predicate) if isinstance(predicate, str) else predicate
+        remaining = self.read(spark, latest).filter(
+            ~F.coalesce(pred, F.lit(False))
+        )
+        return self._write_version(remaining, latest + 1, "delete", txn_id=txn_id)
+
+    def gc_orphans(self, min_age_seconds: float = 86400.0) -> list[str]:
+        """Remove data directories no manifest references (crashed
+        writers, manifest-race losers that died before their own
+        cleanup, WAP stages never published or aborted). Safe because
+        a directory only becomes referenced ATOMICALLY when its
+        manifest is created — anything unreferenced is either garbage
+        or a still-in-flight write, and ``min_age_seconds`` (default
+        1 day) spares the latter: an in-flight writer's directory
+        mtime keeps advancing while files land, so only long-dead
+        attempts age past the bar. Returns removed relative paths."""
+        data_root = self.path / _DATA_DIR
+        if not data_root.is_dir():
+            return []
+        referenced = {self.manifest(v)["data_dir"] for v in self.versions()}
+        now = time.time()
+        removed: list[str] = []
+        for d in sorted(data_root.iterdir()):
+            if not d.is_dir():
+                continue
+            rel = str(d.relative_to(self.path))
+            if rel in referenced:
+                continue
+            if now - d.stat().st_mtime < min_age_seconds:
+                continue
+            shutil.rmtree(d, ignore_errors=True)
+            removed.append(rel)
+        return removed
+
     def read(self, spark: SparkSession, version: int | None = None) -> DataFrame:
         """Snapshot read: latest (default) or time-travel to ``version``."""
         if version is None:

@@ -698,3 +698,75 @@ def test_bloom_equals_mutually_exclusive_with_range(spark, tmp_path):
 def test_bloom_fpp_validation(tmp_path):
     with pytest.raises(ValueError, match="bloom_fpp"):
         VersionedTable(tmp_path / "tbl", bloom_columns=("k",), bloom_fpp=1.5)
+
+
+# ---------------------------------------------------------------------------
+# DELETE (copy-on-write) + orphan GC
+# ---------------------------------------------------------------------------
+
+
+def test_delete_where_removes_only_true_predicate_rows(spark, tmp_path):
+    t = VersionedTable(tmp_path / "tbl")
+    t.create(
+        spark.createDataFrame(
+            [(1, "a"), (2, None), (3, "c")], "k long, v string"
+        )
+    )
+    # v = 'a' is TRUE for k=1, NULL for k=2 (NULL rows must be KEPT)
+    v = t.delete_where(spark, "v = 'a'")
+    assert v == 1
+    assert sorted(r.k for r in t.read(spark).collect()) == [2, 3]
+    # time travel still sees the pre-delete snapshot
+    assert t.read(spark, 0).count() == 3
+
+
+def test_delete_where_cdc_reports_deletes(spark, tmp_path):
+    t = VersionedTable(tmp_path / "tbl")
+    t.create(spark.createDataFrame([(1, 10), (2, 20)], "k long, v long"))
+    t.delete_where(spark, "k = 2")
+    d = t.diff(spark, 0, 1, keys=["k"]).collect()
+    assert [(r.k, r.change_type) for r in d] == [(2, "delete")]
+
+
+def test_delete_where_txn_replay_is_noop(spark, tmp_path):
+    t = VersionedTable(tmp_path / "tbl")
+    t.create(spark.createDataFrame([(1,), (2,)], "k long"))
+    v1 = t.delete_where(spark, "k = 1", txn_id="del-1")
+    v2 = t.delete_where(spark, "k = 1", txn_id="del-1")  # replay
+    assert v1 == v2 == 1
+    assert t.latest_version() == 1
+
+
+def test_delete_where_column_predicate(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    t = VersionedTable(tmp_path / "tbl")
+    t.create(spark.createDataFrame([(i,) for i in range(10)], "k long"))
+    t.delete_where(spark, F.col("k") >= 5)
+    assert t.read(spark).count() == 5
+
+
+def test_gc_orphans_removes_unreferenced_dirs_only(spark, tmp_path):
+    t = VersionedTable(tmp_path / "tbl")
+    t.create(spark.createDataFrame([(1,)], "k long"))
+    # fabricate a crashed writer's leftover dir
+    orphan = tmp_path / "tbl" / "data" / "v00009-deadbeef"
+    orphan.mkdir(parents=True)
+    (orphan / "part-00000.parquet").write_bytes(b"junk")
+    import os
+
+    old = __import__("time").time() - 90000
+    os.utime(orphan, (old, old))
+    removed = t.gc_orphans()
+    assert removed == ["data/v00009-deadbeef"]
+    assert t.read(spark).count() == 1  # live data untouched
+
+
+def test_gc_orphans_spares_young_dirs(spark, tmp_path):
+    t = VersionedTable(tmp_path / "tbl")
+    t.create(spark.createDataFrame([(1,)], "k long"))
+    young = tmp_path / "tbl" / "data" / "v00009-cafecafe"
+    young.mkdir(parents=True)
+    assert t.gc_orphans() == []  # default 1-day bar spares it
+    assert young.is_dir()
+    assert t.gc_orphans(min_age_seconds=0.0) == ["data/v00009-cafecafe"]

@@ -145,3 +145,44 @@ class TestAviInfoIsParser:
     def test_parse_avi_returns_aviinfo(self):
         info = parse_avi(mjpeg_video_bytes(0, 16, 8, n_frames=2))
         assert isinstance(info, AviInfo)
+
+
+class TestRouting:
+    def test_variant_fixture_labels(self, spark):
+        from glamira_batch_processing_spark.operators.video import (
+            route_videos,
+            variant_video_bytes,
+        )
+
+        rows = [
+            (0, variant_video_bytes("mjpg", 16, 8, 2)),
+            (1, variant_video_bytes("xvid", 16, 8, 2)),
+            (2, variant_video_bytes("h264", 16, 8, 2)),
+            (3, variant_video_bytes("corrupt", 16, 8, 2)),
+            (4, variant_video_bytes("unknown", 16, 8, 2)),
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, payload binary")
+        got = {r.doc_id: r for r in route_videos(df).collect()}
+        assert got[0].format == "avi-mjpg" and got[0].n_frames == 2
+        assert got[1].format == "avi-xvid" and got[1].width == 16
+        assert got[2].format == "avi-h264"
+        assert got[3].format == "avi-corrupt" and got[3].width is None
+        assert got[4].format == "video-unknown" and got[4].n_frames is None
+
+    def test_foreign_codec_headers_still_parse(self):
+        from glamira_batch_processing_spark.operators.video import (
+            parse_avi,
+            variant_video_bytes,
+        )
+
+        info = parse_avi(variant_video_bytes("xvid", 24, 16, 3))
+        assert info.codec == "xvid"
+        assert (info.width, info.height, info.n_frames) == (24, 16, 3)
+
+    def test_unknown_variant_rejected(self):
+        from glamira_batch_processing_spark.operators.video import (
+            variant_video_bytes,
+        )
+
+        with pytest.raises(ValueError, match="unknown video variant"):
+            variant_video_bytes("webm", 8, 8, 1)
