@@ -1,7 +1,12 @@
-"""As-of (most-recent-at-or-before) join.
+"""As-of join: backward / forward / nearest, with optional tolerance.
 
 Not in the reference (SURVEY §2.3: all joins are equi-joins) — an
-extension the engine needs for time-series enrichment at scale.
+extension the engine needs for time-series enrichment at scale. The
+full pandas ``merge_asof`` surface: ``direction='backward'`` (greatest
+right ts <= left ts, the default), ``'forward'`` (least right ts >=
+left ts), ``'nearest'`` (closer of the two, backward on ties), and
+``tolerance`` (a match farther than this from the left ts resolves to
+NULL instead).
 
 Spark-first design: NOT a range join (which explodes to |L| x |R| per
 key before filtering). The as-of value is a pure function of
@@ -9,9 +14,11 @@ key before filtering). The as-of value is a pure function of
 
 1. project the left side to its DISTINCT ``(key, ts)`` pairs — the
    only thing the ordering stage ever shuffles;
-2. union the tagged pairs with the right side, sort once per key by
-   ``(ts, right-before-left)``, and carry the last seen right row
-   forward with ``last(ignorenulls)`` over a running frame;
+2. union the tagged pairs with the right side, sort once per key, and
+   carry the adjacent right row across with ``last``/``first``
+   (ignorenulls) over a running frame — right rows order before left
+   rows at equal ts for backward (asof is <=) and after for forward
+   (>=);
 3. re-attach the full left payload with a null-safe equi-join on the
    natural ``(key, ts)`` columns.
 
@@ -25,18 +32,60 @@ Correctness properties (round-2 verdict finding #2 resolved):
   all — duplicate left rows (even bit-identical ones) each surface
   once in the output with the correct as-of value.
 - The right side's value columns travel as ONE struct through
-  last(ignorenulls), so every value column comes from the same (most
-  recent) right row and a legitimately-NULL value column inside that
-  row stays NULL instead of leaking an older row's value.
+  last/first(ignorenulls), so every value column comes from the same
+  matched right row and a legitimately-NULL value column inside that
+  row stays NULL instead of leaking another row's value.
 - Null left keys/timestamps survive (null-safe join) and get NULL
   values unless the right side genuinely provides a match in the
   null-key partition.
+- The matched right TIMESTAMP rides inside the carried struct, so
+  tolerance is evaluated against the actual match (not re-derived)
+  and ``nearest`` compares true distances on both sides.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+
+_DIRECTIONS = ("backward", "forward", "nearest")
+
+
+def _tol_col(tolerance) -> Column | None:
+    if tolerance is None:
+        return None
+    return tolerance if isinstance(tolerance, Column) else F.lit(tolerance)
+
+
+def _within(ts: Column, lt: Column, tolerance) -> Column:
+    """|ts - lt| <= tolerance, written as two one-sided bounds so it
+    works for numerics AND timestamps (timestamp +- interval)."""
+    tol = _tol_col(tolerance)
+    if tol is None:
+        return F.lit(True)
+    return (ts >= lt - tol) & (ts <= lt + tol)
+
+
+def _pick(back: Column, fwd: Column, lt: Column, direction: str, tolerance) -> Column:
+    """Resolve the matched (ts, values) struct for the direction, with
+    out-of-tolerance matches nulled. ``back``/``fwd`` are structs
+    carrying __ts + __rv (NULL when no candidate exists)."""
+    b_ok = back.isNotNull() & _within(back["__ts"], lt, tolerance)
+    f_ok = fwd.isNotNull() & _within(fwd["__ts"], lt, tolerance)
+    b = F.when(b_ok, back)
+    f = F.when(f_ok, fwd)
+    if direction == "backward":
+        return b
+    if direction == "forward":
+        return f
+    # nearest: closer wins; tie -> backward (pandas merge_asof semantics)
+    return (
+        F.when(b_ok & f_ok,
+               F.when((lt - back["__ts"]) <= (fwd["__ts"] - lt), back)
+                .otherwise(fwd))
+        .when(b_ok, back)
+        .otherwise(f)
+    )
 
 
 def asof_join(
@@ -47,23 +96,34 @@ def asof_join(
     right_ts: str,
     value_cols: list[str],
     left_tiebreak: str | None = None,
+    direction: str = "backward",
+    tolerance=None,
 ) -> DataFrame:
-    """For every left row: the ``value_cols`` of the right row with the
-    greatest ``right_ts`` <= ``left_ts`` for the same key (NULL if none).
+    """For every left row: the ``value_cols`` of the matched right row
+    per ``direction`` for the same key (NULL if none, or if the match
+    is farther than ``tolerance`` from the left ts).
 
     ``right`` must be unique per (key, right_ts) — pre-aggregate if not —
     and ``right_ts`` must be non-null. ``value_cols`` must not collide
-    with ``left`` column names. ``left_tiebreak`` is accepted for
-    backward compatibility and ignored: the as-of value is a function of
+    with ``left`` column names. ``tolerance`` is a literal/Column in the
+    ts domain (a number for numeric ts, an INTERVAL Column for
+    timestamps). ``left_tiebreak`` is accepted for backward
+    compatibility and ignored: the as-of value is a function of
     (key, left_ts), so no total order over left rows is needed.
     """
-    # One struct per right row: all value columns stay together, so the
-    # filled values all come from the SAME most-recent right row.
+    if direction not in _DIRECTIONS:
+        raise ValueError(f"direction must be one of {_DIRECTIONS}, got {direction!r}")
+    # One struct per right row: the matched ts AND all value columns
+    # stay together, so the filled values all come from the SAME right
+    # row and tolerance checks see the true matched ts.
     r_tagged = right.select(
         F.col(key).alias("__k"),
         F.col(right_ts).alias("__ts"),
         F.lit(1).alias("__side"),
-        F.struct(*[F.col(c) for c in value_cols]).alias("__rv"),
+        F.struct(
+            F.col(right_ts).alias("__ts"),
+            F.struct(*[F.col(c) for c in value_cols]).alias("__rv"),
+        ).alias("__rvts"),
     )
     # The ordering stage only ever sees the distinct left pairs — wide
     # left schemas never pad onto right rows and never shuffle twice.
@@ -74,24 +134,43 @@ def asof_join(
             "__k",
             "__ts",
             F.lit(0).alias("__side"),
-            F.lit(None).cast(r_tagged.schema["__rv"].dataType).alias("__rv"),
+            F.lit(None).cast(r_tagged.schema["__rvts"].dataType).alias("__rvts"),
         )
     )
     u = l_pairs.unionByName(r_tagged)
-    # Right rows sort BEFORE left rows at equal ts (asof is <=).
-    w = (
+    right_first = F.desc("__side")  # right rows BEFORE left at equal ts (<=)
+    right_after = F.asc("__side")  # right rows AFTER left at equal ts (>=)
+    w_back = (
         Window.partitionBy("__k")
-        .orderBy(F.col("__ts"), F.desc("__side"))
+        .orderBy(F.col("__ts"), right_first)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    filled = u.withColumn(
-        "__asof_rv",
-        F.last(F.when(F.col("__side") == 1, F.col("__rv")), ignorenulls=True).over(w),
+    w_fwd = (
+        Window.partitionBy("__k")
+        .orderBy(F.col("__ts"), right_after)
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
     )
+    right_struct = F.when(F.col("__side") == 1, F.col("__rvts"))
+    filled = u
+    need_back = direction in ("backward", "nearest")
+    need_fwd = direction in ("forward", "nearest")
+    filled = filled.withColumn(
+        "__back",
+        F.last(right_struct, ignorenulls=True).over(w_back)
+        if need_back
+        else F.lit(None).cast(r_tagged.schema["__rvts"].dataType),
+    )
+    filled = filled.withColumn(
+        "__fwd",
+        F.first(right_struct, ignorenulls=True).over(w_fwd)
+        if need_fwd
+        else F.lit(None).cast(r_tagged.schema["__rvts"].dataType),
+    )
+    picked = _pick(F.col("__back"), F.col("__fwd"), F.col("__ts"), direction, tolerance)
     matched = filled.filter(F.col("__side") == 0).select(
         "__k",
         "__ts",
-        *[F.col("__asof_rv").getField(c).alias(c) for c in value_cols],
+        *[picked["__rv"].getField(c).alias(c) for c in value_cols],
     )
     # Null-safe natural-key re-attach: every left row (including null
     # key/ts) matches exactly its own distinct pair, so an inner join
@@ -109,6 +188,8 @@ def asof_join_broadcast(
     left_ts: str,
     right_ts: str,
     value_cols: list[str],
+    direction: str = "backward",
+    tolerance=None,
 ) -> DataFrame:
     """As-of join for a SMALL right side: zero shuffle of the left.
 
@@ -121,12 +202,15 @@ def asof_join_broadcast(
 
     Same contract and results as :func:`asof_join` (right unique per
     (key, right_ts), non-null right_ts; ties at equal ts match; null
-    left key/ts rows survive with NULL values). Use when the right side
-    fits the broadcast budget — per-key history arrays live in every
-    executor's memory, which is exactly the broadcast-join bound.
-    The per-row lookup is a linear HOF over the key's history; for
-    deep histories prefer the windowed form.
+    left key/ts rows survive with NULL values), including
+    ``direction`` and ``tolerance``. Use when the right side fits the
+    broadcast budget — per-key history arrays live in every executor's
+    memory, which is exactly the broadcast-join bound. The per-row
+    lookup is a linear HOF over the key's history; for deep histories
+    prefer the windowed form.
     """
+    if direction not in _DIRECTIONS:
+        raise ValueError(f"direction must be one of {_DIRECTIONS}, got {direction!r}")
     hist = right.groupBy(F.col(key).alias("__k")).agg(
         F.array_sort(
             F.collect_list(
@@ -139,11 +223,16 @@ def asof_join_broadcast(
     )
     j = left.join(F.broadcast(hist), left[key].eqNullSafe(F.col("__k")), "left")
     lt = left[left_ts]
-    # Sorted history + <= filter + last element == greatest ts <= left_ts.
-    # try_element_at: NULL (not an ANSI error) when no right row qualifies.
-    best = F.try_element_at(
+    # Sorted history: backward = last element <= lt, forward = first
+    # element >= lt. try_element_at: NULL (not an ANSI error) when no
+    # right row qualifies.
+    back = F.try_element_at(
         F.filter(F.col("__hist"), lambda x: x["__ts"] <= lt), F.lit(-1)
     )
+    fwd = F.try_element_at(
+        F.filter(F.col("__hist"), lambda x: x["__ts"] >= lt), F.lit(1)
+    )
+    best = _pick(back, fwd, lt, direction, tolerance)
     return j.select(
         *[left[c] for c in left.columns],
         *[best["__rv"][c].alias(c) for c in value_cols],

@@ -255,3 +255,60 @@ def sketch_theta_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("o_custkey"),
         k=64,
     )
+
+
+@query(
+    "asof_forward_next_purchase",
+    oracle="""
+    WITH purchases AS (
+      SELECT user_id, ts, max(value) AS next_purchase_value
+      FROM events WHERE event_type = 'purchase'
+      GROUP BY user_id, ts
+    ),
+    matched AS (
+      SELECT e.event_id, min_by(p.next_purchase_value, p.ts) AS next_purchase_value
+      FROM events e JOIN purchases p ON e.user_id = p.user_id
+        AND p.ts >= e.ts AND p.ts <= e.ts + INTERVAL 3 DAY
+      GROUP BY e.event_id
+    )
+    SELECT e.event_id, e.user_id, epoch_us(e.ts) AS ts_us,
+           m.next_purchase_value
+    FROM events e LEFT JOIN matched m ON e.event_id = m.event_id
+    """,
+)
+def asof_forward_next_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FORWARD as-of with tolerance (the full merge_asof surface —
+    round 7): enrich every event with the user's NEXT purchase value
+    at-or-after the event, but only within 3 days (beyond-tolerance
+    matches resolve to NULL, the time-to-conversion attribution shape).
+    The oracle derives the same answer relationally (bounded range join
+    + min_by), so direction AND tolerance semantics are both externally
+    proven; the backward twin is `asof_join_last_purchase`. Same
+    broadcast formulation: per-user purchase histories broadcast as
+    sorted arrays, zero Exchange on the events branch; all three
+    directions are differential-tested against pandas merge_asof in
+    tests/test_operators.py."""
+    from ..operators.asof import asof_join_broadcast
+
+    e = table(spark, sf_dir, "events")
+    purchases = (
+        e.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("next_purchase_value"))
+    )
+    joined = asof_join_broadcast(
+        e.select("event_id", "user_id", "ts"),
+        purchases,
+        key="user_id",
+        left_ts="ts",
+        right_ts="ts",
+        value_cols=["next_purchase_value"],
+        direction="forward",
+        tolerance=F.expr("INTERVAL 3 DAYS"),
+    )
+    return joined.select(
+        "event_id",
+        "user_id",
+        F.unix_micros("ts").alias("ts_us"),
+        "next_purchase_value",
+    )

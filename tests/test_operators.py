@@ -1301,3 +1301,66 @@ def test_semdedup_min_id_survivor_policy(spark):
     assert got[0][1] is False, "min-id survivor must be kept"
     assert got[1][1] is True, "higher-id duplicate must be pruned"
     assert got[2][1] is False, "isolated vector must survive"
+
+
+def test_asof_directions_match_pandas_merge_asof(spark):
+    """Full merge_asof surface: backward/forward/nearest x tolerance,
+    BOTH formulations, differential against pandas merge_asof (the
+    operator's de-facto reference semantics, incl. nearest's
+    backward-on-tie rule)."""
+    import numpy as np
+    import pandas as pd
+
+    from glamira_batch_processing_spark.operators.asof import (
+        asof_join,
+        asof_join_broadcast,
+    )
+
+    rng = np.random.RandomState(7)
+    L = pd.DataFrame(
+        {
+            "k": rng.randint(0, 5, 120),
+            "lt": rng.randint(0, 500, 120).astype("int64"),
+        }
+    ).assign(rid=lambda d: range(len(d)))
+    R = pd.DataFrame(
+        {
+            "k": rng.randint(0, 5, 60),
+            "rt": rng.randint(0, 500, 60).astype("int64"),
+            "val": rng.randint(0, 10**6, 60).astype("int64"),
+        }
+    ).drop_duplicates(["k", "rt"])
+    ldf, rdf = spark.createDataFrame(L), spark.createDataFrame(R)
+
+    for direction in ("backward", "forward", "nearest"):
+        for tol in (None, 40):
+            ref = pd.merge_asof(
+                L.sort_values("lt"),
+                R.sort_values("rt"),
+                left_on="lt",
+                right_on="rt",
+                by="k",
+                direction=direction,
+                tolerance=tol,
+            )
+            exp = dict(zip(ref["rid"], ref["val"]))
+            for fn in (asof_join, asof_join_broadcast):
+                out = fn(
+                    ldf, rdf, "k", "lt", "rt", ["val"],
+                    direction=direction, tolerance=tol,
+                )
+                got = {r["rid"]: r["val"] for r in out.collect()}
+                for rid, want in exp.items():
+                    have = got[rid]
+                    if pd.isna(want):
+                        assert have is None, (direction, tol, fn.__name__, rid)
+                    else:
+                        assert have == want, (direction, tol, fn.__name__, rid)
+
+
+def test_asof_direction_validation(spark):
+    from glamira_batch_processing_spark.operators.asof import asof_join
+
+    df = spark.createDataFrame([(1, 1)], "k long, t long")
+    with pytest.raises(ValueError, match="direction"):
+        asof_join(df, df, "k", "t", "t", [], direction="sideways")
