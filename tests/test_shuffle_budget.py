@@ -75,3 +75,11 @@ def test_decontaminate_probe_is_broadcast(spark, qs):
     s = _run(spark, qs, "decontaminate_benchmark_overlap")
     assert s["n_broadcasts"] >= 1, s
     assert s["broadcast_bytes"] < 20_000_000, s
+
+
+def test_video_frame_decode_is_scan_fused(spark, qs):
+    """Sampled-frame video decode: one mapInPandas pass — ZERO exchanges
+    (the 100 TB crawl shape: decode parallelism = input partitioning,
+    nothing wide)."""
+    s = _run(spark, qs, "multimodal_video_frames")
+    assert s["n_shuffles"] == 0 and s["n_broadcasts"] == 0, s
