@@ -240,18 +240,51 @@ class ChunkedExportStreamReader(DataSourceStreamReader):
     an already-counted file would be lost — the exporter's
     write-then-advance-checkpoint protocol guarantees this). Spark's
     checkpoint persists the offset; a restarted stream resumes at the
-    first unseen chunk, never re-reading or skipping a page."""
+    first unseen chunk, never re-reading or skipping a page.
+
+    ``maxChunksPerTrigger`` (option, default unlimited) rate-limits a
+    micro-batch to that many chunks — the maxFilesPerTrigger analog.
+    Without it, a stream resuming after downtime against a backlog of
+    accumulated pages would put the ENTIRE backlog in one micro-batch
+    (one giant transaction, worst-case executor memory, no progress
+    checkpoints until it all lands); with it, catch-up proceeds in
+    bounded increments and each increment commits its offset. One
+    caveat, chosen deliberately: the FIRST batch of each run is
+    unlimited — the engine calls latestOffset() BEFORE revealing the
+    checkpointed start (observed: latestOffset precedes even
+    initialOffset on a fresh stream), and limiting against a guessed
+    base could move the offset BACKWARD, which would re-read committed
+    chunks after a restart. Bounded catch-up engages from the second
+    trigger, once partitions()/commit() have shown the true base; with
+    trigger(availableNow=True) the engine snapshots one batch total,
+    so the limit applies to processing-time/continuous triggers."""
 
     def __init__(self, options: dict, schema: StructType):
         self._inner = ChunkedExportReader(options, schema)
+        self._max_per_trigger = int(options.get("maxChunksPerTrigger", "0"))
+        if self._max_per_trigger < 0:
+            raise ValueError("maxChunksPerTrigger must be >= 0 (0 = unlimited)")
+        # High-water mark the ENGINE has shown us (via partitions/commit).
+        # None = not yet known: latestOffset() is called before the
+        # engine reveals the checkpointed start on restart, and a guessed
+        # base could move the offset BACKWARD — which would re-read
+        # already-committed chunks. So the first batch after (re)start is
+        # unlimited, and the limit engages once the true base is known.
+        self._base: int | None = None
 
     def initialOffset(self) -> dict:
+        self._base = 0  # fresh stream: no checkpoint, base is known
         return {"n_files": 0}
 
     def latestOffset(self) -> dict:
-        return {"n_files": len(self._inner._files())}
+        n = len(self._inner._files())
+        if self._max_per_trigger and self._base is not None:
+            n = min(n, self._base + self._max_per_trigger)
+        return {"n_files": n}
 
     def partitions(self, start: dict, end: dict):
+        # the engine's start IS the committed checkpoint — learn it
+        self._base = max(self._base or 0, start["n_files"])
         files = self._inner._files()
         return [
             _ChunkPartition(f)
@@ -262,6 +295,8 @@ class ChunkedExportStreamReader(DataSourceStreamReader):
         return self._inner.read(partition)
 
     def commit(self, end: dict) -> None:
-        # Offsets live in the stream checkpoint; nothing source-side
-        # to clean up (chunks are immutable exporter output).
-        pass
+        # Offsets live in the stream checkpoint; nothing source-side to
+        # clean up (chunks are immutable exporter output). Advance the
+        # rate-limit base to committed progress so the next trigger's
+        # window starts where this batch ended.
+        self._base = max(self._base or 0, end["n_files"])

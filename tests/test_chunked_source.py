@@ -246,3 +246,105 @@ def test_chunked_source_unsupported_schema_type_fails_fast(spark, tmp_path):
         spark.read.format("chunked_export").schema(sch).option(
             "path", str(tmp_path)
         ).load().collect()
+
+
+def test_chunked_source_max_chunks_per_trigger(spark, tmp_path):
+    """Rate-limited catch-up: after the first trigger establishes the
+    base, a 6-chunk backlog drains in increments of <= 2 chunks per
+    micro-batch (each committing its own offset) — and every row lands
+    exactly once. (The FIRST batch of a run is deliberately unlimited:
+    latestOffset precedes the engine revealing the checkpointed start,
+    see the reader docstring.)"""
+    import time
+
+    src = tmp_path / "src"
+    src.mkdir()
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    _register(spark)
+    _add_chunk(src, 0)  # first (unlimited) batch: just this chunk
+
+    sch = StructType(
+        [
+            StructField("_id", LongType()),
+            StructField("collection", StringType()),
+        ]
+    )
+    q = (
+        spark.readStream.format("chunked_export")
+        .schema(sch)
+        .option("path", str(src))
+        .option("maxChunksPerTrigger", "2")
+        .load()
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .trigger(processingTime="300 milliseconds")
+        .start()
+    )
+    try:
+        deadline = time.time() + 60
+        while time.time() < deadline:
+            try:
+                if spark.read.parquet(out).count() == 4:
+                    break
+            except Exception:
+                pass
+            time.sleep(0.3)
+        # backlog lands while the stream runs
+        for i in range(1, 7):
+            _add_chunk(src, i)
+        deadline = time.time() + 120
+        while time.time() < deadline:
+            try:
+                if spark.read.parquet(out).count() == 28:
+                    break
+            except Exception:
+                pass
+            time.sleep(0.3)
+    finally:
+        q.stop()
+    back = spark.read.parquet(out)
+    assert back.count() == 28  # 7 chunks x 4 rows, exactly once
+    assert back.select("_id").distinct().count() == 28
+
+    # offset log: after the base is known, no batch advanced > 2 chunks
+    import json as _json
+    import pathlib
+
+    offs = []
+    for pth in sorted(
+        (
+            x
+            for x in pathlib.Path(ckpt, "offsets").iterdir()
+            if x.name.isdigit()
+        ),
+        key=lambda x: int(x.name),
+    ):
+        last = pth.read_text().strip().splitlines()[-1]
+        offs.append(_json.loads(last)["n_files"])
+    deltas = [b - a for a, b in zip(offs, offs[1:])]
+    assert offs[-1] == 7, offs
+    assert all(d <= 2 for d in deltas[1:]), offs
+    assert len([d for d in deltas if d > 0]) >= 3, offs
+
+
+def test_chunked_source_rate_limit_validation(spark, tmp_path):
+    src = tmp_path / "src"
+    src.mkdir()
+    _add_chunk(src, 0)
+    _register(spark)
+    sch = StructType([StructField("_id", LongType())])
+    with pytest.raises(Exception, match="maxChunksPerTrigger"):
+        q = (
+            spark.readStream.format("chunked_export")
+            .schema(sch)
+            .option("path", str(src))
+            .option("maxChunksPerTrigger", "-1")
+            .load()
+            .writeStream.format("noop")
+            .option("checkpointLocation", str(tmp_path / "ck2"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(60)
