@@ -30,11 +30,15 @@ from __future__ import annotations
 import json
 from pathlib import Path
 
+from dataclasses import dataclass
+
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
     DataSourceStreamReader,
+    DataSourceWriter,
     InputPartition,
+    WriterCommitMessage,
 )
 from pyspark.sql.types import (
     BooleanType,
@@ -229,6 +233,9 @@ class ChunkedExportDataSource(DataSource):
     def streamReader(self, schema: StructType) -> "ChunkedExportStreamReader":
         return ChunkedExportStreamReader(self.options, schema)
 
+    def writer(self, schema: StructType, overwrite: bool) -> "ChunkedExportWriter":
+        return ChunkedExportWriter(self.options, schema, overwrite)
+
 
 class ChunkedExportStreamReader(DataSourceStreamReader):
     """Streaming form: the RESUMABLE export (ref export_to_gcs.py
@@ -300,3 +307,106 @@ class ChunkedExportStreamReader(DataSourceStreamReader):
         # rate-limit base to committed progress so the next trigger's
         # window starts where this batch ended.
         self._base = max(self._base or 0, end["n_files"])
+
+
+@dataclass
+class _ChunkCommit(WriterCommitMessage):
+    temp_path: str
+    n_rows: int
+
+
+class ChunkedExportWriter(DataSourceWriter):
+    """Write path of the connector: lands a DataFrame AS the exporter's
+    chunk layout (`df.write.format("chunked_export").save()` — the
+    distributed form of the reference's cursor-paged chunk writer,
+    ref export_to_gcs.py:191-195, checkpoint manifest :272-293).
+
+    Exactly-once protocol, mirroring the exporter's write-then-advance:
+    each task streams its partition to a TEMP file (.inprogress-*) and
+    returns it as a commit message; only the driver-side commit()
+    renames temp files into the monotone ``chunk_NNNNN.jsonl`` sequence
+    (continuing after any chunks already present) and finally writes
+    the JSON manifest — so readers (and the streaming offset, which
+    counts finished chunks) can never observe a half-written page, and
+    abort() removes the temps of a failed job without touching
+    committed chunks. Rows serialize as one JSON object per line with
+    NaN/Inf normalized to null (strict JSON, exporter-compatible).
+    """
+
+    def __init__(self, options: dict, schema: StructType, overwrite: bool):
+        self._path = options["path"]
+        self._suffix = options.get("suffix", ".jsonl")
+        self._fields = [f.name for f in schema.fields]
+        self._overwrite = overwrite
+
+    def write(self, iterator) -> _ChunkCommit:
+        import math
+        import os
+        import uuid
+
+        from pyspark import TaskContext
+
+        tc = TaskContext.get()
+        pid = tc.partitionId() if tc is not None else 0
+        tmp = os.path.join(
+            self._path, f".inprogress-{pid:05d}-{uuid.uuid4().hex[:8]}"
+        )
+
+        def clean(v):
+            if isinstance(v, float) and (math.isnan(v) or math.isinf(v)):
+                return None  # strict JSON: the exporter's jsonify guard
+            return v
+
+        n = 0
+        with open(tmp, "w", encoding="utf-8") as fh:
+            for row in iterator:
+                rec = {k: clean(v) for k, v in zip(self._fields, row)}
+                fh.write(json.dumps(rec, default=str) + "\n")
+                n += 1
+        return _ChunkCommit(temp_path=tmp, n_rows=n)
+
+    def commit(self, messages) -> None:
+        import os
+
+        existing = _list_chunks({"path": self._path, "suffix": self._suffix})
+        if self._overwrite:
+            for f in existing:
+                os.remove(f)
+            start = 0
+        else:
+            # continue after the HIGHEST existing index, not the count:
+            # an exporter-written sequence may be sparse, and a name
+            # collision would clobber a committed page
+            def idx(f: str) -> int:
+                stem = Path(f).name[: -len(self._suffix)]
+                digits = stem.rsplit("_", 1)[-1]
+                return int(digits) if digits.isdigit() else -1
+
+            start = max((idx(f) for f in existing), default=-1) + 1
+        # deterministic chunk order: partition order = message order
+        total = 0
+        named = []
+        for i, m in enumerate(messages):
+            name = f"chunk_{start + i:05d}{self._suffix}"
+            os.replace(m.temp_path, os.path.join(self._path, name))
+            named.append({"chunk": name, "rows": m.n_rows})
+            total += m.n_rows
+        manifest = {
+            "chunks": named,
+            "total_rows": total,
+            "mode": "overwrite" if self._overwrite else "append",
+        }
+        with open(
+            os.path.join(self._path, "_export_manifest.json"), "w"
+        ) as fh:
+            json.dump(manifest, fh, indent=1)
+
+    def abort(self, messages) -> None:
+        import os
+
+        for m in messages:
+            if m is not None:
+                try:
+                    os.remove(m.temp_path)
+                except FileNotFoundError:
+                    pass

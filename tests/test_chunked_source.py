@@ -348,3 +348,125 @@ def test_chunked_source_rate_limit_validation(spark, tmp_path):
             .start()
         )
         q.awaitTermination(60)
+
+
+# ---------------------------------------------------------------------------
+# Write path: df.write.format("chunked_export")
+# ---------------------------------------------------------------------------
+
+
+def test_chunked_writer_roundtrip(spark, tmp_path):
+    """Distributed chunk landing: one chunk per partition, monotone
+    names, manifest; the connector's own reader gets every row back."""
+    dst = tmp_path / "dst"
+    dst.mkdir()
+    _register(spark)
+    df = spark.range(20).selectExpr(
+        "id AS _id", "CONCAT('u', CAST(id AS STRING)) AS name"
+    ).repartition(4)
+    df.write.format("chunked_export").option("path", str(dst)).mode(
+        "append"
+    ).save()
+    chunks = sorted(p.name for p in dst.glob("chunk_*.jsonl"))
+    assert chunks == [f"chunk_{i:05d}.jsonl" for i in range(4)]
+    back = (
+        spark.read.format("chunked_export").option("path", str(dst)).load()
+    )
+    assert back.count() == 20
+    assert sorted(r["_id"] for r in back.collect()) == list(range(20))
+    manifest = json.loads((dst / "_export_manifest.json").read_text())
+    assert manifest["total_rows"] == 20 and len(manifest["chunks"]) == 4
+
+
+def test_chunked_writer_append_continues_sequence(spark, tmp_path):
+    dst = tmp_path / "dst"
+    dst.mkdir()
+    _register(spark)
+    one = spark.createDataFrame([(1,)], "_id long").coalesce(1)
+    one.write.format("chunked_export").option("path", str(dst)).mode("append").save()
+    one.write.format("chunked_export").option("path", str(dst)).mode("append").save()
+    names = sorted(p.name for p in dst.glob("chunk_*.jsonl"))
+    assert names == ["chunk_00000.jsonl", "chunk_00001.jsonl"]
+    back = spark.read.format("chunked_export").option("path", str(dst)).load()
+    assert back.count() == 2
+
+
+def test_chunked_writer_overwrite_replaces(spark, tmp_path):
+    dst = tmp_path / "dst"
+    dst.mkdir()
+    _register(spark)
+    spark.range(10).selectExpr("id AS _id").coalesce(2).write.format(
+        "chunked_export"
+    ).option("path", str(dst)).mode("append").save()
+    spark.createDataFrame([(99,)], "_id long").coalesce(1).write.format(
+        "chunked_export"
+    ).option("path", str(dst)).mode("overwrite").save()
+    back = spark.read.format("chunked_export").option("path", str(dst)).load()
+    assert [r["_id"] for r in back.collect()] == [99]
+    assert len(list(dst.glob("chunk_*.jsonl"))) == 1
+
+
+def test_chunked_writer_nan_inf_null_and_no_temp_leftovers(spark, tmp_path):
+    dst = tmp_path / "dst"
+    dst.mkdir()
+    _register(spark)
+    df = spark.createDataFrame(
+        [(1, float("nan")), (2, float("inf")), (3, 1.5)], "_id long, x double"
+    ).coalesce(1)
+    df.write.format("chunked_export").option("path", str(dst)).mode("append").save()
+    lines = (dst / "chunk_00000.jsonl").read_text().strip().splitlines()
+    recs = {json.loads(ln)["_id"]: json.loads(ln)["x"] for ln in lines}
+    assert recs == {1: None, 2: None, 3: 1.5}  # strict JSON, NaN/Inf -> null
+    assert not list(dst.glob(".inprogress-*"))
+
+
+def test_chunked_writer_feeds_streaming_reader(spark, tmp_path):
+    """The written layout is the exporter's: the connector's streaming
+    reader ingests writer output and resumes past it."""
+    dst = tmp_path / "dst"
+    dst.mkdir()
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    _register(spark)
+    spark.range(8).selectExpr("id AS _id").coalesce(2).write.format(
+        "chunked_export"
+    ).option("path", str(dst)).mode("append").save()
+
+    sch = StructType([StructField("_id", LongType())])
+
+    def run_once():
+        q = (
+            spark.readStream.format("chunked_export")
+            .schema(sch)
+            .option("path", str(dst))
+            .load()
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    run_once()
+    assert spark.read.parquet(out).count() == 8
+    spark.createDataFrame([(100,)], "_id long").coalesce(1).write.format(
+        "chunked_export"
+    ).option("path", str(dst)).mode("append").save()
+    run_once()
+    assert spark.read.parquet(out).count() == 9
+
+
+def test_chunked_writer_append_skips_sparse_gaps(spark, tmp_path):
+    """Append continues after the HIGHEST existing index: a sparse
+    exporter sequence (gaps from deleted pages) must never be
+    clobbered by a count-based name collision."""
+    dst = tmp_path / "dst"
+    dst.mkdir()
+    _register(spark)
+    _add_chunk(dst, 0)
+    _add_chunk(dst, 5)  # sparse: indices 1-4 missing
+    spark.createDataFrame([(7,)], "_id long").coalesce(1).write.format(
+        "chunked_export"
+    ).option("path", str(dst)).mode("append").save()
+    names = sorted(p.name for p in dst.glob("chunk_*.jsonl"))
+    assert names == ["chunk_00000.jsonl", "chunk_00005.jsonl", "chunk_00006.jsonl"]
