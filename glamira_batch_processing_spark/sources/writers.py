@@ -65,10 +65,18 @@ def backfill_partitions(
     )
 
 
+def _str_prefix_val(v: str | None, lcp: int) -> float:
+    """Python twin of the string z-order expression: big-endian value
+    of bytes [lcp, lcp+6) of the UTF-8 encoding, zero right-padded."""
+    b = (v or "").encode("utf-8")[lcp : lcp + 6]
+    return float(int.from_bytes(b.ljust(6, b"\x00"), "big"))
+
+
 def zorder_key(
     df: DataFrame, cols: list[str], bits: int = 16
 ) -> tuple[DataFrame, F.Column]:
-    """Morton (Z-order) interleave of the given numeric columns.
+    """Morton (Z-order) interleave of the given columns (numeric, date,
+    timestamp, or string).
 
     Each column is min/max-scaled to a ``bits``-bit integer (one tiny
     agg job computes the ranges), then the bits are interleaved with
@@ -78,6 +86,16 @@ def zorder_key(
     so conjunctive filters on any subset of them skip row groups — the
     property a single-column sort only gives its leading column.
 
+    STRING columns cluster through an order-preserving prefix image:
+    the bytes after the column's COMMON prefix (computed from the
+    min/max strings — 'user-0001'..'user-9999' all share 'user-', which
+    would otherwise collapse every row into one bucket), taken 6 bytes
+    wide (48 bits keeps the image exact in a double), zero-padded so
+    the comparison stays left-justified like byte order. UTF-8 byte
+    order equals code-point order, so the image is order-preserving;
+    it is approximate beyond the window, which is what bucketing needs —
+    parquet min/max on the REAL string column still prunes precisely.
+
     Returns (df with ranges applied, zkey Column). NULLs map to bucket 0.
     """
     if bits * len(cols) > 63:
@@ -86,17 +104,53 @@ def zorder_key(
             "interleaved bits exceeds a signed 64-bit key; lower `bits` "
             "(e.g. bits=15 for 4 columns)"
         )
+    dtypes = dict(df.dtypes)
+
+    def raw(c: str) -> F.Column:
+        dt = dtypes[c]
+        if dt == "string":
+            return F.col(c)  # range agg on the raw string; image derived below
+        if dt == "date":
+            return F.unix_date(F.col(c)).cast("double")
+        if dt.startswith("timestamp"):
+            return F.unix_micros(F.col(c).cast("timestamp")).cast("double")
+        return F.col(c).cast("double")
+
     ranges = df.agg(
-        *[F.min(F.col(c).cast("double")).alias(f"__min_{c}") for c in cols],
-        *[F.max(F.col(c).cast("double")).alias(f"__max_{c}") for c in cols],
+        *[F.min(raw(c)).alias(f"__min_{c}") for c in cols],
+        *[F.max(raw(c)).alias(f"__max_{c}") for c in cols],
     ).collect()[0]
+
+    orderable: dict[str, F.Column] = {}
+    bounds: dict[str, tuple] = {}
+    for c in cols:
+        lo, hi = ranges[f"__min_{c}"], ranges[f"__max_{c}"]
+        if dtypes[c] == "string":
+            lo_b = (lo or "").encode("utf-8")
+            hi_b = (hi or "").encode("utf-8")
+            lcp = 0
+            while lcp < min(len(lo_b), len(hi_b), 64) and lo_b[lcp] == hi_b[lcp]:
+                lcp += 1
+            # bytes [lcp, lcp+6) via hex (multibyte-safe: operates on
+            # the UTF-8 bytes, never on characters), right-padded with
+            # '0' hex digits so shorter suffixes stay left-justified
+            orderable[c] = F.expr(
+                "CAST(conv(rpad(substring(hex(CAST(coalesce(`{c}`, '') AS "
+                "BINARY)), {start}, 12), 12, '0'), 16, 10) AS DOUBLE)".format(
+                    c=c, start=2 * lcp + 1
+                )
+            )
+            bounds[c] = (_str_prefix_val(lo, lcp), _str_prefix_val(hi, lcp))
+        else:
+            orderable[c] = raw(c)
+            bounds[c] = (lo, hi)
     max_bucket = (1 << bits) - 1
     quantized = []
     for c in cols:
-        lo, hi = ranges[f"__min_{c}"], ranges[f"__max_{c}"]
+        lo, hi = bounds[c]
         span = (hi - lo) if (hi is not None and lo is not None and hi > lo) else 1.0
         q = F.floor(
-            (F.coalesce(F.col(c).cast("double"), F.lit(lo or 0.0)) - F.lit(lo or 0.0))
+            (F.coalesce(orderable[c], F.lit(lo or 0.0)) - F.lit(lo or 0.0))
             / F.lit(span)
             * F.lit(max_bucket)
         ).cast("long")

@@ -174,3 +174,49 @@ def test_backfill_partitions_replaces_only_touched_days(spark, tmp_path):
     # untouched partitions keep their exact files (no rewrite)
     assert set(os.listdir(f"{path}/date=2024-01-01")) == d1_files
     assert set(os.listdir(f"{path}/date=2024-01-03")) == d3_files
+
+
+def test_zorder_string_column_prunes_after_prefix_strip(spark, tmp_path):
+    """String z-order (round 7): keys sharing a long common prefix
+    ('user-...') must still cluster — the prefix is stripped before the
+    6-byte order-preserving image, so the distinguishing bytes drive
+    the buckets. Verified end-to-end through VersionedTable: a point
+    lookup on the clustered string key opens a strict subset of files."""
+    from glamira_batch_processing_spark.sources.versioned import VersionedTable
+
+    t = VersionedTable(tmp_path / "tbl", stat_columns=("uid",))
+    df = spark.range(4000).selectExpr(
+        "CONCAT('user-', LPAD(CAST(id AS STRING), 6, '0')) AS uid", "id AS v"
+    )
+    t.create(df.repartition(8))
+    t.compact(spark, target_files=8, cluster_by=["uid"])
+    got, info = t.read_pruned(spark, "uid", equals="user-002024")
+    assert info["files_read"] < info["files_total"], info
+    assert [(r.uid, r.v) for r in got.collect()] == [("user-002024", 2024)]
+
+
+def test_zorder_string_image_is_order_preserving():
+    """The python twin mirrors byte order, incl. multibyte UTF-8 and
+    short-suffix left-justification."""
+    from glamira_batch_processing_spark.sources.writers import _str_prefix_val
+
+    vals = ["", "a", "ab", "b", "ré", "réx", "z", "ÿ"]
+    imgs = [_str_prefix_val(v, 0) for v in vals]
+    order_by_bytes = sorted(vals, key=lambda s: s.encode("utf-8"))
+    order_by_img = sorted(vals, key=lambda s: _str_prefix_val(s, 0))
+    assert order_by_bytes == order_by_img, list(zip(vals, imgs))
+
+
+def test_zorder_mixed_types_accepted(spark):
+    from pyspark.sql import functions as F
+
+    from glamira_batch_processing_spark.sources.writers import zorder_key
+
+    df = (
+        spark.range(100)
+        .selectExpr("CONCAT('k', CAST(id AS STRING)) AS s", "id AS v")
+        .withColumn("d", F.to_date(F.lit("2024-03-01")))
+        .withColumn("t", F.to_timestamp(F.lit("2024-03-01 10:00:00")))
+    )
+    out, z = zorder_key(df, ["s", "v", "d", "t"], bits=12)
+    assert out.withColumn("z", z).select("z").distinct().count() > 1
