@@ -805,18 +805,45 @@ class VersionedTable:
             op = f"compact:{target_files}"
         return self._write_version(df, latest + 1, op)
 
+    def restore(self, version: int) -> int:
+        """Roll the table back to ``version`` as a NEW commit (the
+        RESTORE statement): a metadata-only operation — the new
+        manifest points at the restored version's existing immutable
+        data directory, so no data is copied and the restore is O(1)
+        regardless of table size. History is preserved (the bad
+        versions stay time-travelable until vacuum; vacuum is
+        reference-aware, so sharing a data dir across manifests is
+        safe)."""
+        src = self.manifest(version)  # raises if the version is gone
+        latest = self.latest_version()
+        assert latest is not None
+        next_version = latest + 1
+        self._commit(
+            next_version,
+            self.path / src["data_dir"],
+            f"restore:{version}",
+            files=src.get("files"),
+            schema=src.get("schema"),
+            cleanup_on_conflict=False,  # the data dir belongs to `version`
+        )
+        return next_version
+
     def vacuum(self, keep_last: int = 1) -> list[int]:
         """Drop all but the newest ``keep_last`` versions (manifest +
-        data). Returns the removed version numbers."""
+        data). Returns the removed version numbers. Reference-aware: a
+        data directory still referenced by ANY retained manifest (e.g.
+        after a metadata-only :meth:`restore`) is kept."""
         if keep_last < 1:
             raise ValueError("keep_last must be >= 1")
         vs = self.versions()
         doomed = vs[:-keep_last]
+        retained_dirs = {self.manifest(v)["data_dir"] for v in vs[-keep_last:]}
         for v in doomed:
             m = self.manifest(v)
             # manifest FIRST: once the version is invisible, a crash
             # before (or during) the data delete just leaves an orphan
             # dir — never a listed version with missing data.
             self._manifest_path(v).unlink()
-            shutil.rmtree(self.path / m["data_dir"], ignore_errors=True)
+            if m["data_dir"] not in retained_dirs:
+                shutil.rmtree(self.path / m["data_dir"], ignore_errors=True)
         return doomed

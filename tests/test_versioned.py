@@ -770,3 +770,42 @@ def test_gc_orphans_spares_young_dirs(spark, tmp_path):
     assert t.gc_orphans() == []  # default 1-day bar spares it
     assert young.is_dir()
     assert t.gc_orphans(min_age_seconds=0.0) == ["data/v00009-cafecafe"]
+
+
+# ---------------------------------------------------------------------------
+# RESTORE (metadata-only rollback)
+# ---------------------------------------------------------------------------
+
+
+def test_restore_rolls_back_as_new_commit(spark, tmp_path):
+    t = VersionedTable(tmp_path / "tbl")
+    t.create(spark.createDataFrame([(1, "good")], "k long, v string"))
+    t.overwrite(spark.createDataFrame([(1, "bad")], "k long, v string"))
+    v = t.restore(0)
+    assert v == 2
+    assert _rows(t.read(spark)) == {(1, "good")}
+    # history preserved: the bad version stays time-travelable
+    assert _rows(t.read(spark, version=1)) == {(1, "bad")}
+    assert t.manifest(2)["operation"] == "restore:0"
+    # metadata-only: versions 0 and 2 share one physical data dir
+    assert t.manifest(2)["data_dir"] == t.manifest(0)["data_dir"]
+
+
+def test_vacuum_keeps_data_shared_with_restored_version(spark, tmp_path):
+    """Reference-aware vacuum: dropping the ORIGINAL version of a
+    restored snapshot must not delete the data dir the restore still
+    points at."""
+    t = VersionedTable(tmp_path / "tbl")
+    t.create(spark.createDataFrame([(1, "good")], "k long, v string"))
+    t.overwrite(spark.createDataFrame([(1, "bad")], "k long, v string"))
+    t.restore(0)
+    removed = t.vacuum(keep_last=1)  # drops v0 (shares dir with v2) and v1
+    assert removed == [0, 1]
+    assert _rows(t.read(spark)) == {(1, "good")}  # data dir survived
+
+
+def test_restore_missing_version_raises(spark, tmp_path):
+    t = VersionedTable(tmp_path / "tbl")
+    t.create(spark.createDataFrame([(1, "a")], "k long, v string"))
+    with pytest.raises(FileNotFoundError):
+        t.restore(7)
