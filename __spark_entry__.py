@@ -149,8 +149,11 @@ from glamira_batch_processing_spark.plans.registry import ORACLE, QUERIES
 # algebra, snapshot-drift audit; unigram_train_pieces/_encode_stats are
 # rows-only by nature, like the BPE pair), f13_collated_group,
 # quality_bigram_familiarity, mix_resample_sources, ann_recall_eval,
-# multimodal_video_meta / multimodal_video_frames (new this round — the
-# AVI/MJPEG container parse + sampled-frame pixel-digest gates).
+# multimodal_video_meta / multimodal_video_frames /
+# multimodal_video_routing (new this round — the AVI/MJPEG container
+# parse, sampled-frame pixel-digest, and codec-quarantine gates),
+# asof_forward_next_purchase (new this round — forward+tolerance
+# merge_asof surface).
 _PRIORITY: list[str] = [
     # Flagships: whole-warehouse DAG (staging -> SCD -> marts -> rollup)
     # and whole-training-data pipeline (quality -> dedup+components ->

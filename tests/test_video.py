@@ -186,3 +186,32 @@ class TestRouting:
 
         with pytest.raises(ValueError, match="unknown video variant"):
             variant_video_bytes("webm", 8, 8, 1)
+
+
+class TestTruncationFuzz:
+    def test_every_prefix_parses_or_raises_cleanly(self):
+        """Fuzz the parser with every truncation point of a real
+        container (the JPEG codec's truncation-fuzz twin): each prefix
+        must either parse to a consistent AviInfo or raise ValueError —
+        never IndexError/struct.error/hang, and never a 'successful'
+        parse whose frame spans dangle past the payload."""
+        full = mjpeg_video_bytes(0, 24, 16, n_frames=3, rate=10)
+        for cut in range(0, len(full), 7):
+            prefix = full[:cut]
+            try:
+                info = parse_avi(prefix)
+            except ValueError:
+                continue
+            for i in range(info.n_frames):
+                start, length = info.frame_spans[i]
+                assert start + length <= len(prefix)
+
+    def test_bitflip_fuzz_no_uncontrolled_errors(self):
+        full = bytearray(mjpeg_video_bytes(0, 16, 8, n_frames=2))
+        for pos in range(0, len(full), 11):
+            mutated = bytearray(full)
+            mutated[pos] ^= 0xFF
+            try:
+                parse_avi(bytes(mutated))
+            except ValueError:
+                pass  # controlled rejection is the contract
