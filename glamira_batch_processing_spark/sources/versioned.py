@@ -291,6 +291,7 @@ class VersionedTable:
         files: list[dict] | None = None,
         schema: list[list[str]] | None = None,
         cleanup_on_conflict: bool = True,
+        extra: dict | None = None,
     ) -> None:
         """Make ``version`` visible. Atomic: the manifest file either
         exists completely or not at all; O_EXCL create serializes
@@ -314,6 +315,8 @@ class VersionedTable:
             record["schema"] = schema
         if files is not None:
             record["files"] = files
+        if extra:
+            record.update(extra)
         body = json.dumps(record)
         # Two-phase: write the body to a private tmp file, then link it
         # to the manifest name. link() is atomic AND fails with EEXIST,
@@ -461,7 +464,12 @@ class VersionedTable:
         data_root = self.path / _DATA_DIR
         if not data_root.is_dir():
             return []
-        referenced = {self.manifest(v)["data_dir"] for v in self.versions()}
+        referenced: set[str] = set()
+        for v in self.versions():
+            m = self.manifest(v)
+            referenced.add(m["data_dir"])
+            for f in m.get("file_paths", ()):  # compact_small carry-overs
+                referenced.add(str(Path(f).parent))
         now = time.time()
         removed: list[str] = []
         for d in sorted(data_root.iterdir()):
@@ -476,13 +484,28 @@ class VersionedTable:
             removed.append(rel)
         return removed
 
+    def _version_file_paths(self, m: dict) -> list[str] | None:
+        """Absolute data files of a manifest, or None for a plain
+        whole-directory version (read the dir)."""
+        if "file_paths" in m:
+            return [str(self.path / p) for p in m["file_paths"]]
+        return None
+
     def read(self, spark: SparkSession, version: int | None = None) -> DataFrame:
-        """Snapshot read: latest (default) or time-travel to ``version``."""
+        """Snapshot read: latest (default) or time-travel to ``version``.
+
+        A version committed by :meth:`compact_small` is a FILE LIST
+        (untouched big files of the prior version + the newly packed
+        files) rather than one directory — the manifest's
+        ``file_paths`` names them and the scan plans exactly those."""
         if version is None:
             version = self.latest_version()
             if version is None:
                 raise FileNotFoundError(f"no committed version at {self.path}")
         m = self.manifest(version)
+        paths = self._version_file_paths(m)
+        if paths is not None:
+            return spark.read.parquet(*paths)
         return spark.read.parquet(str(self.path / m["data_dir"]))
 
     def read_pruned(
@@ -535,9 +558,14 @@ class VersionedTable:
                 df = df.filter(F.col(column) <= F.lit(upper))
             return df
 
+        def _resolve(f: dict) -> str:
+            # compact_small manifests record table-root-relative paths
+            root = self.path if m.get("paths_relative_to") == "table" else data_dir
+            return str(root / f["path"])
+
         files = m.get("files")
         if not files:
-            df = _pred(spark.read.parquet(str(data_dir)))
+            df = _pred(self.read(spark, version))
             return df, {"files_total": None, "files_read": None, "pruned": False}
 
         def _keep(f: dict) -> bool:
@@ -557,11 +585,11 @@ class VersionedTable:
         kept = [f for f in files if _keep(f)]
         info = {"files_total": len(files), "files_read": len(kept), "pruned": True}
         if not kept:
-            # preserve schema: full-dir scan with a false predicate
+            # preserve schema: full scan with a false predicate
             # (parquet footers only; no data pages are read)
-            df = spark.read.parquet(str(data_dir)).filter(F.lit(False))
+            df = self.read(spark, version).filter(F.lit(False))
             return df, info
-        paths = [str(data_dir / f["path"]) for f in kept]
+        paths = [_resolve(f) for f in kept]
         return _pred(spark.read.parquet(*paths)), info
 
     def merge(
@@ -805,6 +833,78 @@ class VersionedTable:
             op = f"compact:{target_files}"
         return self._write_version(df, latest + 1, op)
 
+    def compact_small(
+        self,
+        spark: SparkSession,
+        target_bytes: int = 128 << 20,
+        min_files: int = 2,
+    ) -> int:
+        """Incremental OPTIMIZE: bin-pack ONLY the small files.
+
+        :meth:`compact` rewrites the whole snapshot — O(table) every
+        time, which a 100 TB table cannot pay per maintenance cycle.
+        This pass reads just the files under ``target_bytes // 2``,
+        packs them into ~``target_bytes`` outputs, and commits a
+        manifest that lists the UNTOUCHED big files alongside the new
+        packed ones (``file_paths``, table-root-relative) — cost is
+        O(small-file bytes), the steady-state accretion of streaming
+        MERGE ingest, never the accumulated table. Untouched files'
+        stat/bloom entries carry forward so data skipping keeps
+        working; vacuum is file-level reference-aware, so dropping the
+        pre-compact version never deletes the carried-forward files.
+
+        Returns the new version (or the current one when fewer than
+        ``min_files`` small files exist — a no-op needs no commit)."""
+        import os
+
+        latest = self.latest_version()
+        if latest is None:
+            raise FileNotFoundError(f"no committed version at {self.path}")
+        m = self.manifest(latest)
+        all_files = sorted(self._version_abs_files(m))
+        sizes = {f: os.path.getsize(f) for f in all_files}
+        small = [f for f in all_files if sizes[f] < target_bytes // 2]
+        if len(small) < min_files:
+            return latest
+        big = [f for f in all_files if f not in set(small)]
+        n_out = max(1, -(-sum(sizes[f] for f in small) // target_bytes))
+        packed = spark.read.parquet(*small).coalesce(n_out)
+        data_dir = (
+            self.path / _DATA_DIR / f"v{latest + 1:05d}-{uuid.uuid4().hex[:8]}"
+        )
+        files, schema = self._write_data_with_stats(packed, data_dir)
+        rel_new = sorted(
+            str(p.relative_to(self.path)) for p in data_dir.glob("part-*.parquet")
+        )
+        rel_big = [str(Path(f).relative_to(self.path)) for f in big]
+        entries: list[dict] = []
+        if files:
+            entries += [
+                {**e, "path": str((data_dir / e["path"]).relative_to(self.path))}
+                for e in files
+            ]
+        prior_root = (
+            self.path
+            if m.get("paths_relative_to") == "table"
+            else self.path / m["data_dir"]
+        )
+        big_set = set(big)
+        for e in m.get("files") or []:
+            abs_p = str(prior_root / e["path"])
+            if abs_p in big_set:  # carry the untouched files' skipping stats
+                entries.append(
+                    {**e, "path": str(Path(abs_p).relative_to(self.path))}
+                )
+        self._commit(
+            latest + 1,
+            data_dir,
+            f"compact-small:{n_out}",
+            files=entries or None,
+            schema=schema,
+            extra={"file_paths": rel_big + rel_new, "paths_relative_to": "table"},
+        )
+        return latest + 1
+
     def restore(self, version: int) -> int:
         """Roll the table back to ``version`` as a NEW commit (the
         RESTORE statement): a metadata-only operation — the new
@@ -818,6 +918,11 @@ class VersionedTable:
         latest = self.latest_version()
         assert latest is not None
         next_version = latest + 1
+        extra = {
+            k: src[k]
+            for k in ("file_paths", "paths_relative_to")
+            if k in src
+        }
         self._commit(
             next_version,
             self.path / src["data_dir"],
@@ -825,25 +930,47 @@ class VersionedTable:
             files=src.get("files"),
             schema=src.get("schema"),
             cleanup_on_conflict=False,  # the data dir belongs to `version`
+            extra=extra,
         )
         return next_version
 
+    def _version_abs_files(self, m: dict) -> set[str]:
+        """Absolute data files a manifest references (file list for
+        compact_small manifests, directory listing otherwise)."""
+        paths = self._version_file_paths(m)
+        if paths is not None:
+            return set(paths)
+        d = self.path / m["data_dir"]
+        return {str(p) for p in d.glob("*.parquet")} if d.is_dir() else set()
+
     def vacuum(self, keep_last: int = 1) -> list[int]:
         """Drop all but the newest ``keep_last`` versions (manifest +
-        data). Returns the removed version numbers. Reference-aware: a
-        data directory still referenced by ANY retained manifest (e.g.
-        after a metadata-only :meth:`restore`) is kept."""
+        data). Returns the removed version numbers. Reference-aware at
+        the FILE level: a data file still referenced by ANY retained
+        manifest — a dir shared by a metadata-only :meth:`restore`, or
+        untouched big files carried forward by :meth:`compact_small` —
+        survives dropping the version that first wrote it."""
+        import os
+
         if keep_last < 1:
             raise ValueError("keep_last must be >= 1")
         vs = self.versions()
         doomed = vs[:-keep_last]
-        retained_dirs = {self.manifest(v)["data_dir"] for v in vs[-keep_last:]}
+        retained: set[str] = set()
+        for v in vs[-keep_last:]:
+            retained |= self._version_abs_files(self.manifest(v))
         for v in doomed:
             m = self.manifest(v)
             # manifest FIRST: once the version is invisible, a crash
             # before (or during) the data delete just leaves an orphan
             # dir — never a listed version with missing data.
             self._manifest_path(v).unlink()
-            if m["data_dir"] not in retained_dirs:
-                shutil.rmtree(self.path / m["data_dir"], ignore_errors=True)
+            for f in self._version_abs_files(m) - retained:
+                try:
+                    os.remove(f)
+                except FileNotFoundError:
+                    pass
+            d = self.path / m["data_dir"]
+            if d.is_dir() and not any(d.glob("*.parquet")):
+                shutil.rmtree(d, ignore_errors=True)  # only committer sidecars left
         return doomed

@@ -809,3 +809,89 @@ def test_restore_missing_version_raises(spark, tmp_path):
     t.create(spark.createDataFrame([(1, "a")], "k long, v string"))
     with pytest.raises(FileNotFoundError):
         t.restore(7)
+
+
+# ---------------------------------------------------------------------------
+# Incremental compaction (bin-pack only the small files)
+# ---------------------------------------------------------------------------
+
+
+def _mixed_size_table(spark, path):
+    """One version holding 1 big file + 6 tiny files (narrow union
+    keeps both sides' partitioning, so the write emits 7 files)."""
+    t = VersionedTable(path, stat_columns=("k",))
+    big = spark.range(200_000).selectExpr("id AS k", "CAST(id AS STRING) AS v").coalesce(1)
+    small = (
+        spark.range(200_000, 200_060)
+        .selectExpr("id AS k", "CAST(id AS STRING) AS v")
+        .repartition(6)
+    )
+    t.create(big.unionByName(small))
+    return t
+
+
+def test_compact_small_packs_only_small_files(spark, tmp_path):
+    t = _mixed_size_table(spark, tmp_path / "tbl")
+    m0 = t.manifest(0)
+    files0 = sorted(t._version_abs_files(m0))
+    assert len(files0) == 7
+    import os
+
+    big0 = max(files0, key=os.path.getsize)
+    v = t.compact_small(spark, target_bytes=1 << 20)
+    assert v == 1
+    m1 = t.manifest(1)
+    files1 = sorted(t._version_abs_files(m1))
+    # 6 tiny files packed into 1; the big file carried forward untouched
+    assert len(files1) == 2, files1
+    assert big0 in files1
+    assert os.path.getmtime(big0) == os.path.getmtime(big0)  # untouched
+    # contents identical across the compact
+    assert t.read(spark, 1).count() == t.read(spark, 0).count() == 200_060
+    assert (
+        t.read(spark, 1).selectExpr("sum(k) AS s").collect()[0].s
+        == t.read(spark, 0).selectExpr("sum(k) AS s").collect()[0].s
+    )
+
+
+def test_compact_small_noop_below_min_files(spark, tmp_path):
+    t = VersionedTable(tmp_path / "tbl")
+    t.create(spark.range(10).selectExpr("id AS k").coalesce(1))
+    assert t.compact_small(spark) == 0  # one small file: nothing to pack
+    assert t.versions() == [0]
+
+
+def test_compact_small_stats_carry_forward_for_pruning(spark, tmp_path):
+    t = _mixed_size_table(spark, tmp_path / "tbl")
+    t.compact_small(spark, target_bytes=1 << 20)
+    # point lookup in the BIG file's range: stats carried forward, so
+    # the packed file is pruned away
+    df, info = t.read_pruned(spark, "k", equals=12345)
+    assert info["pruned"] and info["files_total"] == 2
+    assert info["files_read"] == 1, info
+    assert [r.k for r in df.collect()] == [12345]
+    # and in the packed range
+    df2, info2 = t.read_pruned(spark, "k", equals=200_030)
+    assert info2["files_read"] == 1, info2
+    assert df2.count() == 1
+
+
+def test_vacuum_after_compact_small_keeps_carried_files(spark, tmp_path):
+    t = _mixed_size_table(spark, tmp_path / "tbl")
+    t.compact_small(spark, target_bytes=1 << 20)
+    removed = t.vacuum(keep_last=1)
+    assert removed == [0]
+    # the big file v0 wrote is still referenced by v1 and must survive
+    assert t.read(spark).count() == 200_060
+    # the six packed-away tiny files ARE gone (unreferenced)
+    m1 = t.manifest(1)
+    assert len(t._version_abs_files(m1)) == 2
+
+
+def test_restore_of_compact_small_version_roundtrips(spark, tmp_path):
+    t = _mixed_size_table(spark, tmp_path / "tbl")
+    t.compact_small(spark, target_bytes=1 << 20)
+    t.overwrite(spark.createDataFrame([(0, "x")], "k long, v string"))
+    v = t.restore(1)
+    assert t.read(spark, v).count() == 200_060
+    assert "file_paths" in t.manifest(v)
