@@ -131,3 +131,77 @@ def test_landing_to_publish(spark, tmp_path):
     assert version2 == 1 and all(results2.values())
     assert {r.doc_id for r in curated.read(spark).collect()} == {1, 3, 5}
     assert {r.doc_id for r in curated.read(spark, version=0).collect()} == {1, 3}
+
+
+def test_full_lifecycle_write_ingest_compact_restore_vacuum(spark, tmp_path):
+    """The round-7 session pieces composed into one lakehouse
+    lifecycle: Spark WRITES the landing chunks through the connector's
+    own write path -> the rate-limited streaming reader ingests them
+    with idempotent MERGEs -> small-file accretion is bin-packed by
+    compact_small (carrying untouched files) -> a bad overwrite is
+    rolled back with the O(1) metadata-only restore -> vacuum reclaims
+    everything unreferenced while the restored snapshot survives."""
+    src = tmp_path / "landing"
+    src.mkdir()
+    ckpt = str(tmp_path / "ckpt")
+    raw = VersionedTable(tmp_path / "raw", stat_columns=("doc_id",))
+    spark.dataSource.register(ChunkedExportDataSource)
+
+    # 1. land the export with the connector's WRITE path (4 pages)
+    df = spark.range(40).selectExpr("id AS doc_id", f"'{GOOD}' AS text")
+    df.repartition(4).write.format("chunked_export").option(
+        "path", str(src)
+    ).mode("append").save()
+    assert len(list(src.glob("chunk_*.jsonl"))) == 4
+
+    # 2. rate-limited streaming ingest (first batch unlimited by design,
+    #    then <=1 chunk per trigger) with idempotent MERGE batches
+    def sink(batch_df, batch_id):
+        if batch_df.isEmpty():
+            return
+        if raw.latest_version() is None:
+            raw.create(batch_df)
+        else:
+            raw.merge(
+                batch_df.sparkSession,
+                batch_df,
+                keys=["doc_id"],
+                txn_id=f"ingest-{batch_id}",
+            )
+
+    q = (
+        spark.readStream.format("chunked_export")
+        .schema("doc_id long, text string")
+        .option("path", str(src))
+        .option("maxChunksPerTrigger", "1")
+        .load()
+        .writeStream.foreachBatch(sink)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    assert raw.read(spark).count() == 40
+
+    # 3. merge accretion left multiple versions/files: bin-pack them
+    v_before = raw.latest_version()
+    files_before = len(raw._version_abs_files(raw.manifest(v_before)))
+    v_packed = raw.compact_small(spark, target_bytes=64 << 20)
+    files_after = len(raw._version_abs_files(raw.manifest(v_packed)))
+    assert files_after <= files_before
+    assert raw.read(spark).count() == 40
+
+    # 4. a bad job overwrites the table; metadata-only restore rolls back
+    raw.overwrite(spark.createDataFrame([(999, "oops")], "doc_id long, text string"))
+    v_restored = raw.restore(v_packed)
+    assert raw.read(spark).count() == 40
+    assert raw.manifest(v_restored)["operation"] == f"restore:{v_packed}"
+
+    # 5. vacuum to the restored head: shared files survive, junk goes
+    raw.vacuum(keep_last=1)
+    assert raw.read(spark).count() == 40
+    got = sorted(r.doc_id for r in raw.read(spark).collect())
+    assert got == list(range(40))
+    # the data-skipping stats still work on the surviving manifest
+    pruned, info = raw.read_pruned(spark, "doc_id", equals=7)
+    assert pruned.count() == 1 and info["pruned"]
