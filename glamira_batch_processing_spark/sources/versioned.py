@@ -592,6 +592,85 @@ class VersionedTable:
         paths = [_resolve(f) for f in kept]
         return _pred(spark.read.parquet(*paths)), info
 
+    def read_pruned_multi(
+        self,
+        spark: SparkSession,
+        predicates: dict[str, dict],
+        version: int | None = None,
+    ) -> tuple[DataFrame, dict]:
+        """Conjunctive (AND) multi-column data skipping: prune a file
+        when ANY predicate's stats/bloom rule it out — the real query
+        shape (``date BETWEEN ... AND region = ...``) skips far more
+        than any single column can, especially after a multi-column
+        ZORDER compact where every clustered column carries tight
+        per-file ranges.
+
+        ``predicates`` maps column -> {"lower":, "upper":, "equals":}
+        (any subset; ``equals`` is exclusive with the bounds, as in
+        :meth:`read_pruned`). Semantics are identical per column; the
+        value predicates are all still applied to the result, so
+        pruning remains an optimization, never the filter."""
+        from pyspark.sql import functions as F
+
+        if version is None:
+            version = self.latest_version()
+            if version is None:
+                raise FileNotFoundError(f"no committed version at {self.path}")
+        norm: dict[str, tuple] = {}
+        for col, p in predicates.items():
+            unknown = set(p) - {"lower", "upper", "equals"}
+            if unknown:
+                raise ValueError(f"unknown predicate keys for {col}: {unknown}")
+            eq = p.get("equals")
+            lo, hi = p.get("lower"), p.get("upper")
+            if eq is not None and (lo is not None or hi is not None):
+                raise ValueError(f"{col}: equals is mutually exclusive with bounds")
+            norm[col] = (lo, hi) if eq is None else (eq, eq, eq)
+        m = self.manifest(version)
+        data_dir = self.path / m["data_dir"]
+
+        def _pred(df: DataFrame) -> DataFrame:
+            for col, t in norm.items():
+                lo, hi = t[0], t[1]
+                if lo is not None:
+                    df = df.filter(F.col(col) >= F.lit(lo))
+                if hi is not None:
+                    df = df.filter(F.col(col) <= F.lit(hi))
+            return df
+
+        files = m.get("files")
+        if not files:
+            return _pred(self.read(spark, version)), {
+                "files_total": None,
+                "files_read": None,
+                "pruned": False,
+            }
+
+        def _keep(f: dict) -> bool:
+            for col, t in norm.items():
+                lo, hi = t[0], t[1]
+                eq = t[2] if len(t) == 3 else None
+                rng = f.get("stats", {}).get(col)
+                if rng is not None:
+                    f_lo, f_hi = rng
+                    if hi is not None and f_lo > hi:
+                        return False
+                    if lo is not None and f_hi < lo:
+                        return False
+                if eq is not None:
+                    bloom = f.get("bloom", {}).get(col)
+                    if bloom is not None and not _bloom_probe(bloom, eq):
+                        return False
+            return True
+
+        root = self.path if m.get("paths_relative_to") == "table" else data_dir
+        kept = [f for f in files if _keep(f)]
+        info = {"files_total": len(files), "files_read": len(kept), "pruned": True}
+        if not kept:
+            return self.read(spark, version).filter(F.lit(False)), info
+        paths = [str(root / f["path"]) for f in kept]
+        return _pred(spark.read.parquet(*paths)), info
+
     def merge(
         self,
         spark: SparkSession,

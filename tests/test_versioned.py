@@ -895,3 +895,57 @@ def test_restore_of_compact_small_version_roundtrips(spark, tmp_path):
     v = t.restore(1)
     assert t.read(spark, v).count() == 200_060
     assert "file_paths" in t.manifest(v)
+
+
+# ---------------------------------------------------------------------------
+# Multi-column conjunctive pruning
+# ---------------------------------------------------------------------------
+
+
+def _mk_2d_table(spark, path):
+    """ZORDER on (k, g): both columns carry tight per-file ranges."""
+    t = VersionedTable(path, stat_columns=("k", "g"))
+    df = spark.range(20000).selectExpr("id AS k", "id % 100 AS g", "CAST(id AS STRING) AS v")
+    t.create(df.repartition(4))
+    t.compact(spark, target_files=16, cluster_by=["k", "g"])
+    return t
+
+
+def test_multi_column_pruning_beats_single(spark, tmp_path):
+    t = _mk_2d_table(spark, tmp_path / "tbl")
+    single, i1 = t.read_pruned(spark, "k", lower=5000, upper=5400)
+    multi, i2 = t.read_pruned_multi(
+        spark, {"k": {"lower": 5000, "upper": 5400}, "g": {"lower": 10, "upper": 12}}
+    )
+    assert i2["files_read"] <= i1["files_read"]
+    # exactness: same rows as the brute-force filter
+    expect = (
+        t.read(spark)
+        .filter("k BETWEEN 5000 AND 5400 AND g BETWEEN 10 AND 12")
+        .count()
+    )
+    assert multi.count() == expect > 0
+
+
+def test_multi_column_equals_uses_bloom(spark, tmp_path):
+    t = VersionedTable(
+        tmp_path / "tbl", stat_columns=("g",), bloom_columns=("uid",), bloom_fpp=0.001
+    )
+    df = spark.range(2000).selectExpr(
+        "CONCAT('u', CAST(id AS STRING)) AS uid", "id % 10 AS g"
+    )
+    t.create(df.repartition(8))
+    got, info = t.read_pruned_multi(
+        spark, {"uid": {"equals": "u777"}, "g": {"equals": 7}}
+    )
+    assert info["files_read"] < info["files_total"]
+    assert [(r.uid, r.g) for r in got.collect()] == [("u777", 7)]
+
+
+def test_multi_column_validation(spark, tmp_path):
+    t = VersionedTable(tmp_path / "tbl")
+    t.create(spark.createDataFrame([(1,)], "k long"))
+    with pytest.raises(ValueError, match="unknown predicate"):
+        t.read_pruned_multi(spark, {"k": {"min": 1}})
+    with pytest.raises(ValueError, match="mutually exclusive"):
+        t.read_pruned_multi(spark, {"k": {"equals": 1, "lower": 0}})
