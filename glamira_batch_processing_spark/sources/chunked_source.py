@@ -348,6 +348,7 @@ class ChunkedExportWriter(DataSourceWriter):
 
         tc = TaskContext.get()
         pid = tc.partitionId() if tc is not None else 0
+        os.makedirs(self._path, exist_ok=True)
         tmp = os.path.join(
             self._path, f".inprogress-{pid:05d}-{uuid.uuid4().hex[:8]}"
         )
@@ -396,10 +397,16 @@ class ChunkedExportWriter(DataSourceWriter):
             "total_rows": total,
             "mode": "overwrite" if self._overwrite else "append",
         }
-        with open(
-            os.path.join(self._path, "_export_manifest.json"), "w"
-        ) as fh:
+        # temp-then-rename, same protocol as the chunks themselves: a
+        # concurrent reader sees the previous complete manifest or the
+        # new complete one, never a truncated write-in-progress.
+        final = os.path.join(self._path, "_export_manifest.json")
+        tmp_manifest = final + f".tmp-{os.getpid()}"
+        with open(tmp_manifest, "w") as fh:
             json.dump(manifest, fh, indent=1)
+            fh.flush()
+            os.fsync(fh.fileno())
+        os.replace(tmp_manifest, final)
 
     def abort(self, messages) -> None:
         import os

@@ -117,6 +117,13 @@ def _bloom_canon(v) -> bytes:
     if isinstance(v, int):
         return b"i" + str(v).encode()
     if isinstance(v, float):
+        # Integral floats canonicalize to the INT tag: parquet footers
+        # record 1 for a bigint column while a caller may probe with
+        # 1.0 — without this, the bloom answers "definitely absent"
+        # (a silent wrong-rows prune, worse than a degraded plan).
+        # NaN/inf keep the float tag (is_integer() is False).
+        if v.is_integer():
+            return b"i" + str(int(v)).encode()
         return b"f" + repr(v).encode()
     if isinstance(v, str):
         return b"s" + v.encode("utf-8")
@@ -451,7 +458,11 @@ class VersionedTable:
         )
         return self._write_version(remaining, latest + 1, "delete", txn_id=txn_id)
 
-    def gc_orphans(self, min_age_seconds: float = 86400.0) -> list[str]:
+    def gc_orphans(
+        self,
+        min_age_seconds: float = 86400.0,
+        include_staged: bool = False,
+    ) -> list[str]:
         """Remove data directories no manifest references (crashed
         writers, manifest-race losers that died before their own
         cleanup, WAP stages never published or aborted). Safe because
@@ -460,7 +471,15 @@ class VersionedTable:
         or a still-in-flight write, and ``min_age_seconds`` (default
         1 day) spares the latter: an in-flight writer's directory
         mtime keeps advancing while files land, so only long-dead
-        attempts age past the bar. Returns removed relative paths."""
+        attempts age past the bar. Returns removed relative paths.
+
+        ``staged-*`` directories (write-audit-publish stages, see
+        :meth:`stage`) are SKIPPED by default: a staged write awaiting
+        a slow audit is indistinguishable on disk from an abandoned
+        one, and deleting it would let a later :meth:`publish` commit a
+        manifest pointing at vanished data. Pass ``include_staged=True``
+        to reclaim aged stages too (publish independently verifies the
+        staged directory still holds files before committing)."""
         data_root = self.path / _DATA_DIR
         if not data_root.is_dir():
             return []
@@ -478,6 +497,8 @@ class VersionedTable:
             rel = str(d.relative_to(self.path))
             if rel in referenced:
                 continue
+            if not include_staged and d.name.startswith("staged-"):
+                continue  # in-flight WAP stage; see docstring
             if now - d.stat().st_mtime < min_age_seconds:
                 continue
             shutil.rmtree(d, ignore_errors=True)
@@ -755,6 +776,19 @@ class VersionedTable:
                 if self.manifest(v).get("txn_id") == staged.txn_id:
                     self.abort(staged)
                     return v
+        # Never commit a manifest pointing at vanished data: a gc run
+        # (gc_orphans(include_staged=True)) or stray cleanup between
+        # stage() and publish() must fail HERE, not at first read.
+        # (A missing dir, or a dir that lost the part files stage()
+        # recorded, is the gc signature; a legitimately empty snapshot
+        # staged zero files and passes.)
+        if not staged.data_dir.is_dir() or (
+            staged.files and not any(staged.data_dir.glob("*.parquet"))
+        ):
+            raise FileNotFoundError(
+                f"staged directory {staged.data_dir} lost its data files "
+                "(garbage-collected or aborted?); re-stage the write"
+            )
         while True:
             latest = self.latest_version()
             version = 0 if latest is None else latest + 1
@@ -974,6 +1008,22 @@ class VersionedTable:
                 entries.append(
                     {**e, "path": str(Path(abs_p).relative_to(self.path))}
                 )
+        # COMPLETENESS INVARIANT: read_pruned/read_pruned_multi treat a
+        # non-empty 'files' list as the version's COMPLETE file set, so
+        # every live path in file_paths MUST hold an entry. Config
+        # drift breaks that in both directions — a prior version with
+        # no per-file entries (stats enabled later) leaves the
+        # carried-forward big files uncovered; stats disabled later
+        # leaves the newly packed files uncovered. Synthesize stat-less
+        # entries for any uncovered file: pruning degrades to "always
+        # read" for them (sound) instead of silently dropping rows.
+        if entries:
+            covered = {e["path"] for e in entries}
+            entries += [
+                {"path": p, "stats": {}}
+                for p in rel_big + rel_new
+                if p not in covered
+            ]
         self._commit(
             latest + 1,
             data_dir,

@@ -470,3 +470,22 @@ def test_chunked_writer_append_skips_sparse_gaps(spark, tmp_path):
     ).option("path", str(dst)).mode("append").save()
     names = sorted(p.name for p in dst.glob("chunk_*.jsonl"))
     assert names == ["chunk_00000.jsonl", "chunk_00005.jsonl", "chunk_00006.jsonl"]
+
+
+def test_chunked_writer_creates_missing_destination(spark, tmp_path):
+    """The destination directory is created on demand (nested, never
+    pre-made here) and the manifest lands via temp-then-rename — no
+    manifest temp file survives the commit."""
+    dst = tmp_path / "not" / "yet" / "there"
+    assert not dst.exists()
+    _register(spark)
+    df = spark.range(6).selectExpr("id AS _id").repartition(2)
+    df.write.format("chunked_export").option("path", str(dst)).mode(
+        "append"
+    ).save()
+    back = spark.read.format("chunked_export").option("path", str(dst)).load()
+    assert back.count() == 6
+    manifest = json.loads((dst / "_export_manifest.json").read_text())
+    assert manifest["total_rows"] == 6
+    leftovers = [p.name for p in dst.iterdir() if ".tmp" in p.name]
+    assert leftovers == []

@@ -838,6 +838,7 @@ def test_compact_small_packs_only_small_files(spark, tmp_path):
     import os
 
     big0 = max(files0, key=os.path.getsize)
+    big0_mtime_before = os.path.getmtime(big0)
     v = t.compact_small(spark, target_bytes=1 << 20)
     assert v == 1
     m1 = t.manifest(1)
@@ -845,7 +846,7 @@ def test_compact_small_packs_only_small_files(spark, tmp_path):
     # 6 tiny files packed into 1; the big file carried forward untouched
     assert len(files1) == 2, files1
     assert big0 in files1
-    assert os.path.getmtime(big0) == os.path.getmtime(big0)  # untouched
+    assert os.path.getmtime(big0) == big0_mtime_before  # untouched
     # contents identical across the compact
     assert t.read(spark, 1).count() == t.read(spark, 0).count() == 200_060
     assert (
@@ -949,3 +950,128 @@ def test_multi_column_validation(spark, tmp_path):
         t.read_pruned_multi(spark, {"k": {"min": 1}})
     with pytest.raises(ValueError, match="mutually exclusive"):
         t.read_pruned_multi(spark, {"k": {"equals": 1, "lower": 0}})
+
+
+# ---------------------------------------------------------------------------
+# Round-8 hardening: config-drift completeness, staged-dir gc safety,
+# integral-float bloom probes
+# ---------------------------------------------------------------------------
+
+
+def test_compact_small_covers_carried_files_after_stats_enabled(spark, tmp_path):
+    """Prior version committed WITHOUT per-file entries, then stats get
+    enabled and compact_small runs: the carried-forward big file has no
+    prior entry to carry, so the committed 'files' list must still
+    COVER it (synthesized stat-less entry) — otherwise read_pruned
+    treats the list as the complete file set and silently drops every
+    big-file row."""
+    import os
+
+    path = tmp_path / "tbl"
+    plain = VersionedTable(path)  # no stat_columns -> manifest has no 'files'
+    big = (
+        spark.range(200_000)
+        .selectExpr("id AS k", "CAST(id AS STRING) AS v")
+        .coalesce(1)
+    )
+    small = (
+        spark.range(200_000, 200_060)
+        .selectExpr("id AS k", "CAST(id AS STRING) AS v")
+        .repartition(6)
+    )
+    plain.create(big.unionByName(small))
+    assert plain.manifest(0).get("files") is None
+
+    t = VersionedTable(path, stat_columns=("k",))  # config drift: stats now on
+    v = t.compact_small(spark, target_bytes=1 << 20)
+    assert v == 1
+    m = t.manifest(1)
+    # every live path is covered by an entry (completeness invariant)
+    assert {e["path"] for e in m["files"]} == set(m["file_paths"])
+    # and pruned reads see ALL the rows, including the big file's
+    df, info = t.read_pruned(spark, "k", lower=0)
+    assert df.count() == 200_060
+    assert info["files_read"] == info["files_total"]  # stat-less -> always read
+    df2, _ = t.read_pruned_multi(spark, {"k": {"lower": 0}})
+    assert df2.count() == 200_060
+
+
+def test_compact_small_covers_new_files_after_stats_disabled(spark, tmp_path):
+    """Inverse drift: table built WITH stats, compacted by an instance
+    with stats disabled — the newly packed file gets no entry from
+    _write_data_with_stats, so it must be synthesized into 'files'."""
+    path = tmp_path / "tbl"
+    t0 = VersionedTable(path, stat_columns=("k",))
+    big = (
+        spark.range(200_000)
+        .selectExpr("id AS k", "CAST(id AS STRING) AS v")
+        .coalesce(1)
+    )
+    small = (
+        spark.range(200_000, 200_060)
+        .selectExpr("id AS k", "CAST(id AS STRING) AS v")
+        .repartition(6)
+    )
+    t0.create(big.unionByName(small))
+    assert t0.manifest(0).get("files")  # stats were recorded
+
+    t = VersionedTable(path)  # drift: stats now OFF
+    v = t.compact_small(spark, target_bytes=1 << 20)
+    assert v == 1
+    m = t.manifest(1)
+    assert {e["path"] for e in m["files"]} == set(m["file_paths"])
+    # reads via an instance that prunes still see every row
+    tp = VersionedTable(path, stat_columns=("k",))
+    df, _ = tp.read_pruned(spark, "k", lower=0)
+    assert df.count() == 200_060
+
+
+def test_gc_orphans_spares_staged_dirs_by_default(spark, tmp_path):
+    t = VersionedTable(tmp_path / "tbl")
+    t.create(spark.range(5).selectExpr("id AS k"))
+    staged = t.stage(spark.range(5, 9).selectExpr("id AS k"))
+    import os
+    import time as _time
+
+    past = _time.time() - 10 * 86400
+    os.utime(staged.data_dir, (past, past))  # aged way past min_age
+    removed = t.gc_orphans(min_age_seconds=1.0)
+    assert removed == []  # staged dir spared: audit may still be running
+    assert t.publish(staged) == 1
+    assert t.read(spark).count() == 4
+
+
+def test_publish_after_staged_gc_raises_instead_of_committing(spark, tmp_path):
+    t = VersionedTable(tmp_path / "tbl")
+    t.create(spark.range(5).selectExpr("id AS k"))
+    staged = t.stage(spark.range(5, 9).selectExpr("id AS k"))
+    import os
+    import time as _time
+
+    past = _time.time() - 10 * 86400
+    os.utime(staged.data_dir, (past, past))
+    removed = t.gc_orphans(min_age_seconds=1.0, include_staged=True)
+    assert removed  # opt-in flag reclaims the aged stage
+    with pytest.raises(FileNotFoundError, match="re-stage"):
+        t.publish(staged)
+    # table head unchanged: no manifest points at vanished data
+    assert t.latest_version() == 0
+    assert t.read(spark).count() == 5
+
+
+def test_bloom_probe_integral_float_matches_bigint_column(spark, tmp_path):
+    """equals=1.0 against a bigint column must probe the same bloom
+    slot as equals=1 — a type-tag mismatch is a silent wrong-rows
+    prune, not a degraded plan."""
+    t = VersionedTable(
+        tmp_path / "tbl", stat_columns=("k",), bloom_columns=("k",), bloom_fpp=0.001
+    )
+    t.create(spark.range(5000).selectExpr("id AS k").repartition(4))
+    t.compact(spark, target_files=4, cluster_by=["k"])
+    df_int, _ = t.read_pruned(spark, "k", equals=1234)
+    df_float, info = t.read_pruned(spark, "k", equals=1234.0)
+    assert df_int.count() == 1
+    assert df_float.count() == 1, "integral-float probe must not prune the row away"
+    # and the multi-column form agrees
+    df_multi, _ = t.read_pruned_multi(spark, {"k": {"equals": 1234.0}})
+    assert df_multi.count() == 1
