@@ -1,0 +1,174 @@
+"""Gate queries over the table-lifecycle machinery.
+
+Every other contract query exercises a read-only plan; these two drive
+the repo's WRITE surfaces end-to-end under the external oracle gate:
+
+- ``s1_chunked_export_roundtrip``: the custom chunked-export
+  DataSource (SURVEY §2.1 S1 — the analog of the reference's
+  keyset-paginated Mongo export, ref: ETL/export_to_gcs.py:191-195
+  chunk writer / :327-357 paging loop) written AND read back through
+  ``df.write.format("chunked_export")``.
+- ``s11_versioned_lifecycle``: the transactional VersionedTable DML
+  triad (SURVEY §2.1 S11 — the warehouse MERGE analog, ref:
+  Modelling/Incremental_load_template.sql:1-30) run as a lifecycle:
+  create -> MERGE -> DELETE WHERE -> incremental compact_small ->
+  multi-column pruned read, with the DuckDB oracle restating the same
+  insert/update/delete algebra over the raw table.
+
+Both land their scratch tables under the system temp dir (wiped and
+rebuilt per call, keyed on sf_dir, so repeated driver/bench invocations
+are deterministic and isolated per scale factor).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import shutil
+import tempfile
+from pathlib import Path
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .registry import query, table
+
+
+def _scratch(name: str, sf_dir: str) -> Path:
+    """Fresh per-(query, sf_dir) scratch directory."""
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    p = Path(tempfile.gettempdir()) / "spark_graft_scratch" / f"{name}-{tag}"
+    shutil.rmtree(p, ignore_errors=True)
+    p.parent.mkdir(parents=True, exist_ok=True)
+    return p
+
+
+@query(
+    "s1_chunked_export_roundtrip",
+    oracle="""
+    SELECT o_orderkey % 10 AS bucket,
+           COUNT(*) AS n_orders,
+           CAST(SUM(o_orderkey) AS BIGINT) AS key_sum,
+           MIN(o_orderpriority) AS priority_min
+    FROM orders
+    GROUP BY o_orderkey % 10
+    """,
+)
+def s1_chunked_export_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chunked-export connector roundtrip (S1): write orders through
+    ``chunked_export`` (one JSONL chunk per partition + atomic rename +
+    manifest — the reference's export layout), read the chunk directory
+    back through the same DataSource, and aggregate. The oracle runs the
+    identical aggregate on the source parquet, so a single dropped/duplicated
+    row or a type-degrading JSON roundtrip breaks the value hash."""
+    from ..sources.chunked_source import ChunkedExportDataSource
+
+    spark.dataSource.register(ChunkedExportDataSource)
+    dst = _scratch("s1_chunked_export_roundtrip", sf_dir)
+    o = table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey", "o_orderpriority")
+    (
+        o.repartition(4)
+        .write.format("chunked_export")
+        .option("path", str(dst))
+        .mode("append")
+        .save()
+    )
+    back = (
+        spark.read.format("chunked_export")
+        .schema("o_orderkey long, o_custkey long, o_orderpriority string")
+        .option("path", str(dst))
+        .load()
+    )
+    return back.groupBy((F.col("o_orderkey") % 10).alias("bucket")).agg(
+        F.count("*").alias("n_orders"),
+        F.sum("o_orderkey").alias("key_sum"),
+        F.min("o_orderpriority").alias("priority_min"),
+    )
+
+
+@query(
+    "s11_versioned_lifecycle",
+    oracle="""
+    WITH tgt AS (
+      SELECT o_orderkey, o_custkey,
+             CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS total_cents,
+             strftime(CAST(o_orderdate AS DATE), '%Y-%m-%d') AS order_date,
+             0 AS from_source
+      FROM orders WHERE o_orderdate < TIMESTAMP '1997-01-01'
+    ),
+    src AS (
+      SELECT o_orderkey, o_custkey,
+             CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS total_cents,
+             strftime(CAST(o_orderdate AS DATE), '%Y-%m-%d') AS order_date,
+             1 AS from_source
+      FROM orders WHERE o_orderdate >= TIMESTAMP '1996-07-01'
+    ),
+    merged AS (
+      SELECT o_orderkey, o_custkey, total_cents, order_date, from_source
+      FROM (
+        SELECT *, row_number() OVER (
+          PARTITION BY o_orderkey ORDER BY from_source DESC
+        ) AS rn
+        FROM (SELECT * FROM tgt UNION ALL SELECT * FROM src)
+      ) WHERE rn = 1
+    ),
+    after_delete AS (
+      SELECT * FROM merged WHERE NOT (o_orderkey % 7 = 0)
+    )
+    SELECT o_orderkey, o_custkey, total_cents, order_date, from_source
+    FROM after_delete
+    WHERE o_orderkey <= 30000 AND o_custkey >= 100
+    """,
+)
+def s11_versioned_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VersionedTable DML lifecycle (S11): create(history) ->
+    MERGE(lookback re-extract, source wins) -> DELETE WHERE ->
+    compact_small (incremental bin-pack: untouched files carried
+    forward by reference) -> read_pruned_multi (conjunctive stats
+    skipping). The oracle restates the same algebra declaratively —
+    upsert via row_number over the union, delete via the predicate
+    complement, and the pruned read's value predicates — so any row the
+    lifecycle loses (a compaction dropping a carried-forward file, a
+    pruned read skipping a live file) or resurrects (delete not applied
+    to the packed files) flips the hash. Ref: the reference's MERGE +
+    3-day lookback template (Modelling/Incremental_load_template.sql)
+    and its BigQuery table lifecycle."""
+    from ..sources.versioned import VersionedTable
+
+    t = VersionedTable(
+        _scratch("s11_versioned_lifecycle", sf_dir),
+        stat_columns=("o_orderkey", "o_custkey"),
+    )
+    o = table(spark, sf_dir, "orders")
+
+    def shape(df: DataFrame, from_source: int) -> DataFrame:
+        return df.select(
+            "o_orderkey",
+            "o_custkey",
+            F.floor(F.col("o_totalprice") * 100 + 0.5).cast("long").alias("total_cents"),
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("order_date"),
+            F.lit(from_source).alias("from_source"),
+        )
+
+    # v0: history load, deliberately fragmented so compact_small has
+    # small files to pack (streaming-ingest steady state).
+    t.create(shape(o.filter(F.col("o_orderdate") < "1997-01-01"), 0).repartition(8))
+    # v1: lookback MERGE — overlapping re-extract, source wins on key.
+    t.merge(
+        spark,
+        shape(o.filter(F.col("o_orderdate") >= "1996-07-01"), 1),
+        keys=["o_orderkey"],
+    )
+    # v2: row-level DELETE.
+    t.delete_where(spark, "o_orderkey % 7 = 0")
+    # v3: incremental OPTIMIZE — packs the small files, carries the
+    # rest forward by reference (O(small bytes), never O(table)).
+    t.compact_small(spark, target_bytes=64 << 20, min_files=2)
+    # Final read through conjunctive multi-column data skipping; the
+    # value predicates are re-applied, so pruning stays an optimization.
+    df, _info = t.read_pruned_multi(
+        spark,
+        {"o_orderkey": {"upper": 30000}, "o_custkey": {"lower": 100}},
+    )
+    return df.select(
+        "o_orderkey", "o_custkey", "total_cents", "order_date", "from_source"
+    )

@@ -74,13 +74,30 @@ GATE_FAMILIES: dict[str, tuple[str, ...]] = {
         "q4_order_priority",
         "q22_dormant_customers",
     ),
-    "merge_upsert": ("j11_incremental_merge",),
+    # Round 8: the transactional DML lifecycle (create -> MERGE ->
+    # DELETE WHERE -> compact_small -> pruned read) is the same
+    # upsert-sink family driven end-to-end through VersionedTable —
+    # it rotates in while j11 (green r3/5/6/7) rotates out.
+    "merge_upsert": ("j11_incremental_merge", "s11_versioned_lifecycle"),
     # Round 6: funnel's per-user distinct-stage counting represents the
     # distinct-counting family while a2 (green r1/2/3/5) rotates out;
     # DSIR's conditional-count pass represents conditional aggregation
     # while a4 (green r1/2/3/5) rotates out.
-    "count_distinct": ("a2_multiplicity_flag", "funnel_view_click_purchase"),
-    "conditional_agg": ("a4_null_rate_audit", "mix_importance_weights"),
+    # Round 8: q16's per-group supplier COUNT(DISTINCT) joins the
+    # distinct-counting family — it rotates in while funnel (green
+    # r6/7) rotates out.
+    "count_distinct": (
+        "a2_multiplicity_flag",
+        "funnel_view_click_purchase",
+        "q16_parts_supplier",
+    ),
+    # Round 8: q14's CASE-WHEN promo-revenue share is conditional
+    # aggregation — it rotates in while DSIR (green r6/7) rotates out.
+    "conditional_agg": (
+        "a4_null_rate_audit",
+        "mix_importance_weights",
+        "q14_promo_revenue",
+    ),
     "group_max": ("a7_group_max_count", "a3_distinct_pairs", "q15_top_supplier"),
     "grouping_sets": ("grouping_sets_priority_status", "rollup_revenue_by_region"),
     # Round 6: the two row_number-pick-one-per-key families merged (both
@@ -131,6 +148,7 @@ GATE_FAMILIES: dict[str, tuple[str, ...]] = {
         "ann_lsh_hyperplane",
         "ann_ivf_trained",
         "ann_pq_adc_topk",
+        "ann_sq8_topk",
     ),
     # Round 7: SemDeDup's gate row exercises centroid assignment +
     # within-cluster pruning (clustering machinery) — it rotates in
@@ -142,10 +160,21 @@ GATE_FAMILIES: dict[str, tuple[str, ...]] = {
         "text_quality_score",
         "quality_gopher_filter",
     ),
+    # Round 8: the unsupported-variant quarantine gate is the image
+    # family's routing leg — it rotates in while pixel_digest (green
+    # r6/7) rotates out.
     "multimodal_image": (
         "multimodal_image_meta",
         "multimodal_decode_meta",
         "multimodal_pixel_digest",
+        "multimodal_variant_routing",
+    ),
+    # Round 8: new family — AVI/MJPEG container parse, index-driven
+    # frame sampling (real entropy decode), codec quarantine.
+    "multimodal_video": (
+        "multimodal_video_meta",
+        "multimodal_video_frames",
+        "multimodal_video_routing",
     ),
     "multimodal_audio": ("multimodal_audio_meta", "multimodal_audio_resample"),
     # Round 7: interval_join_attribution is a member of BOTH temporal-join
@@ -173,7 +202,12 @@ GATE_FAMILIES: dict[str, tuple[str, ...]] = {
     # agg are both hot-key-robust groupBy designs); skew_salted_agg
     # rotates in, heavy_hitters (green r3/5) rotates out.
     "heavy_hitters": ("heavy_hitters_by_lang", "skew_salted_agg"),
-    "sketch": ("sketch_kmv_distinct", "sketch_countmin_tokens", "sketch_hll_registers"),
+    "sketch": (
+        "sketch_kmv_distinct",
+        "sketch_countmin_tokens",
+        "sketch_hll_registers",
+        "sketch_theta_overlap",
+    ),
     "column_profile": ("stats_column_profile", "stats_correlation"),
     # Round 7: q13's distribution-of-counts is a histogram query — it
     # rotates in while stats_histogram (green r5/6) rotates out.
@@ -182,7 +216,14 @@ GATE_FAMILIES: dict[str, tuple[str, ...]] = {
         "stats_percentiles",
         "q13_customer_distribution",
     ),
-    "zorder": ("zorder_key_orders",),
+    # Round 8: renamed zorder -> table_layout. Both members prove
+    # layout-driven data skipping: zorder_key_orders the clustering
+    # key itself, s11_versioned_lifecycle the manifest-stats pruned
+    # read over a compacted layout (read_pruned_multi).
+    "table_layout": ("zorder_key_orders", "s11_versioned_lifecycle"),
+    # Round 8: new family — the custom chunked_export DataSource
+    # written AND read back under the gate (S1 ingest analog).
+    "ingest_connector": ("s1_chunked_export_roundtrip",),
     "range_join": ("range_lookup_ip_geo", "interval_join_attribution"),
     # Round-5 families: lexical retrieval and iterative graph ranking.
     "retrieval": ("search_bm25_topk", "search_hybrid_rrf"),
@@ -216,24 +257,30 @@ def test_priority_order_covers_gate_window():
         if not set(reps) & set(prio)
     }
     assert not uncovered, f"families with no gate-window representative: {uncovered}"
-    # The round-6 rotations hold exactly ONE green external round (r6),
+    # The round-7 rotations hold exactly ONE green external round (r7),
     # so they stay in-window until a second green row lands (rotation
-    # policy: >=2 greens). Round 7 rotated out the round-4/5 cohort,
-    # which earned its second green in r6.
+    # policy: >=2 greens). Round 8 rotated out nine members of the
+    # round-6-and-earlier cohort, each holding >=2 greens.
     for required in (
-        "q5_local_supplier_volume",
-        "funnel_view_click_purchase",
-        "mix_importance_weights",
-        "ohlc_hourly_bars",
-        "u2_intersect_except",
-        "boilerplate_strip_lines",
-        "dedup_substring_spans",
-        "ann_pq_adc_topk",
-        "text_langid_trained",
-        "multimodal_pixel_digest",
-        "pii_luhn_validate",
-        "skew_salted_agg",
-        "sketch_hll_registers",
+        "q22_dormant_customers",
+        "q18_large_volume_customer",
+        "q21_waiting_supplier",
+        "q4_order_priority",
+        "q12_latency_priority_classes",
+        "q13_customer_distribution",
+        "q15_top_supplier",
+        "w7_range_interval_frame",
+        "q3_shipping_priority",
+        "f12_variant_extract",
+        "search_hybrid_rrf",
+        "url_canonicalize_dedup",
+        "dedup_semdedup_prune",
+        "quality_gopher_filter",
+        "multimodal_audio_resample",
+        "corpus_shuffle_deterministic",
+        "mix_temperature_sampling",
+        "text_winnow_fingerprints",
+        "stats_correlation",
     ):
         assert required in prio, required
 

@@ -5,7 +5,18 @@ transformWithStateInPandas StatefulProcessor (typed ValueState;
 requires protobuf for its state-server protocol — skipped where the
 dependency is absent, this sandbox included) and the legacy
 applyInPandasWithState GroupState form, which runs everywhere and
-pins the behavior the TWS path must match."""
+pins the behavior the TWS path must match.
+
+Why the skip cannot be vendored away here (round-8 check):
+``pip download protobuf`` fails with "No matching distribution found"
+— the sandbox has no package-index network access. The only on-disk
+copy of the wheel lives inside the read-only reference checkout's
+vendored virtualenv, and copying files out of the reference tree (or
+importing code from it at runtime) is barred by this project's
+no-copy rule and untrusted-content policy. The TWS semantics are
+therefore pinned by the ``applyInPandasWithState`` twin below (three
+checkpointed restarts, exactly-once asserted) until the environment
+ships protobuf."""
 
 from __future__ import annotations
 
