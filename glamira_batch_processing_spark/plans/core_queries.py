@@ -121,7 +121,10 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     disc_c = cents(F.col("l_discount"))
     tax_c = cents(F.col("l_tax"))
     return (
-        l.filter(F.to_date("l_shipdate") <= F.lit("2001-09-02").cast("date"))
+        # to_date(ts) <= D  <=>  ts < D+1 day: the direct timestamp
+        # comparison reaches the parquet scan as a pushed filter and
+        # skips the per-row date conversion (round-8 q1 profiling).
+        l.filter(F.col("l_shipdate") < F.lit("2001-09-03").cast("timestamp_ntz"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
             F.sum(qty).alias("sq"),  # qty <= 50/row: plain long is exact
