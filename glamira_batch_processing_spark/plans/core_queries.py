@@ -16,7 +16,7 @@ from ..functions.cleaning import (
     parse_localized_number,
     parse_localized_number_sql,
 )
-from .registry import query, table
+from .registry import date_between, date_ge, date_gt, date_le, date_lt, query, table
 
 
 # ---------------------------------------------------------------------------
@@ -561,10 +561,10 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("c_mktsegment") == "BUILDING"
     )
     o = table(spark, sf_dir, "orders").filter(
-        F.to_date("o_orderdate") < F.lit("1998-06-15").cast("date")
+        date_lt("o_orderdate", "1998-06-15")
     )
     l = table(spark, sf_dir, "lineitem").filter(
-        F.to_date("l_shipdate") > F.lit("1998-06-15").cast("date")
+        date_gt("l_shipdate", "1998-06-15")
     )
     price_c = cents(F.col("l_extendedprice"))
     disc_c = cents(F.col("l_discount"))
@@ -656,8 +656,8 @@ def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     relational algebra in SQL."""
     c = table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
     o = table(spark, sf_dir, "orders").filter(
-        (F.to_date("o_orderdate") >= F.lit("1997-01-01").cast("date"))
-        & (F.to_date("o_orderdate") < F.lit("1998-01-01").cast("date"))
+        (date_ge("o_orderdate", "1997-01-01"))
+        & (date_lt("o_orderdate", "1998-01-01"))
     )
     l = table(spark, sf_dir, "lineitem")
     s = table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
@@ -714,8 +714,8 @@ def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
         "c_custkey", "c_name", "c_nationkey"
     )
     o = table(spark, sf_dir, "orders").filter(
-        (F.to_date("o_orderdate") >= F.lit("1997-01-01").cast("date"))
-        & (F.to_date("o_orderdate") < F.lit("1997-04-01").cast("date"))
+        (date_ge("o_orderdate", "1997-01-01"))
+        & (date_lt("o_orderdate", "1997-04-01"))
     )
     l = table(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
     n = table(spark, sf_dir, "nation")

@@ -105,3 +105,51 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     _TABLE_CACHE[key] = df
     return df
+
+
+def _next_day(date_str: str) -> str:
+    import datetime
+
+    d = datetime.date.fromisoformat(date_str) + datetime.timedelta(days=1)
+    return d.isoformat()
+
+
+# Pushdown-friendly date predicates over timestamp columns. The naive
+# form ``to_date(ts) <op> DATE 'D'`` wraps the column in a conversion,
+# which (a) blocks parquet predicate pushdown and (b) costs a per-row
+# date extraction; the equivalent direct timestamp comparison reaches
+# the scan as a PushedFilter (round-8 q1 profiling: -15% end-to-end).
+# Standard date-truncation algebra — exact for ANY time-of-day
+# component, any timestamp flavor (string literals let Spark coerce to
+# the column's own type):
+#   to_date(ts) >= D  <=>  ts >= D 00:00
+#   to_date(ts) <  D  <=>  ts <  D 00:00
+#   to_date(ts) >  D  <=>  ts >= (D+1) 00:00
+#   to_date(ts) <= D  <=>  ts <  (D+1) 00:00
+def date_ge(col: str, date_str: str):
+    from pyspark.sql import functions as F
+
+    return F.col(col) >= F.lit(date_str)
+
+
+def date_lt(col: str, date_str: str):
+    from pyspark.sql import functions as F
+
+    return F.col(col) < F.lit(date_str)
+
+
+def date_gt(col: str, date_str: str):
+    from pyspark.sql import functions as F
+
+    return F.col(col) >= F.lit(_next_day(date_str))
+
+
+def date_le(col: str, date_str: str):
+    from pyspark.sql import functions as F
+
+    return F.col(col) < F.lit(_next_day(date_str))
+
+
+def date_between(col: str, lo: str, hi: str):
+    """to_date(col) BETWEEN lo AND hi, pushdown-friendly (inclusive)."""
+    return date_ge(col, lo) & date_le(col, hi)

@@ -19,7 +19,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from .core_queries import _dec38, cents, split_sum, split_total
-from .registry import query, table
+from .registry import date_between, date_ge, date_gt, date_le, date_lt, query, table
 
 # Exact revenue units: cents(price) * (100 - cents(discount)); divide
 # by 10000 only at the very end, after the decimal(38,0) sum.
@@ -61,8 +61,8 @@ def q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregate is five groups. No duplicate-inflating inner join, no
     distinct."""
     o = table(spark, sf_dir, "orders").filter(
-        (F.to_date("o_orderdate") >= F.lit("1997-01-01").cast("date"))
-        & (F.to_date("o_orderdate") < F.lit("1997-04-01").cast("date"))
+        (date_ge("o_orderdate", "1997-01-01"))
+        & (date_lt("o_orderdate", "1997-04-01"))
     ).select("o_orderkey", "o_orderdate", "o_orderpriority")
     l = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
     return (
@@ -106,8 +106,8 @@ def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     units = cents(F.col("l_extendedprice")) * cents(F.col("l_discount"))
     return (
         l.filter(
-            (F.to_date("l_shipdate") >= F.lit("1997-01-01").cast("date"))
-            & (F.to_date("l_shipdate") < F.lit("1998-01-01").cast("date"))
+            (date_ge("l_shipdate", "1997-01-01"))
+            & (date_lt("l_shipdate", "1998-01-01"))
             & cents(F.col("l_discount")).between(5, 7)
             & (F.col("l_quantity") < 24)
         )
@@ -156,9 +156,7 @@ def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_name").isin("NATION_9", "NATION_10")
     )
     l = table(spark, sf_dir, "lineitem").filter(
-        F.to_date("l_shipdate").between(
-            F.lit("1996-01-01").cast("date"), F.lit("1997-12-31").cast("date")
-        )
+        date_between("l_shipdate", "1996-01-01", "1997-12-31")
     ).select("l_orderkey", "l_suppkey", "l_shipdate",
              "l_extendedprice", "l_discount")
     n1 = n.select(
@@ -247,9 +245,7 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = table(spark, sf_dir, "nation")
     r = table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
     o = table(spark, sf_dir, "orders").filter(
-        F.to_date("o_orderdate").between(
-            F.lit("1996-01-01").cast("date"), F.lit("1997-12-31").cast("date")
-        )
+        date_between("o_orderdate", "1996-01-01", "1997-12-31")
     ).select("o_orderkey", "o_custkey", "o_orderdate")
     l = table(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_partkey", "l_suppkey", "l_extendedprice", "l_discount"
@@ -365,8 +361,8 @@ def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact integer inputs."""
     p = table(spark, sf_dir, "part").select("p_partkey", "p_type")
     l = table(spark, sf_dir, "lineitem").filter(
-        (F.to_date("l_shipdate") >= F.lit("1997-09-01").cast("date"))
-        & (F.to_date("l_shipdate") < F.lit("1997-10-01").cast("date"))
+        (date_ge("l_shipdate", "1997-09-01"))
+        & (date_lt("l_shipdate", "1997-10-01"))
     )
     units = _rev_units()
     return (
@@ -415,8 +411,8 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     1-row broadcast, the equality comparison is on exact integers (no
     double-max tie ambiguity), and supplier joins by broadcast."""
     l = table(spark, sf_dir, "lineitem").filter(
-        (F.to_date("l_shipdate") >= F.lit("1997-01-01").cast("date"))
-        & (F.to_date("l_shipdate") < F.lit("1997-04-01").cast("date"))
+        (date_ge("l_shipdate", "1997-01-01"))
+        & (date_lt("l_shipdate", "1997-04-01"))
     )
     rev = (
         l.groupBy("l_suppkey")
@@ -576,7 +572,7 @@ def q22_dormant_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     n = table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
     recent = table(spark, sf_dir, "orders").filter(
-        F.to_date("o_orderdate") >= F.lit("2000-06-01").cast("date")
+        date_ge("o_orderdate", "2000-06-01")
     ).select("o_custkey")
     stats = c.filter(F.col("c_acctbal") > 0).agg(
         F.count("*").alias("n_pos"),
@@ -713,8 +709,8 @@ def q12_latency_priority_classes(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderkey", "o_orderdate", "o_orderpriority"
     )
     l = table(spark, sf_dir, "lineitem").filter(
-        (F.to_date("l_shipdate") >= F.lit("1997-01-01").cast("date"))
-        & (F.to_date("l_shipdate") < F.lit("1998-01-01").cast("date"))
+        (date_ge("l_shipdate", "1997-01-01"))
+        & (date_lt("l_shipdate", "1998-01-01"))
     ).select("l_orderkey", "l_shipdate")
     ship = F.to_date("l_shipdate")
     od = F.to_date("o_orderdate")
@@ -1001,8 +997,8 @@ def q20_potential_promotion(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcasts into a semi join; the dominant-supplier id set is
     supplier-dimension-sized and broadcasts into the final LEFT SEMI."""
     l = table(spark, sf_dir, "lineitem").filter(
-        (F.to_date("l_shipdate") >= F.lit("1997-01-01").cast("date"))
-        & (F.to_date("l_shipdate") < F.lit("1998-01-01").cast("date"))
+        (date_ge("l_shipdate", "1997-01-01"))
+        & (date_lt("l_shipdate", "1998-01-01"))
     )
     shipped = (
         l.select("l_partkey", "l_suppkey", F.col("l_quantity").cast("long").alias("q"))
