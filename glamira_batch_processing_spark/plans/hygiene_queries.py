@@ -631,3 +631,125 @@ def unigram_encode_stats_query(spark: SparkSession, sf_dir: str) -> DataFrame:
         d.select("text"), vocab_size=48, n_iters=2, max_piece_len=4, seed_size=256
     )
     return unigram_encode_stats(d, vocab, "text", "doc_id", max_piece_len=4)
+
+
+# ---------------------------------------------------------------------------
+# Trained quality classifier (likelihood-ratio Naive-Bayes form).
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "quality_classifier_trained",
+    oracle="""
+    WITH labeled AS (
+      SELECT doc_id, lower(text) AS text,
+             CASE WHEN lang = 'en' AND n_chars >= 300 THEN 1 ELSE 0 END AS label_pos
+      FROM documents
+    ),
+    tok AS (
+      SELECT doc_id, label_pos, tok
+      FROM (SELECT doc_id, label_pos,
+                   unnest(str_split(text, ' ')) AS tok
+            FROM labeled)
+      WHERE tok <> ''
+    ),
+    weights AS (
+      SELECT tok,
+             CAST(((SUM(label_pos) + 1) * 1000000)
+                  // (SUM(1 - label_pos) + 1) AS BIGINT) AS w_ppm
+      FROM tok GROUP BY tok
+    ),
+    scored AS (
+      SELECT t.doc_id,
+             COUNT(*) AS n_tokens,
+             CAST(SUM(w.w_ppm) AS BIGINT) AS score_sum
+      FROM tok t JOIN weights w USING (tok)
+      GROUP BY t.doc_id
+    )
+    SELECT l.doc_id, l.label_pos,
+           COALESCE(s.n_tokens, 0) AS n_tokens,
+           COALESCE(s.score_sum, 0) AS score_sum,
+           CASE WHEN s.n_tokens > 0
+                THEN CAST(s.score_sum AS DOUBLE) / s.n_tokens END AS mean_ratio_ppm,
+           CASE WHEN s.n_tokens > 0
+                 AND CAST(s.score_sum AS DOUBLE) / s.n_tokens >= 1000000.0
+                THEN 1 ELSE 0 END AS quality_flag
+    FROM (SELECT DISTINCT doc_id, label_pos FROM labeled) l
+    LEFT JOIN scored s USING (doc_id)
+    """,
+)
+def quality_classifier_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TRAINED quality classifier over the corpus — the fastText /
+    Naive-Bayes bootstrap every large pretraining pipeline runs
+    (GPT-3/LLaMA 'wiki-like' filters): seed labels from a cheap
+    heuristic (here: English docs of substantial length), learn
+    per-token class evidence from the labeled corpus, then score EVERY
+    document with the learned model so the classifier generalizes past
+    the seed rule.
+
+    Engine-exact formulation: instead of summed log-odds (ln() is not
+    cross-engine ulp-stable), each token carries an add-one-smoothed
+    POSITIVE/NEGATIVE likelihood ratio quantized to integer ppm via
+    pure integer arithmetic — (pos_c+1)*1e6 DIV (neg_c+1) — and a doc's
+    score is the exact BIGINT sum of its tokens' ratios (the linear
+    form of the NB decision rule; monotone-equivalent per token). The
+    only float ops are one final correctly-rounded division per doc
+    and its threshold compare, so Spark and DuckDB agree bit-for-bit.
+    Overflow headroom: weights form on the aggregated token table,
+    (pos_c+1)*1e6 stays inside int64 until a single token exceeds ~9e12
+    positive occurrences (~petatoken corpora — switch the weight column
+    to decimal(38,0) there).
+
+    Scale shape: token counts and doc scores are two groupBys that
+    pipeline with the explode; the learned weight table grows with
+    VOCABULARY (not corpus rows) but is still joined via shuffle, never
+    broadcast, exactly the 100 TB-safe shape. Training and inference
+    are one pass each over the same exploded tokens (Spark reuses the
+    cached exchange across the two aggregations).
+
+    Single-file local scan repartitions before the explode
+    (dedup_minhash_lsh precedent)."""
+    d = (
+        table(spark, sf_dir, "documents")
+        .select(
+            "doc_id",
+            F.lower("text").alias("text"),
+            F.when(
+                (F.col("lang") == "en") & (F.col("n_chars") >= 300), F.lit(1)
+            )
+            .otherwise(F.lit(0))
+            .alias("label_pos"),
+        )
+        .repartition(spark.sparkContext.defaultParallelism, F.col("doc_id"))
+    )
+    tok = d.select(
+        "doc_id",
+        "label_pos",
+        F.explode(F.split("text", " ")).alias("tok"),
+    ).filter(F.col("tok") != "")
+    weights = tok.groupBy("tok").agg(
+        F.expr(
+            "CAST((SUM(label_pos) + 1) * 1000000L DIV (SUM(1 - label_pos) + 1)"
+            " AS BIGINT)"
+        ).alias("w_ppm")
+    )
+    scored = (
+        tok.join(weights, "tok")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.sum("w_ppm").alias("score_sum"),
+        )
+    )
+    base = d.select("doc_id", "label_pos").distinct()
+    mean = F.col("score_sum").cast("double") / F.col("n_tokens")
+    return base.join(scored, "doc_id", "left").select(
+        "doc_id",
+        "label_pos",
+        F.coalesce("n_tokens", F.lit(0)).alias("n_tokens"),
+        F.coalesce("score_sum", F.lit(0)).alias("score_sum"),
+        F.when(F.col("n_tokens") > 0, mean).alias("mean_ratio_ppm"),
+        F.when((F.col("n_tokens") > 0) & (mean >= 1000000.0), F.lit(1))
+        .otherwise(F.lit(0))
+        .alias("quality_flag"),
+    )

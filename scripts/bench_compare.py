@@ -87,8 +87,32 @@ def main() -> None:
             "duckdb_stdev": round(statistics.stdev(td), 3),
         }
 
+    # multimodal rows compare UNEQUAL work by construction: Spark
+    # renders + pixel-decodes real containers (PNG/JPEG/AVI codecs)
+    # while the DuckDB oracle REGENERATES the expected pixels
+    # arithmetically (that asymmetry is what makes the oracle
+    # independent). Their ratios measure codec-vs-formula, not
+    # engine-vs-engine — so they are EXCLUDED from the headline
+    # like-for-like aggregate (round-8, VERDICT r7 ask #3) and instead
+    # carry a genuinely like-for-like comparator: the same
+    # generate->parse->sample->decode->digest work run serially in one
+    # Python process (what a single-node pipeline without Spark would
+    # pay), timed below.
+    unequal = [n for n in report if n.startswith("multimodal_")]
+    if "multimodal_video_frames" in report:
+        t_single, n_frames = _video_frames_single_node(sf, reps=2)
+        row = report["multimodal_video_frames"]
+        row["single_node_python_sec"] = round(t_single, 3)
+        row["sampled_frames"] = n_frames
+        row["single_node_frames_per_sec"] = round(n_frames / t_single, 1)
+        row["ratio_spark_over_single_node"] = round(
+            row["spark_sec"] / t_single, 2
+        )
+
     total_s = sum(v["spark_sec"] for v in report.values())
     total_d = sum(v["duckdb_sec"] for v in report.values())
+    lfl_s = sum(v["spark_sec"] for n, v in report.items() if n not in unequal)
+    lfl_d = sum(v["duckdb_sec"] for n, v in report.items() if n not in unequal)
     print(
         json.dumps(
             {
@@ -100,23 +124,66 @@ def main() -> None:
                 # +-20% drift on identical code), so the artifact records
                 # the conditions it was measured under.
                 "loadavg_1m": round(__import__("os").getloadavg()[0], 2),
-                "spark_total_sec": round(total_s, 3),
-                "duckdb_total_sec": round(total_d, 3),
-                "ratio": round(total_s / total_d, 2),
-                # multimodal rows compare UNEQUAL work by construction:
-                # Spark renders + pixel-decodes real containers (PNG/
-                # JPEG/AVI codecs) while the DuckDB oracle REGENERATES
-                # the expected pixels arithmetically (that asymmetry is
-                # what makes the oracle independent). Their ratios
-                # measure codec-vs-formula, not engine-vs-engine.
-                "unequal_work_queries": [
-                    n for n in report if n.startswith("multimodal_")
-                ],
+                "spark_total_sec": round(lfl_s, 3),
+                "duckdb_total_sec": round(lfl_d, 3),
+                "ratio": round(lfl_s / lfl_d, 2),
+                "spark_total_sec_all_rows": round(total_s, 3),
+                "duckdb_total_sec_all_rows": round(total_d, 3),
+                "ratio_all_rows": round(total_s / total_d, 2),
+                "unequal_work_queries": unequal,
                 "queries": report,
             },
             indent=2,
         )
     )
+
+
+def _video_frames_single_node(sf: str, reps: int = 2) -> tuple[float, int]:
+    """Like-for-like single-node comparator for multimodal_video_frames:
+    the identical per-payload work the Spark query distributes
+    (deterministic MJPEG-AVI synthesis -> container parse ->
+    every-2nd-frame index sampling -> pure-Python baseline-JPEG decode
+    -> pixel digest), run serially in THIS process over the same
+    doc_ids. Returns (best wall seconds, sampled frames decoded)."""
+    import pyarrow.parquet as pq
+
+    from glamira_batch_processing_spark.operators.jpegcodec import decode_jpeg
+    from glamira_batch_processing_spark.operators.video import (
+        _digest_rgb,
+        mjpeg_video_bytes,
+        parse_avi,
+    )
+
+    ids = [
+        int(i)
+        for i in pq.read_table(f"{sf}/documents.parquet", columns=["doc_id"])[
+            "doc_id"
+        ].to_pylist()
+        if i % 20 == 0
+    ]
+    best, n_out = None, 0
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        out = []
+        for i in ids:
+            k = i // 20
+            payload = mjpeg_video_bytes(
+                k,
+                width=16 + (k % 3) * 8,
+                height=8 + (k % 5) * 8,
+                n_frames=2 + k % 4,
+                rate=10 + k % 5,
+                scale=1,
+            )
+            info = parse_avi(payload)
+            for f in range(0, info.n_frames, 2):
+                rgb = decode_jpeg(info.frame(f))
+                h, w = rgb.shape[:2]
+                out.append((i, f, info.n_frames, w, h, _digest_rgb(rgb)))
+        dt = time.perf_counter() - t0
+        best = dt if best is None or dt < best else best
+        n_out = len(out)
+    return best, n_out
 
 
 if __name__ == "__main__":
