@@ -659,6 +659,11 @@ def unigram_encode_stats_query(spark: SparkSession, sf_dir: str) -> DataFrame:
                   // (SUM(1 - label_pos) + 1) AS BIGINT) AS w_ppm
       FROM tok GROUP BY tok
     ),
+    prior AS (
+      SELECT CAST(((SUM(label_pos) + 1) * 1000000)
+                  // (SUM(1 - label_pos) + 1) AS BIGINT) AS prior_ppm
+      FROM tok
+    ),
     scored AS (
       SELECT t.doc_id,
              COUNT(*) AS n_tokens,
@@ -672,7 +677,8 @@ def unigram_encode_stats_query(spark: SparkSession, sf_dir: str) -> DataFrame:
            CASE WHEN s.n_tokens > 0
                 THEN CAST(s.score_sum AS DOUBLE) / s.n_tokens END AS mean_ratio_ppm,
            CASE WHEN s.n_tokens > 0
-                 AND CAST(s.score_sum AS DOUBLE) / s.n_tokens >= 1000000.0
+                 AND CAST(s.score_sum AS DOUBLE) / s.n_tokens
+                     >= CAST((SELECT prior_ppm FROM prior) AS DOUBLE)
                 THEN 1 ELSE 0 END AS quality_flag
     FROM (SELECT DISTINCT doc_id, label_pos FROM labeled) l
     LEFT JOIN scored s USING (doc_id)
@@ -695,6 +701,11 @@ def quality_classifier_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
     form of the NB decision rule; monotone-equivalent per token). The
     only float ops are one final correctly-rounded division per doc
     and its threshold compare, so Spark and DuckDB agree bit-for-bit.
+    The decision threshold is the class prior in the same units (the
+    textbook NB rule); on the driver's synthetic corpus every language
+    shares one vocabulary, so token evidence is intentionally weak and
+    the gate proves the TRAINING + INFERENCE ALGEBRA and threshold
+    mechanics — on real corpora the same plan learns real weights.
     Overflow headroom: weights form on the aggregated token table,
     (pos_c+1)*1e6 stays inside int64 until a single token exceeds ~9e12
     positive occurrences (~petatoken corpora — switch the weight column
@@ -733,6 +744,15 @@ def quality_classifier_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
             " AS BIGINT)"
         ).alias("w_ppm")
     )
+    # NB decision threshold = the class PRIOR in the same ppm units (a
+    # class-neutral token's ratio equals the prior, so "above prior
+    # mean" = positive-leaning evidence). One tiny row, broadcast.
+    prior = tok.agg(
+        F.expr(
+            "CAST((SUM(label_pos) + 1) * 1000000L DIV (SUM(1 - label_pos) + 1)"
+            " AS BIGINT)"
+        ).alias("prior_ppm")
+    )
     scored = (
         tok.join(weights, "tok")
         .groupBy("doc_id")
@@ -743,13 +763,21 @@ def quality_classifier_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     base = d.select("doc_id", "label_pos").distinct()
     mean = F.col("score_sum").cast("double") / F.col("n_tokens")
-    return base.join(scored, "doc_id", "left").select(
-        "doc_id",
-        "label_pos",
-        F.coalesce("n_tokens", F.lit(0)).alias("n_tokens"),
-        F.coalesce("score_sum", F.lit(0)).alias("score_sum"),
-        F.when(F.col("n_tokens") > 0, mean).alias("mean_ratio_ppm"),
-        F.when((F.col("n_tokens") > 0) & (mean >= 1000000.0), F.lit(1))
-        .otherwise(F.lit(0))
-        .alias("quality_flag"),
+    return (
+        base.join(scored, "doc_id", "left")
+        .crossJoin(F.broadcast(prior))
+        .select(
+            "doc_id",
+            "label_pos",
+            F.coalesce("n_tokens", F.lit(0)).alias("n_tokens"),
+            F.coalesce("score_sum", F.lit(0)).alias("score_sum"),
+            F.when(F.col("n_tokens") > 0, mean).alias("mean_ratio_ppm"),
+            F.when(
+                (F.col("n_tokens") > 0)
+                & (mean >= F.col("prior_ppm").cast("double")),
+                F.lit(1),
+            )
+            .otherwise(F.lit(0))
+            .alias("quality_flag"),
+        )
     )
