@@ -183,8 +183,9 @@ from glamira_batch_processing_spark.plans.registry import ORACLE, QUERIES
 # ann_ivfpq_residual_topk, gapfill_forward_fill, cohort_retention,
 # sketch_countmin_tokens, sessionize_builtin_window,
 # w6_ntile_percent_rank, f13_collated_group,
-# quality_bigram_familiarity, quality_classifier_trained (new round 8 —
-# the trained NB/fastText-style quality filter, integer-exact),
+# quality_bigram_familiarity, quality_classifier_trained +
+# quality_classifier_eval (new round 8 — the trained NB/fastText-style
+# quality filter and its held-out precision/recall eval, integer-exact),
 # mix_resample_sources, ann_recall_eval
 # (unigram_train_pieces/_encode_stats stay rows-only by nature, like
 # the BPE pair).

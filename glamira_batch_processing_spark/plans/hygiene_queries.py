@@ -781,3 +781,153 @@ def quality_classifier_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("quality_flag"),
         )
     )
+
+
+@query(
+    "quality_classifier_eval",
+    oracle="""
+    WITH labeled AS (
+      SELECT doc_id, lower(text) AS text,
+             CASE WHEN lang = 'en' AND n_chars >= 300 THEN 1 ELSE 0 END AS label_pos,
+             CASE WHEN doc_id % 5 = 4 THEN 1 ELSE 0 END AS is_eval
+      FROM documents
+    ),
+    tok AS (
+      SELECT doc_id, label_pos, is_eval, tok
+      FROM (SELECT doc_id, label_pos, is_eval,
+                   unnest(str_split(text, ' ')) AS tok
+            FROM labeled)
+      WHERE tok <> ''
+    ),
+    weights AS (
+      SELECT tok,
+             CAST(((SUM(label_pos) + 1) * 1000000)
+                  // (SUM(1 - label_pos) + 1) AS BIGINT) AS w_ppm
+      FROM tok WHERE is_eval = 0 GROUP BY tok
+    ),
+    prior AS (
+      SELECT CAST(((SUM(label_pos) + 1) * 1000000)
+                  // (SUM(1 - label_pos) + 1) AS BIGINT) AS prior_ppm
+      FROM tok WHERE is_eval = 0
+    ),
+    scored AS (
+      -- unseen eval tokens drop out of the inner join: inference uses
+      -- only evidence the training half actually learned
+      SELECT t.doc_id, MIN(t.label_pos) AS label_pos,
+             COUNT(*) AS n_tokens,
+             CAST(SUM(w.w_ppm) AS BIGINT) AS score_sum
+      FROM tok t JOIN weights w USING (tok)
+      WHERE t.is_eval = 1
+      GROUP BY t.doc_id
+    ),
+    judged AS (
+      SELECT label_pos,
+             CASE WHEN CAST(score_sum AS DOUBLE) / n_tokens
+                       >= CAST((SELECT prior_ppm FROM prior) AS DOUBLE)
+                  THEN 1 ELSE 0 END AS pred
+      FROM scored WHERE n_tokens > 0
+    )
+    SELECT
+      CAST(SUM(label_pos * pred) AS BIGINT) AS tp,
+      CAST(SUM((1 - label_pos) * pred) AS BIGINT) AS fp,
+      CAST(SUM(label_pos * (1 - pred)) AS BIGINT) AS fn,
+      CAST(SUM((1 - label_pos) * (1 - pred)) AS BIGINT) AS tn,
+      CAST(SUM(label_pos * pred) AS DOUBLE)
+        / NULLIF(SUM(pred), 0) AS precision_,
+      CAST(SUM(label_pos * pred) AS DOUBLE)
+        / NULLIF(SUM(label_pos), 0) AS recall_
+    FROM judged
+    """,
+)
+def quality_classifier_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Held-out evaluation of the trained quality classifier: hash-split
+    the corpus (doc_id % 5 — the same leakage-free stateless split the
+    split_train_val_test operator uses), learn token weights and the
+    prior ONLY from the train half, score the eval half with an INNER
+    join (tokens never seen in training contribute nothing, exactly how
+    a deployed vocabulary behaves), and reduce to the confusion matrix
+    + precision/recall. The numbers are honest ML hygiene — the eval
+    half contributes zero training evidence — and every cell is an
+    exact BIGINT with two final correctly-rounded divisions, so the
+    DuckDB twin matches bit-for-bit.
+
+    Scale shape: identical to quality_classifier_trained (two groupBys
+    pipelining with the explode, vocabulary-sized weight table
+    shuffle-joined) plus a 4-row final reduce."""
+    d = (
+        table(spark, sf_dir, "documents")
+        .select(
+            "doc_id",
+            F.lower("text").alias("text"),
+            F.when(
+                (F.col("lang") == "en") & (F.col("n_chars") >= 300), F.lit(1)
+            )
+            .otherwise(F.lit(0))
+            .alias("label_pos"),
+            F.when(F.col("doc_id") % 5 == 4, F.lit(1))
+            .otherwise(F.lit(0))
+            .alias("is_eval"),
+        )
+        .repartition(spark.sparkContext.defaultParallelism, F.col("doc_id"))
+    )
+    tok = d.select(
+        "doc_id",
+        "label_pos",
+        "is_eval",
+        F.explode(F.split("text", " ")).alias("tok"),
+    ).filter(F.col("tok") != "")
+    train = tok.filter(F.col("is_eval") == 0)
+    weights = train.groupBy("tok").agg(
+        F.expr(
+            "CAST((SUM(label_pos) + 1) * 1000000L DIV (SUM(1 - label_pos) + 1)"
+            " AS BIGINT)"
+        ).alias("w_ppm")
+    )
+    prior = train.agg(
+        F.expr(
+            "CAST((SUM(label_pos) + 1) * 1000000L DIV (SUM(1 - label_pos) + 1)"
+            " AS BIGINT)"
+        ).alias("prior_ppm")
+    )
+    scored = (
+        tok.filter(F.col("is_eval") == 1)
+        .join(weights, "tok")
+        .groupBy("doc_id")
+        .agg(
+            F.min("label_pos").alias("label_pos"),
+            F.count("*").alias("n_tokens"),
+            F.sum("w_ppm").alias("score_sum"),
+        )
+    )
+    judged = (
+        scored.filter(F.col("n_tokens") > 0)
+        .crossJoin(F.broadcast(prior))
+        .select(
+            "label_pos",
+            F.when(
+                F.col("score_sum").cast("double") / F.col("n_tokens")
+                >= F.col("prior_ppm").cast("double"),
+                F.lit(1),
+            )
+            .otherwise(F.lit(0))
+            .alias("pred"),
+        )
+    )
+    tp = F.sum(F.col("label_pos") * F.col("pred"))
+    fp = F.sum((1 - F.col("label_pos")) * F.col("pred"))
+    fn = F.sum(F.col("label_pos") * (1 - F.col("pred")))
+    tn = F.sum((1 - F.col("label_pos")) * (1 - F.col("pred")))
+    return judged.agg(
+        tp.cast("long").alias("tp"),
+        fp.cast("long").alias("fp"),
+        fn.cast("long").alias("fn"),
+        tn.cast("long").alias("tn"),
+        (
+            tp.cast("double")
+            / F.nullif(F.sum("pred"), F.lit(0))
+        ).alias("precision_"),
+        (
+            tp.cast("double")
+            / F.nullif(F.sum("label_pos"), F.lit(0))
+        ).alias("recall_"),
+    )
