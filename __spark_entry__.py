@@ -186,7 +186,8 @@ from glamira_batch_processing_spark.plans.registry import ORACLE, QUERIES
 # quality_bigram_familiarity, quality_classifier_trained +
 # quality_classifier_eval (new round 8 — the trained NB/fastText-style
 # quality filter and its held-out precision/recall eval, integer-exact),
-# mix_resample_sources, ann_recall_eval
+# dedup_keep_best (new round 8 — per-cluster
+# keep-longest survivor policy), mix_resample_sources, ann_recall_eval
 # (unigram_train_pieces/_encode_stats stay rows-only by nature, like
 # the BPE pair).
 _PRIORITY: list[str] = [

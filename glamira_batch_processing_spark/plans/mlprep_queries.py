@@ -335,6 +335,98 @@ def dedup_cluster_components(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "dedup_keep_best",
+    oracle=f"""
+    WITH RECURSIVE {corpus_cte()},
+    shingles AS ({sql_shingles_cte("corpus")}),
+    mh AS (
+      SELECT doc_id, seed, MIN((a * h1 + b * h2) % 2147483647) AS minhash
+      FROM (
+        SELECT doc_id,
+               CAST(concat('0x', substr(md5(shingle), 1, 7)) AS BIGINT) AS h1,
+               CAST(concat('0x', substr(md5(shingle), 9, 7)) AS BIGINT) AS h2
+        FROM shingles
+      ), (VALUES (0, 1571058545, 730493953), (1, 1660058741, 1293707557), (2, 1122761735, 1579482915), (3, 72772567, 776319283), (4, 1809802581, 1088400267), (5, 1716185263, 1854787491), (6, 1376580201, 1232262117), (7, 126093127, 1718349005), (8, 1255154079, 929465995), (9, 1495162255, 1110399377), (10, 253380337, 223979957), (11, 331484111, 2008330133)) AS coeffs(seed, a, b)
+      GROUP BY doc_id, seed
+    ),
+    sigs AS (
+      SELECT doc_id, seed // 3 AS band,
+             string_agg(CAST(minhash AS VARCHAR), '|' ORDER BY seed) AS band_sig
+      FROM mh GROUP BY doc_id, seed // 3
+    ),
+    pairs AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM sigs a JOIN sigs b ON a.band = b.band AND a.band_sig = b.band_sig
+      WHERE a.doc_id < b.doc_id
+    ),
+    edges AS (
+      SELECT doc_a AS a, doc_b AS b FROM pairs
+      UNION
+      SELECT doc_b AS a, doc_a AS b FROM pairs
+    ),
+    r(node, lab) AS (
+      SELECT a, a FROM edges
+      UNION
+      SELECT e.b, r.lab FROM r JOIN edges e ON e.a = r.node
+    ),
+    comp AS (SELECT node, MIN(lab) AS component FROM r GROUP BY node),
+    ranked AS (
+      SELECT c.component, c.node AS doc_id, length(co.text) AS doc_len,
+             row_number() OVER (
+               PARTITION BY c.component
+               ORDER BY length(co.text) DESC, c.node
+             ) AS rn
+      FROM comp c JOIN corpus co ON co.doc_id = c.node
+    )
+    SELECT component,
+           MAX(CASE WHEN rn = 1 THEN doc_id END) AS kept_doc,
+           MAX(CASE WHEN rn = 1 THEN doc_len END) AS kept_len,
+           COUNT(*) AS n_docs,
+           MIN(CASE WHEN rn > 1 THEN doc_id END) AS dropped_min,
+           MAX(CASE WHEN rn > 1 THEN doc_id END) AS dropped_max
+    FROM ranked GROUP BY component
+    """,
+)
+def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Survivor SELECTION POLICY on top of the dedup composition: after
+    LSH candidates collapse into connected components, production
+    pipelines do not keep an arbitrary member — they keep the
+    highest-quality one (longest here, the common keep-longest policy;
+    doc_id breaks exact ties deterministically) and drop the rest.
+    One row per duplicate cluster: the kept doc, its length, cluster
+    size, and the dropped-id range — the report a dedup pass hands to
+    the pipeline that actually deletes rows.
+
+    Scale shape: everything through components is the
+    dedup_cluster_components plan; the policy itself adds one
+    equi-join of the (small) component membership to doc lengths and
+    one window partitioned by component — group sizes are cluster
+    sizes, inherently tiny."""
+    c = corpus(spark, sf_dir).repartition(
+        spark.sparkContext.defaultParallelism, F.col("doc_id")
+    )
+    pairs = lsh_candidate_pairs(c, num_hashes=12, band_rows=3)
+    comp = connected_components(pairs, "doc_a", "doc_b")
+    lens = c.select("doc_id", F.length("text").alias("doc_len"))
+    m = comp.join(lens, comp["node"] == lens["doc_id"]).select(
+        "component", "doc_id", "doc_len"
+    )
+    w = Window.partitionBy("component").orderBy(
+        F.desc("doc_len"), F.asc("doc_id")
+    )
+    ranked = m.withColumn("rn", F.row_number().over(w))
+    keep = F.when(F.col("rn") == 1, F.col("doc_id"))
+    drop = F.when(F.col("rn") > 1, F.col("doc_id"))
+    return ranked.groupBy("component").agg(
+        F.max(keep).alias("kept_doc"),
+        F.max(F.when(F.col("rn") == 1, F.col("doc_len"))).alias("kept_len"),
+        F.count("*").alias("n_docs"),
+        F.min(drop).alias("dropped_min"),
+        F.max(drop).alias("dropped_max"),
+    )
+
+
+@query(
     "sample_exact_k",
     oracle="""
     SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS tag
