@@ -100,6 +100,14 @@ EXTENDED = [
     "qa_snapshot_drift",
     # round 7: AVI/MJPEG sampled-frame pixel decode
     "multimodal_video_frames",
+    # round 8: write-surface lifecycles (chunked-export roundtrip,
+    # VersionedTable DML), trained quality classifier + held-out eval,
+    # dedup survivor policy
+    "s1_chunked_export_roundtrip",
+    "s11_versioned_lifecycle",
+    "quality_classifier_trained",
+    "quality_classifier_eval",
+    "dedup_keep_best",
 ]
 
 HEADLINE = HEADLINE_PINNED + EXTENDED
