@@ -98,7 +98,17 @@ def main() -> None:
     # generate->parse->sample->decode->digest work run serially in one
     # Python process (what a single-node pipeline without Spark would
     # pay), timed below.
-    unequal = [n for n in report if n.startswith("multimodal_")]
+    # The write-surface lifecycles are unequal by the same construction:
+    # Spark physically writes a chunked JSONL export / four versioned-
+    # table commits and reads them back, while the DuckDB twin states
+    # the equivalent algebra as a pure READ over the original parquet —
+    # the asymmetry that makes those oracles independent.
+    unequal = [
+        n
+        for n in report
+        if n.startswith("multimodal_")
+        or n in ("s1_chunked_export_roundtrip", "s11_versioned_lifecycle")
+    ]
     if "multimodal_video_frames" in report:
         t_single, n_frames = _video_frames_single_node(sf, reps=2)
         row = report["multimodal_video_frames"]
