@@ -109,6 +109,13 @@ MEASURED = [
     # 20-probe form is the deployment shape.
     "sketch_theta_overlap",
     "qa_snapshot_drift",
+    # round-8 additions: write-surface lifecycles, trained classifier
+    # + eval, dedup survivor policy
+    "s1_chunked_export_roundtrip",
+    "s11_versioned_lifecycle",
+    "quality_classifier_trained",
+    "quality_classifier_eval",
+    "dedup_keep_best",
 ]
 
 # Round-6 (VERDICT r5 ask #3): the five queries flagged perf-weak at
@@ -379,12 +386,20 @@ def main() -> None:
         *duck_rows,
         "",
     ]
-    # SCALE.md's head is the hand-written 100 TB design argument; this
-    # script owns only the marked measurement section at the tail.
-    marker = "## Measured: sf0.1 vs sf1"
-    doc = Path("SCALE.md").read_text() if Path("SCALE.md").exists() else ""
-    head = doc.split(marker)[0].rstrip()
-    Path("SCALE.md").write_text(head + "\n\n" + "\n".join(lines))
+    # SCALE.md's head and tail are hand-written; this script owns ONLY
+    # the region between the scale-bench markers (the tail carries the
+    # hand-written q1 crossing/profile notes and the shuffle-audit
+    # section, which a naive truncate-at-marker rewrite used to eat).
+    begin = "<!-- scale-bench:begin -->"
+    end = "<!-- scale-bench:end -->"
+    doc = Path("SCALE.md").read_text()
+    if begin not in doc or end not in doc:
+        raise SystemExit("SCALE.md scale-bench markers missing; refusing to rewrite")
+    head, rest = doc.split(begin, 1)
+    _, tail = rest.split(end, 1)
+    Path("SCALE.md").write_text(
+        head + begin + "\n" + "\n".join(lines).rstrip() + "\n\n" + end + tail
+    )
     print("updated SCALE.md measurement section")
 
 
