@@ -29,7 +29,11 @@ def test_filter_pushdown_reaches_scan(spark):
     df = QUERIES["q1_pricing_summary"](spark, SF_SMALL)
     plan = plan_of(df)
     assert "PushedFilters: [" in plan
-    assert "l_shipdate" in plan.split("PushedFilters:")[1][:200]
+    pushed = plan.split("PushedFilters:")[1][:200]
+    # The VALUE COMPARISON must reach the scan, not just IsNotNull —
+    # a to_date()/cast wrapper silently blocks it (round-8 profiling:
+    # the direct timestamp form is -15% end-to-end at sf10).
+    assert "LessThan(l_shipdate" in pushed, pushed
 
 
 def test_column_pruning_reaches_scan(spark):
