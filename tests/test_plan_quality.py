@@ -420,7 +420,11 @@ def test_q6_zero_join_zero_shuffle_scan_agg(spark):
     assert "Join" not in plan
     assert "Exchange hashpartitioning" not in plan
     assert "PushedFilters: [" in plan
-    assert "l_shipdate" in plan.split("PushedFilters:")[1][:300]
+    pushed = plan.split("PushedFilters:")[1][:300]
+    # Both range bounds must reach the scan as value comparisons
+    # (IsNotNull alone is the to_date-wrapper regression state).
+    assert "GreaterThanOrEqual(l_shipdate" in pushed, pushed
+    assert "LessThan(l_shipdate" in pushed, pushed
 
 
 def test_q4_lateness_exists_plans_as_semi_join(spark):
