@@ -172,24 +172,70 @@ from glamira_batch_processing_spark.plans.registry import ORACLE, QUERIES
 #     (unsupported-variant quarantine gate; multimodal_image family)
 #   sketch_hll_registers (r6/7) -> sketch_theta_overlap (theta-sketch
 #     set algebra; sketch family)
-# Round-9 queue (the 19 round-7 rotations earn their second green in
-# r8 and become eligible, freeing ~19 slots): TPC-H remainder
-# q2_min_cost_supplier, q6_forecast_revenue, q7_volume_shipping,
-# q8_market_share, q10_returned_items, q11_important_stock,
-# q17_small_quantity_revenue, q19_disjunctive_revenue,
-# q20_potential_promotion; then multimodal_video_meta /
-# multimodal_video_routing, qa_snapshot_drift,
-# asof_forward_next_purchase, dedup_lsh_recall_eval,
-# ann_ivfpq_residual_topk, gapfill_forward_fill, cohort_retention,
-# sketch_countmin_tokens, sessionize_builtin_window,
-# w6_ntile_percent_rank, f13_collated_group,
-# quality_bigram_familiarity, quality_classifier_trained +
-# quality_classifier_eval (new round 8 — the trained NB/fastText-style
-# quality filter and its held-out precision/recall eval, integer-exact),
-# dedup_keep_best (new round 8 — per-cluster
-# keep-longest survivor policy), mix_resample_sources, ann_recall_eval
-# (unigram_train_pieces/_encode_stats stay rows-only by nature, like
-# the BPE pair).
+# Round 9 (VERDICT r8 ask #1): all 50 r8 rows came back green, so the
+# 20 round-7 rotations hold two green rows (r7+r8) and are eligible.
+# The window arithmetic: the NINE round-8 swap-ins hold exactly one
+# green row (r8) and stay (q9, q16, q14, s11, s1, video_frames,
+# ann_sq8, variant_routing, sketch_theta); 26 veterans are the SOLE
+# in-window representative of a GATE_FAMILIES family with no incoming
+# same-family query (flagships, q1, p1, p4, j1, w3, grouping_sets, u2,
+# boilerplate, f3/f4/f5/f12, search_hybrid_rrf, graph, langid_trained,
+# semdedup [clustering+dedup_near], url_canonicalize, winnow,
+# corpus_shuffle, pii_luhn, chunk, skew, audio_resample, interval_join
+# [sole range_join rep]). 9 + 26 = 35 locked; 15 slots free. Every
+# rotated-out name below holds >=2 green external rounds and its
+# family keeps an in-window representative (guard test enforces;
+# tuples extended where the incoming query is the same family in a
+# new shape):
+#   q22_dormant_customers (r7/8) -> q17_small_quantity_revenue
+#     (correlated scalar-AVG subquery filter = the A6 scalar-subquery
+#     family's TPC-H shape; also agg_join_back)
+#   q18_large_volume_customer (r7/8) -> q10_returned_items (multi-dim
+#     join chain + TakeOrdered top-20; dim_equi_join keeps q9 too)
+#   q21_waiting_supplier + q4_order_priority (r7/8) ->
+#     q20_potential_promotion (nested IN-subquery semi-join stress;
+#     semi/anti family) + q19_disjunctive_revenue (OR-of-ANDs
+#     predicate pushdown)
+#   q15_top_supplier (r7/8) -> q2_min_cost_supplier (group-min via
+#     correlated scalar subquery joined back; group_max family)
+#   q12_latency_priority_classes (r7/8) -> q7_volume_shipping (ship-
+#     date year extraction + interval predicates; date_time family
+#     also covered by q6's pushed date-range algebra)
+#   q3_shipping_priority (r7/8) -> q6_forecast_revenue (pushed-bound
+#     range-predicate scan — the round-8 PushedFilters work earns its
+#     external row; topk_order family keeps q10's ORDER BY..LIMIT)
+#   q13_customer_distribution (r7/8) -> qa_snapshot_drift (fixed-grid
+#     bucketed histogram comparison: chi-square + exact-integer KS;
+#     histogram + column_profile families)
+#   stats_correlation (r7/8) -> (column_profile kept by
+#     qa_snapshot_drift above)
+#   ohlc_hourly_bars (r6/7/8) -> cohort_retention (event-time daily
+#     bucketing x distinct actives; timeseries family)
+#   w2_canonical_per_group (r3/5/6/7/8) + dedup_cluster_components
+#     (r3/5/6/7/8) -> dedup_keep_best (the components substrate + a
+#     per-cluster pick-one-survivor window: member of BOTH the
+#     window-dedupe and dedup_components families)
+#   w7_range_interval_frame (r7/8) -> w6_ntile_percent_rank (rank-
+#     function coverage; window_frames family)
+#   quality_gopher_filter (r7/8) -> quality_classifier_trained +
+#     quality_classifier_eval (trained NB quality filter + held-out
+#     integer-exact eval; text_quality family)
+#   mix_temperature_sampling (r7/8) -> mix_resample_sources (source-
+#     proportion resampling; sampling family)
+#   (new family) sessionize_builtin_window — native session_window
+#     sessionization gets its first external row.
+# Round-10 queue (the 15 round-9 rotations above earn their second
+# green in r9 and become eligible): q8_market_share,
+# q11_important_stock, multimodal_video_meta /
+# multimodal_video_routing, asof_forward_next_purchase,
+# gapfill_forward_fill, rolling_7d_active_users, ann_ivf_trained,
+# ann_ivfpq_residual_topk, ann_recall_eval, dedup_lsh_recall_eval,
+# sketch_countmin_tokens, sketch_quantile_sample, f13_collated_group,
+# quality_bigram_familiarity, text_tfidf_topterms,
+# sample_weighted_by_length, winsorize_outlier_counts,
+# drift_split_lang_cells, cluster_label_purity, anomaly_error_spike,
+# event_transition_matrix (bpe/unigram_encode_stats stay rows-only by
+# nature unless the digest-pinned oracle lands).
 _PRIORITY: list[str] = [
     # Flagships: whole-warehouse DAG (staging -> SCD -> marts -> rollup)
     # and whole-training-data pipeline (quality -> dedup+components ->
@@ -197,32 +243,33 @@ _PRIORITY: list[str] = [
     "glamira_pipeline_e2e",
     "datapipe_e2e",
     "q1_pricing_summary",
-    # §2 projections / filters (q22 = scalar-subquery-filtered scan).
+    # §2 projections / filtered scans (q6 = pushed date/value range
+    # bounds, q19 = disjunctive OR-of-ANDs pushdown).
     "p1_typed_projection",
     "p4_fake_null_cleaning",
-    "q22_dormant_customers",
-    # §2 joins (TPC-H relational stress: multi-dim chains, agg-join-back,
-    # semi/anti).
+    "q6_forecast_revenue",
+    "q19_disjunctive_revenue",
+    # §2 joins (TPC-H relational stress: multi-dim chains, correlated
+    # scalar-subquery join-backs, nested semi-joins, DML lifecycle).
     "j1_posexplode_outer",
     "q9_product_profit",
-    "q18_large_volume_customer",
-    "q21_waiting_supplier",
+    "q2_min_cost_supplier",
+    "q7_volume_shipping",
+    "q10_returned_items",
     "s11_versioned_lifecycle",
-    "q4_order_priority",
-    # §2 aggregations (funnel = per-user distinct-stage counting;
-    # mix_importance_weights = DSIR conditional-count pass).
+    "q20_potential_promotion",
+    # §2 aggregations (q17 = correlated scalar-AVG subquery filter;
+    # qa_snapshot_drift = fixed-grid histogram drift audit).
     "q16_parts_supplier",
     "q14_promo_revenue",
-    "q12_latency_priority_classes",
-    "q13_customer_distribution",
-    "q15_top_supplier",
+    "q17_small_quantity_revenue",
     "grouping_sets_priority_status",
-    # §2 windows / ordering / timeseries downsampling.
-    "ohlc_hourly_bars",
-    "w2_canonical_per_group",
+    "qa_snapshot_drift",
+    # §2 windows / ordering / timeseries / sessionization.
+    "cohort_retention",
     "w3_scd2_history",
-    "w7_range_interval_frame",
-    "q3_shipping_priority",
+    "w6_ntile_percent_rank",
+    "sessionize_builtin_window",
     # §2 set ops.
     "u2_intersect_except",
     # §2 scalar-function families (boilerplate = line-level string
@@ -239,22 +286,22 @@ _PRIORITY: list[str] = [
     "url_canonicalize_dedup",
     "multimodal_video_frames",
     "dedup_semdedup_prune",
-    "dedup_cluster_components",
+    "dedup_keep_best",
     "ann_sq8_topk",
     "text_langid_trained",
-    "quality_gopher_filter",
+    "quality_classifier_trained",
+    "quality_classifier_eval",
     "multimodal_variant_routing",
     "multimodal_audio_resample",
     "interval_join_attribution",
     "corpus_shuffle_deterministic",
-    "mix_temperature_sampling",
+    "mix_resample_sources",
     "pii_luhn_validate",
     "chunk_token_windows",
     "text_winnow_fingerprints",
     "skew_salted_agg",
     "sketch_theta_overlap",
     # Scale-infrastructure operators.
-    "stats_correlation",
     "s1_chunked_export_roundtrip",
 ]
 

@@ -16,15 +16,29 @@ the repo's WRITE surfaces end-to-end under the external oracle gate:
   insert/update/delete algebra over the raw table.
 
 Both land their scratch tables under the system temp dir (wiped and
-rebuilt per call, keyed on sf_dir, so repeated driver/bench invocations
-are deterministic and isolated per scale factor).
+rebuilt per call, keyed on (sf_dir, pid), so repeated driver/bench
+invocations are deterministic, isolated per scale factor, AND safe
+against a concurrent gate/bench process wiping a directory whose
+files this process's returned DataFrame still lazily reads — the
+round-9 ADVICE race).
+
+Timing note (round-9 ADVICE): the writes execute EAGERLY when the
+query function is called — they are actions, not part of the returned
+lazy plan. Both bench harnesses (bench.py and scripts/bench_compare.py)
+invoke the query FUNCTION inside the timed loop on every rep, so each
+timed rep re-runs the full lifecycle (writes + commits + read-back);
+the recorded spark_sec covers the whole lifecycle, not just the final
+read. Anything that merely re-forces a previously returned DataFrame
+would time only the read-back aggregate.
 """
 
 from __future__ import annotations
 
 import hashlib
+import os
 import shutil
 import tempfile
+import time
 from pathlib import Path
 
 from pyspark.sql import DataFrame, SparkSession
@@ -34,11 +48,25 @@ from .registry import query, table
 
 
 def _scratch(name: str, sf_dir: str) -> Path:
-    """Fresh per-(query, sf_dir) scratch directory."""
+    """Fresh per-(query, sf_dir, pid) scratch directory.
+
+    The pid in the path keeps two concurrent gate/bench processes on
+    the same sf_dir from wiping each other's live files mid-read.
+    Stale siblings from dead processes (same query+sf tag, different
+    pid, older than an hour) are cleaned up best-effort."""
     tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
-    p = Path(tempfile.gettempdir()) / "spark_graft_scratch" / f"{name}-{tag}"
+    root = Path(tempfile.gettempdir()) / "spark_graft_scratch"
+    p = root / f"{name}-{tag}-{os.getpid()}"
     shutil.rmtree(p, ignore_errors=True)
-    p.parent.mkdir(parents=True, exist_ok=True)
+    root.mkdir(parents=True, exist_ok=True)
+    cutoff = time.time() - 3600
+    for sib in root.glob(f"{name}-{tag}-*"):
+        if sib != p:
+            try:
+                if sib.stat().st_mtime < cutoff:
+                    shutil.rmtree(sib, ignore_errors=True)
+            except OSError:
+                pass
     return p
 
 

@@ -779,15 +779,26 @@ class VersionedTable:
         # Never commit a manifest pointing at vanished data: a gc run
         # (gc_orphans(include_staged=True)) or stray cleanup between
         # stage() and publish() must fail HERE, not at first read.
-        # (A missing dir, or a dir that lost the part files stage()
-        # recorded, is the gc signature; a legitimately empty snapshot
-        # staged zero files and passes.)
-        if not staged.data_dir.is_dir() or (
-            staged.files and not any(staged.data_dir.glob("*.parquet"))
-        ):
+        # EVERY path the stage recorded must still exist — a crash
+        # mid-rmtree that leaves one survivor is still vanished data
+        # (round-9 ADVICE: the old any-glob check passed a partially
+        # deleted stage). A legitimately empty snapshot recorded zero
+        # files and passes; stat-less stages (files is None) fall back
+        # to the directory check.
+        missing = (
+            [
+                f["path"]
+                for f in staged.files
+                if not (staged.data_dir / f["path"]).exists()
+            ]
+            if staged.files
+            else []
+        )
+        if not staged.data_dir.is_dir() or missing:
             raise FileNotFoundError(
-                f"staged directory {staged.data_dir} lost its data files "
-                "(garbage-collected or aborted?); re-stage the write"
+                f"staged directory {staged.data_dir} lost data files "
+                f"(missing: {missing[:3] if missing else 'directory'}; "
+                "garbage-collected or aborted?); re-stage the write"
             )
         while True:
             latest = self.latest_version()

@@ -43,7 +43,13 @@ GATE_FAMILIES: dict[str, tuple[str, ...]] = {
     # Round 7: both members filter a scan by a scalar subquery (SURVEY
     # A6: p6 = MAX-snapshot, q22 = AVG-balance) — q22 rotates in while
     # p6 (green r1/2/3/5/6) rotates out.
-    "snapshot_filter": ("p6_latest_snapshot_filter", "q22_dormant_customers"),
+    # Round 9: q17's correlated scalar-AVG subquery filter is the same
+    # A6 shape — it rotates in while q22 (green r7/8) rotates out.
+    "snapshot_filter": (
+        "p6_latest_snapshot_filter",
+        "q22_dormant_customers",
+        "q17_small_quantity_revenue",
+    ),
     "explode": ("j1_posexplode_outer",),
     # Round 6: q5/q10 (TPC-H multi-dim join chains) join the dim-join reps —
     # q5 rotates in while j2 (green r1/2/3/5) rotates out.
@@ -67,12 +73,16 @@ GATE_FAMILIES: dict[str, tuple[str, ...]] = {
     ),
     # Round 7: the TPC-H EXISTS/NOT-EXISTS shapes join the semi/anti
     # family — q21 rotates in while j9 (green r1/2/3/5/6) rotates out.
+    # Round 9: q20's nested IN-subquery chain (supplier IN partsupp IN
+    # part + scalar bound) is the same semi-join family — it rotates in
+    # while q21/q4/q22 (each green r7/8) rotate out.
     "semi_anti_orphan": (
         "j9_orphan_rate_audit",
         "j13_semi_anti_join",
         "q21_waiting_supplier",
         "q4_order_priority",
         "q22_dormant_customers",
+        "q20_potential_promotion",
     ),
     # Round 8: the transactional DML lifecycle (create -> MERGE ->
     # DELETE WHERE -> compact_small -> pruned read) is the same
@@ -98,20 +108,53 @@ GATE_FAMILIES: dict[str, tuple[str, ...]] = {
         "mix_importance_weights",
         "q14_promo_revenue",
     ),
-    "group_max": ("a7_group_max_count", "a3_distinct_pairs", "q15_top_supplier"),
+    # Round 9: q2's min-cost-per-part correlated scalar subquery joined
+    # back is the group-extreme family — it rotates in while q15 (green
+    # r7/8) rotates out.
+    "group_max": (
+        "a7_group_max_count",
+        "a3_distinct_pairs",
+        "q15_top_supplier",
+        "q2_min_cost_supplier",
+    ),
     "grouping_sets": ("grouping_sets_priority_status", "rollup_revenue_by_region"),
     # Round 6: the two row_number-pick-one-per-key families merged (both
     # are windowed dedupe); w2 stays in-window while w1 (green r1/2/3/5)
     # freed its slot for the new timeseries family.
+    # Round 9: dedup_keep_best's per-cluster pick-one-survivor window is
+    # the same row_number-pick-one-per-key shape — it rotates in while
+    # w2 (green r3/5/6/7/8) rotates out.
     "window_dedupe": (
         "w1_latest_order_per_customer",
         "w4_rank_dedupe_merge",
         "w2_canonical_per_group",
+        "dedup_keep_best",
     ),
-    "timeseries": ("ohlc_hourly_bars", "gapfill_forward_fill", "rolling_7d_active_users"),
+    # Round 9: cohort_retention's event-time daily bucketing x distinct
+    # actives joins rolling_7d as the event-time-bucketed-aggregation
+    # shape — it rotates in while ohlc (green r6/7/8) rotates out.
+    "timeseries": (
+        "ohlc_hourly_bars",
+        "gapfill_forward_fill",
+        "rolling_7d_active_users",
+        "cohort_retention",
+    ),
     "scd2": ("w3_scd2_history",),
-    "window_frames": ("w5_running_totals", "w7_range_interval_frame"),
-    "topk_order": ("o4_topk_composite_order", "q3_shipping_priority"),
+    # Round 9: w6's ntile/percent_rank ranking shapes extend the
+    # window-function-coverage family — it rotates in while w7 (green
+    # r7/8) rotates out.
+    "window_frames": (
+        "w5_running_totals",
+        "w7_range_interval_frame",
+        "w6_ntile_percent_rank",
+    ),
+    # Round 9: q10's ORDER BY revenue DESC LIMIT 20 is the TakeOrdered
+    # top-k shape — it rotates in while q3 (green r7/8) rotates out.
+    "topk_order": (
+        "o4_topk_composite_order",
+        "q3_shipping_priority",
+        "q10_returned_items",
+    ),
     "union": ("u1_union_all", "u2_intersect_except"),
     "string_normalize": ("f1_string_normalize", "boilerplate_strip_lines"),
     "localized_parse": ("f3_parse_localized_prices",),
@@ -124,10 +167,15 @@ GATE_FAMILIES: dict[str, tuple[str, ...]] = {
     # Round 7: q12's ship/commit/receipt delay classes are date
     # arithmetic — q12 rotates in while f6_time_arithmetic (green r5/6)
     # rotates out.
+    # Round 9: q7's shipdate-year extraction + interval predicates and
+    # q6's pushed date-range algebra are both date arithmetic — they
+    # rotate in while q12 (green r7/8) rotates out.
     "date_time": (
         "f6_date_dimension",
         "f6_time_arithmetic",
         "q12_latency_priority_classes",
+        "q7_volume_shipping",
+        "q6_forecast_revenue",
     ),
     "json_extract": ("f8_json_extract", "f12_variant_extract"),
     "dedup_exact": ("dedup_exact", "url_canonicalize_dedup"),
@@ -141,7 +189,10 @@ GATE_FAMILIES: dict[str, tuple[str, ...]] = {
         "dedup_substring_spans",
         "dedup_semdedup_prune",
     ),
-    "dedup_components": ("dedup_cluster_components",),
+    # Round 9: dedup_keep_best RUNS the components substrate end-to-end
+    # (components + membership join + survivor window) — it rotates in
+    # while dedup_cluster_components (green r3/5/6/7/8) rotates out.
+    "dedup_components": ("dedup_cluster_components", "dedup_keep_best"),
     "ann": (
         "ann_ivf_bucketed",
         "ann_cosine_topk",
@@ -155,10 +206,15 @@ GATE_FAMILIES: dict[str, tuple[str, ...]] = {
     # while kmeans_lloyd_step (green r5/6) rotates out.
     "clustering": ("kmeans_lloyd_step", "dedup_semdedup_prune"),
     "langid": ("text_langid", "text_langid_trained"),
+    # Round 9: the trained NB quality classifier + its held-out eval are
+    # the learned leg of the quality-filter family — they rotate in
+    # while quality_gopher_filter (green r7/8) rotates out.
     "text_quality": (
         "text_repetition_stats",
         "text_quality_score",
         "quality_gopher_filter",
+        "quality_classifier_trained",
+        "quality_classifier_eval",
     ),
     # Round 8: the unsupported-variant quarantine gate is the image
     # family's routing leg — it rotates in while pixel_digest (green
@@ -185,11 +241,15 @@ GATE_FAMILIES: dict[str, tuple[str, ...]] = {
     # Round 7: deterministic corpus shuffling is the ordering half of the
     # same train-prep partitioning family as the hash split.
     "split": ("split_train_val_test", "corpus_shuffle_deterministic"),
+    # Round 9: source-proportion resampling is the sampling family's
+    # domain-mixing leg — it rotates in while mix_temperature_sampling
+    # (green r7/8) rotates out.
     "sampling": (
         "sample_stratified_lang",
         "sample_exact_k",
         "sample_weighted_by_length",
         "mix_temperature_sampling",
+        "mix_resample_sources",
     ),
     "pii": ("pii_redact", "pii_luhn_validate"),
     "chunk_pack": ("chunk_token_windows", "pack_sequences"),
@@ -208,13 +268,23 @@ GATE_FAMILIES: dict[str, tuple[str, ...]] = {
         "sketch_hll_registers",
         "sketch_theta_overlap",
     ),
-    "column_profile": ("stats_column_profile", "stats_correlation"),
+    # Round 9: qa_snapshot_drift profiles per-bucket value distributions
+    # across snapshots (counts, ppm shares, chi-square, exact-integer
+    # KS) — one gate row covers both the column-profile and histogram
+    # families while stats_correlation and q13 (each green r7/8) rotate
+    # out.
+    "column_profile": (
+        "stats_column_profile",
+        "stats_correlation",
+        "qa_snapshot_drift",
+    ),
     # Round 7: q13's distribution-of-counts is a histogram query — it
     # rotates in while stats_histogram (green r5/6) rotates out.
     "histogram": (
         "stats_histogram",
         "stats_percentiles",
         "q13_customer_distribution",
+        "qa_snapshot_drift",
     ),
     # Round 8: renamed zorder -> table_layout. Both members prove
     # layout-driven data skipping: zorder_key_orders the clustering
@@ -228,6 +298,9 @@ GATE_FAMILIES: dict[str, tuple[str, ...]] = {
     # Round-5 families: lexical retrieval and iterative graph ranking.
     "retrieval": ("search_bm25_topk", "search_hybrid_rrf"),
     "graph_rank": ("graph_pagerank_parts",),
+    # Round 9: new family — sessionization (gap-based batch windows and
+    # the native session_window form) gets its first external gate row.
+    "sessionize": ("sessionize_gap30m", "sessionize_builtin_window"),
 }
 
 
@@ -257,30 +330,20 @@ def test_priority_order_covers_gate_window():
         if not set(reps) & set(prio)
     }
     assert not uncovered, f"families with no gate-window representative: {uncovered}"
-    # The round-7 rotations hold exactly ONE green external round (r7),
+    # The round-8 rotations hold exactly ONE green external round (r8),
     # so they stay in-window until a second green row lands (rotation
-    # policy: >=2 greens). Round 8 rotated out nine members of the
-    # round-6-and-earlier cohort, each holding >=2 greens.
+    # policy: >=2 greens). Round 9 rotated out fifteen members of the
+    # round-7-and-earlier cohort, each holding >=2 greens.
     for required in (
-        "q22_dormant_customers",
-        "q18_large_volume_customer",
-        "q21_waiting_supplier",
-        "q4_order_priority",
-        "q12_latency_priority_classes",
-        "q13_customer_distribution",
-        "q15_top_supplier",
-        "w7_range_interval_frame",
-        "q3_shipping_priority",
-        "f12_variant_extract",
-        "search_hybrid_rrf",
-        "url_canonicalize_dedup",
-        "dedup_semdedup_prune",
-        "quality_gopher_filter",
-        "multimodal_audio_resample",
-        "corpus_shuffle_deterministic",
-        "mix_temperature_sampling",
-        "text_winnow_fingerprints",
-        "stats_correlation",
+        "q9_product_profit",
+        "q16_parts_supplier",
+        "q14_promo_revenue",
+        "s11_versioned_lifecycle",
+        "s1_chunked_export_roundtrip",
+        "multimodal_video_frames",
+        "ann_sq8_topk",
+        "multimodal_variant_routing",
+        "sketch_theta_overlap",
     ):
         assert required in prio, required
 
