@@ -134,6 +134,9 @@ WEAK_VS_DUCK = [
     # lacked committed sf1 twin evidence.
     "datapipe_e2e",
     "q1_pricing_summary",
+    # Round-9 (VERDICT r8 ask #3): bench-flagged at sf0.1 (2.43x, >1 s)
+    # and previously missing from this table — measure, don't infer.
+    "dedup_keep_best",
 ]
 
 

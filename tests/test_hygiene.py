@@ -473,3 +473,50 @@ def test_predict_lang_trained_empty_profiles_and_zero_hits(spark):
     got = {r["text"]: r["predicted"] for r in pred}
     assert got["und ist gut"] == "de"
     assert got["qqq zzz www"] == "unknown"
+
+
+# ---------------------------------------------------------------------------
+# Tokenizer seed-oracle staleness guard (round 9, VERDICT r8 ask #8):
+# the committed expected tables must match what the pure-Python twins
+# produce for the CURRENT testdata — regenerate with
+# scripts/gen_tokenizer_expected.py after any testdata refresh.
+# ---------------------------------------------------------------------------
+
+
+def test_tokenizer_expected_seeds_not_stale():
+    import sys
+    from pathlib import Path
+
+    import pyarrow.parquet as pq
+
+    repo = Path(__file__).resolve().parent.parent
+    sys.path.insert(0, str(repo / "scripts"))
+    from gen_tokenizer_expected import corpus_sig, expected_for_corpus
+
+    t = pq.read_table(
+        "/root/testdata/sf0.001/documents.parquet", columns=["doc_id", "text"]
+    )
+    doc_ids = [int(v) for v in t["doc_id"].to_pylist()]
+    texts = t["text"].to_pylist()
+    sig = corpus_sig(doc_ids, texts)
+    bpe_rows, uni_rows = expected_for_corpus(doc_ids, texts)
+
+    seeds = repo / "glamira_batch_processing_spark/seeds"
+    bpe = pq.read_table(seeds / "bpe_expected.parquet").to_pylist()
+    uni = pq.read_table(seeds / "unigram_expected.parquet").to_pylist()
+    bpe_slice = sorted(
+        (r["doc_id"], r["n_words"], r["n_tokens"], r["tokens_md5"])
+        for r in bpe
+        if r["corpus_sig"] == sig
+    )
+    uni_slice = sorted(
+        (r["doc_id"], r["n_tokens"], r["n_distinct_pieces"], r["seg_digest"])
+        for r in uni
+        if r["corpus_sig"] == sig
+    )
+    assert bpe_slice == sorted(r[1:] for r in bpe_rows), (
+        "bpe_expected.parquet is stale — rerun scripts/gen_tokenizer_expected.py"
+    )
+    assert uni_slice == sorted(r[1:] for r in uni_rows), (
+        "unigram_expected.parquet is stale — rerun scripts/gen_tokenizer_expected.py"
+    )
