@@ -107,11 +107,21 @@ def main() -> None:
     # single-node comparator below — a DuckDB run that actually writes
     # the JSONL chunks / applies the DML and rewrites the table — so
     # the headline exclusion is a defended number, not a disclosure.
+    # bpe_encode_stats joined the oracled set in round 9 via a
+    # digest-pinned ANSWER TABLE (the oracle SELECTs precomputed
+    # expected rows, so DuckDB does no tokenization work) — unequal by
+    # the same construction, excluded from the like-for-like aggregate
+    # even though including it would only hurt DuckDB's total.
     unequal = [
         n
         for n in report
         if n.startswith("multimodal_")
-        or n in ("s1_chunked_export_roundtrip", "s11_versioned_lifecycle")
+        or n
+        in (
+            "s1_chunked_export_roundtrip",
+            "s11_versioned_lifecycle",
+            "bpe_encode_stats",
+        )
     ]
     if "multimodal_video_frames" in report:
         t_single, n_frames = _video_frames_single_node(sf, reps=2)
@@ -181,9 +191,9 @@ def _s1_realwork_duckdb(sf: str, reps: int = 2) -> float:
         dst = _P(tempfile.mkdtemp(prefix="s1_realwork_"))
         try:
             t0 = time.perf_counter()
-            con2.execute(
-                f"CREATE VIEW orders AS SELECT * FROM '{sf}/orders.parquet'"
-            )
+            op = _P(sf) / "orders.parquet"
+            osrc = f"{op}/*.parquet" if op.is_dir() else str(op)
+            con2.execute(f"CREATE VIEW orders AS SELECT * FROM '{osrc}'")
             # 4 JSONL chunks, hash-partitioned like the Spark repartition(4)
             for c in range(4):
                 con2.execute(
@@ -244,9 +254,9 @@ def _s11_realwork_duckdb(sf: str, reps: int = 2) -> float:
         dst = _P(tempfile.mkdtemp(prefix="s11_realwork_"))
         try:
             t0 = time.perf_counter()
-            con2.execute(
-                f"CREATE VIEW orders AS SELECT * FROM '{sf}/orders.parquet'"
-            )
+            op = _P(sf) / "orders.parquet"
+            osrc = f"{op}/*.parquet" if op.is_dir() else str(op)
+            con2.execute(f"CREATE VIEW orders AS SELECT * FROM '{osrc}'")
             con2.execute(
                 "CREATE TABLE tgt AS "
                 + shape.format(
