@@ -25,7 +25,7 @@ from O(fact) to O(groups).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
@@ -43,18 +43,36 @@ def dict_encode_columns(
 
     NULL encodes as NULL (the code column is nullable iff the source
     was), so null-grouping semantics survive the roundtrip.
+
+    Raises ``ValueError`` if a column exceeds the tinyint code domain
+    (127 distinct non-null values) — a silent cast would wrap codes
+    and corrupt groups; a column that wide is not an enum and should
+    not be dictionary-encoded at this layer.
     """
+    spark = df.sparkSession
     dims: dict[str, DataFrame] = {}
     out = df
     for c in cols:
-        dim = (
-            df.select(F.col(c)).where(F.col(c).isNotNull()).distinct()
-            .select(
-                (F.row_number().over(Window.orderBy(c)) - 1)
-                .cast("tinyint")
-                .alias(f"{c}_code"),
-                F.col(c),
+        # One distinct scan per enum column at WRITE time; the result
+        # is bounded-collected (limit 128 caps the transfer even on a
+        # mistakenly wide column) and the decode dim is built locally,
+        # so the encode join below reuses it without a second pass.
+        vals = (
+            df.select(F.col(c))
+            .where(F.col(c).isNotNull())
+            .distinct()
+            .orderBy(c)
+            .limit(128)
+            .collect()
+        )
+        if len(vals) > 127:
+            raise ValueError(
+                f"column {c!r} has >127 distinct values — beyond the "
+                "tinyint code domain; not an enum, refuse to encode"
             )
+        dim = spark.createDataFrame(
+            [(i, r[c]) for i, r in enumerate(vals)],
+            f"{c}_code tinyint, {c} string",
         )
         dims[c] = dim
         out = (
