@@ -14,7 +14,17 @@ sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 import bench
 import __spark_entry__ as contract
 
-EXTRA = ["dedup_cluster_components", "pii_redact", "chunk_token_windows"]
+# Every gate-window query gets a committed plan (round 9: the window
+# rotates, so derive the list instead of pinning names), plus legacy
+# extras and the coded-layout lifecycle.
+EXTRA = [
+    n for n in contract._PRIORITY if n not in bench.HEADLINE
+] + [
+    "dedup_cluster_components",
+    "pii_redact",
+    "chunk_token_windows",
+    "q1_coded_layout",
+]
 SF = "/root/testdata/sf0.01"
 
 
