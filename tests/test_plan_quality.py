@@ -691,3 +691,20 @@ def test_snapshot_drift_single_fact_scan(spark):
     plan = plan_of(df)
     assert plan.count("Scan parquet") == 1
     assert "SortMergeJoin" not in plan and "BroadcastHashJoin" not in plan
+
+
+def test_q1_coded_layout_plan_shape(spark):
+    """The coded-layout q1 read path (round 9) must keep the shape that
+    beat the 2x bar at sf10: shipdate filter pushed to the coded scan,
+    the aggregate grouped on the tinyint codes (map-side partials +
+    ONE exchange), and the dictionary decode a pure projection — no
+    join nodes, no second exchange."""
+    df = QUERIES["q1_coded_layout"](spark, SF_SMALL)
+    plan = plan_of(df)
+    assert "PushedFilters: [" in plan
+    pushed = plan.split("PushedFilters:")[1][:200]
+    assert "LessThan(l_shipdate" in pushed, pushed
+    # group keys are the code columns; decode is projection-only
+    assert "l_returnflag_code" in plan
+    assert "Join" not in plan, plan
+    assert plan.count("Exchange") == 1, plan
