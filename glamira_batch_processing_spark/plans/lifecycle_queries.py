@@ -114,6 +114,95 @@ def s1_chunked_export_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "s11_cdc_diff",
+    oracle="""
+    WITH tgt AS (
+      SELECT o_orderkey, o_custkey,
+             CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS total_cents,
+             strftime(CAST(o_orderdate AS DATE), '%Y-%m-%d') AS order_date,
+             0 AS from_source
+      FROM orders WHERE o_orderdate < TIMESTAMP '1997-01-01'
+    ),
+    src AS (
+      SELECT o_orderkey, o_custkey,
+             CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS total_cents,
+             strftime(CAST(o_orderdate AS DATE), '%Y-%m-%d') AS order_date,
+             1 AS from_source
+      FROM orders WHERE o_orderdate >= TIMESTAMP '1996-07-01'
+    ),
+    merged AS (
+      SELECT o_orderkey, o_custkey, total_cents, order_date, from_source
+      FROM (
+        SELECT *, row_number() OVER (
+          PARTITION BY o_orderkey ORDER BY from_source DESC
+        ) AS rn
+        FROM (SELECT * FROM tgt UNION ALL SELECT * FROM src)
+      ) WHERE rn = 1
+    ),
+    v2 AS (
+      SELECT * FROM merged WHERE NOT (o_orderkey % 7 = 0)
+    ),
+    j AS (
+      SELECT COALESCE(a.o_orderkey, b.o_orderkey) AS o_orderkey,
+             CASE WHEN a.o_orderkey IS NULL THEN 'insert'
+                  WHEN b.o_orderkey IS NULL THEN 'delete'
+                  WHEN a.o_custkey    IS DISTINCT FROM b.o_custkey
+                    OR a.total_cents  IS DISTINCT FROM b.total_cents
+                    OR a.order_date   IS DISTINCT FROM b.order_date
+                    OR a.from_source  IS DISTINCT FROM b.from_source
+                       THEN 'update'
+             END AS change_type,
+             COALESCE(b.o_custkey,   a.o_custkey)   AS o_custkey,
+             COALESCE(b.total_cents, a.total_cents) AS total_cents,
+             COALESCE(b.order_date,  a.order_date)  AS order_date,
+             COALESCE(b.from_source, a.from_source) AS from_source
+      FROM tgt a FULL OUTER JOIN v2 b ON a.o_orderkey = b.o_orderkey
+    )
+    SELECT o_orderkey, change_type, o_custkey, total_cents, order_date,
+           from_source
+    FROM j WHERE change_type IS NOT NULL
+    """,
+)
+def s11_cdc_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Change-data-feed read over the VersionedTable (the Delta CDF
+    analog; ``sources/versioned.py::diff``): create v0 (history) ->
+    MERGE v1 (lookback re-extract, source wins) -> DELETE v2, then
+    read the per-key change set diff(v0 -> v2) — inserts (new keys),
+    updates (overlap keys whose re-extract changed values), deletes
+    (the DELETE's keys). diff() is computed as a key-outer join of the
+    two immutable snapshots (no change log written on ingest; the join
+    shuffles only on the merge keys), which is exactly what the oracle
+    restates: the same two snapshots FULL OUTER JOINed with null-safe
+    value comparison. This is the read surface streaming incremental
+    view maintenance consumes (streaming/joins.py, maintain_sum_agg).
+    Ref: the reference's incremental MERGE template implies exactly
+    this delta between consecutive loads
+    (Modelling/Incremental_load_template.sql)."""
+    from ..sources.versioned import VersionedTable
+
+    t = VersionedTable(_scratch("s11_cdc_diff", sf_dir))
+    o = table(spark, sf_dir, "orders")
+
+    def shape(df: DataFrame, from_source: int) -> DataFrame:
+        return df.select(
+            "o_orderkey",
+            "o_custkey",
+            F.floor(F.col("o_totalprice") * 100 + 0.5).cast("long").alias("total_cents"),
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("order_date"),
+            F.lit(from_source).alias("from_source"),
+        )
+
+    t.create(shape(o.filter(F.col("o_orderdate") < "1997-01-01"), 0).repartition(4))
+    t.merge(
+        spark,
+        shape(o.filter(F.col("o_orderdate") >= "1996-07-01"), 1),
+        keys=["o_orderkey"],
+    )
+    v2 = t.delete_where(spark, "o_orderkey % 7 = 0")
+    return t.diff(spark, 0, v2, keys=["o_orderkey"])
+
+
+@query(
     "q1_coded_layout",
     oracle="""
     WITH c AS (
