@@ -203,6 +203,102 @@ def s11_cdc_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "s11_incremental_view",
+    oracle="""
+    WITH tgt AS (
+      SELECT o_orderkey, o_custkey,
+             CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS total_cents,
+             strftime(CAST(o_orderdate AS DATE), '%Y-%m-%d') AS order_date,
+             0 AS from_source
+      FROM orders WHERE o_orderdate < TIMESTAMP '1997-01-01'
+    ),
+    src AS (
+      SELECT o_orderkey, o_custkey,
+             CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS total_cents,
+             strftime(CAST(o_orderdate AS DATE), '%Y-%m-%d') AS order_date,
+             1 AS from_source
+      FROM orders WHERE o_orderdate >= TIMESTAMP '1996-07-01'
+    ),
+    merged AS (
+      SELECT o_orderkey, o_custkey, total_cents, order_date, from_source
+      FROM (
+        SELECT *, row_number() OVER (
+          PARTITION BY o_orderkey ORDER BY from_source DESC
+        ) AS rn
+        FROM (SELECT * FROM tgt UNION ALL SELECT * FROM src)
+      ) WHERE rn = 1
+    ),
+    v2 AS (
+      SELECT * FROM merged WHERE NOT (o_orderkey % 7 = 0)
+    )
+    SELECT substr(order_date, 1, 7) AS month,
+           from_source,
+           CAST(SUM(total_cents) AS BIGINT) AS total_cents,
+           COUNT(*) AS n_rows
+    FROM v2 GROUP BY 1, 2
+    """,
+)
+def s11_incremental_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental materialized-view maintenance, end-to-end external:
+    materialize a (month, from_source) sum/count rollup from v0, then
+    refresh it through TWO change feeds (the MERGE's and the DELETE's
+    ``diff(with_old=True)``) via ``operators/incremental.py::
+    maintain_sum_agg`` — never rescanning the fact. The oracle simply
+    aggregates the FINAL restated snapshot, so the maintained view is
+    checked for bit-equality against a full recompute, across updates
+    that MOVE rows between groups (from_source flips 0 -> 1) and
+    deletes that shrink groups. This is the warehouse's per-microbatch
+    refresh path (ref: the reference's incremental template implies
+    re-aggregation after each MERGE; this does it in O(changes))."""
+    from ..operators.incremental import maintain_sum_agg
+    from ..sources.versioned import VersionedTable
+
+    t = VersionedTable(_scratch("s11_incremental_view", sf_dir))
+    o = table(spark, sf_dir, "orders")
+
+    def shape(df: DataFrame, from_source: int) -> DataFrame:
+        return df.select(
+            "o_orderkey",
+            "o_custkey",
+            F.floor(F.col("o_totalprice") * 100 + 0.5).cast("long").alias("total_cents"),
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("order_date"),
+            F.lit(from_source).alias("from_source"),
+        )
+
+    def rollup(df: DataFrame) -> DataFrame:
+        return df.groupBy(
+            F.substring("order_date", 1, 7).alias("month"), "from_source"
+        ).agg(
+            F.sum("total_cents").alias("total_cents"),
+            F.count("*").alias("n_rows"),
+        )
+
+    v0 = t.create(
+        shape(o.filter(F.col("o_orderdate") < "1997-01-01"), 0).repartition(4)
+    )
+    mat = rollup(t.read(spark, v0))
+    v1 = t.merge(
+        spark,
+        shape(o.filter(F.col("o_orderdate") >= "1996-07-01"), 1),
+        keys=["o_orderkey"],
+    )
+    cdc1 = t.diff(spark, v0, v1, keys=["o_orderkey"], with_old=True).withColumn(
+        "month", F.substring("order_date", 1, 7)
+    ).withColumn("old_month", F.substring("old_order_date", 1, 7))
+    mat = maintain_sum_agg(
+        mat, cdc1, ["month", "from_source"], ["total_cents"]
+    )
+    v2 = t.delete_where(spark, "o_orderkey % 7 = 0")
+    cdc2 = t.diff(spark, v1, v2, keys=["o_orderkey"], with_old=True).withColumn(
+        "month", F.substring("order_date", 1, 7)
+    ).withColumn("old_month", F.substring("old_order_date", 1, 7))
+    mat = maintain_sum_agg(
+        mat, cdc2, ["month", "from_source"], ["total_cents"]
+    )
+    return mat
+
+
+@query(
     "q1_coded_layout",
     oracle="""
     WITH c AS (
