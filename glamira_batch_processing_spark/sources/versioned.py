@@ -512,6 +512,30 @@ class VersionedTable:
             return [str(self.path / p) for p in m["file_paths"]]
         return None
 
+    def version_as_of(self, ts_unix: float) -> int:
+        """Timestamp time-travel (the ``timestampAsOf`` analog): the
+        newest version whose manifest ``committed_at_unix`` is <=
+        ``ts_unix``. Raises if the table did not exist yet at that
+        time. Commit timestamps are assigned at manifest-write time
+        and versions are serialized by the O_EXCL race, so they are
+        non-decreasing in version order; the scan reads only the tiny
+        driver-side manifest JSONs (O(versions), same cost class as
+        the txn replay scan)."""
+        best: int | None = None
+        for v in self.versions():
+            if self.manifest(v).get("committed_at_unix", float("inf")) <= ts_unix:
+                best = v
+        if best is None:
+            raise FileNotFoundError(
+                f"no version of {self.path} existed at unix time {ts_unix}"
+            )
+        return best
+
+    def read_as_of(self, spark: SparkSession, ts_unix: float) -> DataFrame:
+        """Snapshot read as of a COMMIT TIMESTAMP (see
+        :meth:`version_as_of`)."""
+        return self.read(spark, self.version_as_of(ts_unix))
+
     def read(self, spark: SparkSession, version: int | None = None) -> DataFrame:
         """Snapshot read: latest (default) or time-travel to ``version``.
 

@@ -1236,3 +1236,28 @@ def test_bloom_probe_integral_float_matches_bigint_column(spark, tmp_path):
     # and the multi-column form agrees
     df_multi, _ = t.read_pruned_multi(spark, {"k": {"equals": 1234.0}})
     assert df_multi.count() == 1
+
+
+def test_read_as_of_timestamp(spark, tmp_path):
+    """Timestamp time-travel: version_as_of picks the newest commit at
+    or before the asked time; reads between commits see the earlier
+    snapshot; pre-creation timestamps raise."""
+    import time as _time
+
+    t = VersionedTable(tmp_path / "tbl")
+    t.create(spark.range(3).selectExpr("id AS k"))
+    ts0 = t.manifest(0)["committed_at_unix"]
+    _time.sleep(0.05)
+    between = _time.time()
+    _time.sleep(0.05)
+    t.overwrite(spark.range(10).selectExpr("id AS k"))
+    ts1 = t.manifest(1)["committed_at_unix"]
+
+    assert t.version_as_of(between) == 0
+    assert t.read_as_of(spark, between).count() == 3
+    assert t.version_as_of(ts1 + 1) == 1
+    assert t.read_as_of(spark, ts1 + 1).count() == 10
+    # exact boundary: a commit is visible AT its own timestamp
+    assert t.version_as_of(ts0) == 0
+    with pytest.raises(FileNotFoundError, match="existed at"):
+        t.version_as_of(ts0 - 10)
