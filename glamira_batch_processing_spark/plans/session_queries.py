@@ -413,7 +413,14 @@ def sessionize_streaming_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination()
+    try:
+        # availableNow terminates deterministically; the bound exists
+        # so a wedged stream fails the gate loudly instead of hanging.
+        if not q.awaitTermination(1800):
+            raise TimeoutError("sessionize_streaming_gate stream did not finish")
+    finally:
+        if q.isActive:
+            q.stop()
 
     emitted = spark.read.parquet(str(out))
     latest = Window.partitionBy("user_id", "session_seq").orderBy(
