@@ -354,86 +354,117 @@ def sessionize_streaming_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     tests/test_sessionize_scd.py proves on toy rows: exactly-once
     cross-batch state at corpus scale (streaming/sessionize.py:103,
     the applyInPandasWithState path)."""
-    import os
-
-    from pyspark.sql import Window
-
+    from ..streaming.replay import (
+        latest_emission,
+        run_update_replay,
+        stage_time_ordered_chunks,
+    )
     from ..streaming.sessionize import sessionize_stateful
     from .lifecycle_queries import _scratch
 
     root = _scratch("sessionize_streaming_gate", sf_dir)
-    src, out, ckpt = root / "src", root / "out", root / "ckpt"
 
     e = table(spark, sf_dir, "events").select(
         "user_id", F.unix_micros("ts").alias("ts_us")
     )
-    # Chunk by PER-USER event-rank quartile (monotone in ts per user,
-    # so arrival order stays time-ordered per key) rather than global
-    # time ranges: rank cuts land mid-session, so OPEN sessions
-    # straddle micro-batch boundaries and the carried GroupState
-    # (last_us + running counts), not just the seq counter, is what
-    # the oracle checks.
-    u = Window.partitionBy("user_id").orderBy("ts_us")
-    e = e.withColumn(
-        "__chunk",
-        F.least(
-            F.lit(3),
-            (
-                (F.row_number().over(u) - 1)
-                * 4
-                / F.count("*").over(Window.partitionBy("user_id"))
-            ).cast("int"),
-        ),
+    glob = stage_time_ordered_chunks(
+        e, root / "src", "user_id", ["ts_us"]
     )
-    base_mtime = 1_700_000_000
-    for i in range(4):
-        d = src / f"c{i}"
-        e.filter(F.col("__chunk") == i).drop("__chunk").coalesce(1).write.parquet(
-            str(d)
-        )
-        for p in d.glob("*.parquet"):
-            os.utime(p, (base_mtime + i, base_mtime + i))
-
     stream = (
         spark.readStream.schema("user_id long, ts_us long")
         .option("maxFilesPerTrigger", 1)
-        .parquet(f"{src}/c*")
+        .parquet(glob)
     )
-    sessions = sessionize_stateful(stream.groupBy("user_id"))
+    emitted = run_update_replay(
+        spark,
+        sessionize_stateful(stream.groupBy("user_id")),
+        root / "out",
+        root / "ckpt",
+    )
+    return latest_emission(emitted, ["user_id", "session_seq"]).select(
+        "user_id",
+        F.col("session_seq").cast("long").alias("session_seq"),
+        F.col("n_events").alias("n_events"),
+        F.col("start_us").alias("session_start_us"),
+        F.col("last_us").alias("session_end_us"),
+    )
 
-    def sink(df, batch_id):
-        df.withColumn("batch_id", F.lit(batch_id)).write.mode("append").parquet(
-            str(out)
+
+@query(
+    "funnel_streaming_gate",
+    oracle="""
+    WITH lvl1 AS (
+      SELECT user_id,
+             CASE WHEN event_type = 'view' THEN 1 ELSE 0 END AS is_view,
+             CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS is_click,
+             CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS is_purchase,
+             max(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS UNBOUNDED PRECEDING) AS seen_view,
+             ts, event_id
+      FROM events
+    ),
+    lvl2 AS (
+      SELECT user_id, is_view, is_purchase,
+             is_click * seen_view AS q_click,
+             max(is_click * seen_view) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS UNBOUNDED PRECEDING) AS seen_q_click
+      FROM lvl1
+    )
+    SELECT user_id,
+           CAST(max(is_view) + max(q_click)
+                + max(is_purchase * seen_q_click) AS BIGINT) AS stage_reached
+    FROM lvl2
+    GROUP BY user_id
+    """,
+)
+def funnel_streaming_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The STATEFUL STREAMING funnel under the external oracle gate:
+    events replay through ``streaming/funnel.py::funnel_stateful``
+    (per-user stage machine in GroupState) across four micro-batches
+    via the file-replay harness (``streaming/replay.py``), each user's
+    LAST emission is the final stage count, and the result must
+    hash-match the batch running-max-flag formulation stated
+    declaratively by the DuckDB oracle — per user, not just the scalar
+    rollup ``funnel_view_click_purchase`` checks. Greedy
+    earliest-advance across batch boundaries equals the batch
+    semantics because the running-max flags mark exactly the first
+    qualified occurrence of each stage (streaming/funnel.py module
+    docstring); a user whose journey straddles micro-batches proves
+    the carried stage machine."""
+    from ..streaming.funnel import funnel_stateful
+    from ..streaming.replay import (
+        latest_emission,
+        run_update_replay,
+        stage_time_ordered_chunks,
+    )
+    from .lifecycle_queries import _scratch
+
+    root = _scratch("funnel_streaming_gate", sf_dir)
+
+    e = table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        F.unix_micros("ts").alias("ts_us"),
+        "event_type",
+    )
+    glob = stage_time_ordered_chunks(
+        e, root / "src", "user_id", ["ts_us", "event_id"]
+    )
+    stream = (
+        spark.readStream.schema(
+            "user_id long, event_id long, ts_us long, event_type string"
         )
-
-    q = (
-        sessions.writeStream.foreachBatch(sink)
-        .outputMode("update")
-        .option("checkpointLocation", str(ckpt))
-        .trigger(availableNow=True)
-        .start()
+        .option("maxFilesPerTrigger", 1)
+        .parquet(glob)
     )
-    try:
-        # availableNow terminates deterministically; the bound exists
-        # so a wedged stream fails the gate loudly instead of hanging.
-        if not q.awaitTermination(1800):
-            raise TimeoutError("sessionize_streaming_gate stream did not finish")
-    finally:
-        if q.isActive:
-            q.stop()
-
-    emitted = spark.read.parquet(str(out))
-    latest = Window.partitionBy("user_id", "session_seq").orderBy(
-        F.desc("batch_id")
+    emitted = run_update_replay(
+        spark,
+        funnel_stateful(stream.groupBy("user_id"), ["view", "click", "purchase"]),
+        root / "out",
+        root / "ckpt",
     )
-    return (
-        emitted.withColumn("__rn", F.row_number().over(latest))
-        .filter(F.col("__rn") == 1)
-        .select(
-            "user_id",
-            F.col("session_seq").cast("long").alias("session_seq"),
-            F.col("n_events").alias("n_events"),
-            F.col("start_us").alias("session_start_us"),
-            F.col("last_us").alias("session_end_us"),
-        )
+    return latest_emission(emitted, ["user_id"]).select(
+        "user_id", F.col("stage_reached").cast("long").alias("stage_reached")
     )
