@@ -419,6 +419,93 @@ def sessionize_streaming_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     GROUP BY user_id
     """,
 )
+@query(
+    "alerts_streaming_gate",
+    oracle="""
+    WITH r AS (
+      SELECT user_id,
+             CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents,
+             row_number() OVER (
+               PARTITION BY user_id ORDER BY ts, event_id) AS rnk,
+             COUNT(*) OVER (PARTITION BY user_id) AS n
+      FROM events
+    ),
+    c AS (
+      SELECT user_id, cents,
+             LEAST(3, CAST(FLOOR(((rnk - 1) * 4.0) / n) AS BIGINT)) AS chunk
+      FROM r
+    ),
+    per_chunk AS (
+      SELECT user_id, chunk, CAST(SUM(cents) AS BIGINT) AS chunk_cents
+      FROM c GROUP BY 1, 2
+    ),
+    pref AS (
+      SELECT user_id, chunk,
+             CAST(SUM(chunk_cents) OVER (
+               PARTITION BY user_id ORDER BY chunk
+               ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_cents
+      FROM per_chunk
+    ),
+    crossing AS (
+      SELECT user_id, cum_cents,
+             row_number() OVER (PARTITION BY user_id ORDER BY chunk) AS rn
+      FROM pref WHERE cum_cents >= 150000
+    )
+    SELECT user_id,
+           CAST(cum_cents AS DOUBLE) / 100 AS total,
+           CAST(cum_cents AS DOUBLE) / 100 AS crossed_at_total
+    FROM crossing WHERE rn = 1
+    """,
+)
+def alerts_streaming_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The STATEFUL STREAMING threshold alert under the external
+    oracle gate: events replay through ``streaming/alerts.py::
+    spend_alerts_legacy`` (GroupState running total + alerted-once
+    latch, append mode — ONE row per user, emitted the first
+    micro-batch its cumulative spend crosses $1500, never again). The
+    alert value is inherently BATCH-granular (the total is checked
+    after each micro-batch accumulates), so the oracle restates the
+    replay's deterministic chunking exactly — per-user rank quartiles,
+    the same cut rule ``streaming/replay.py`` stages — and computes
+    each user's first quartile-prefix crossing in SQL. A hash match
+    therefore proves cross-batch accumulation, the exactly-once latch,
+    AND that the harness's batch boundaries are the ones the oracle
+    thinks they are."""
+    from ..streaming.alerts import spend_alerts_legacy
+    from ..streaming.replay import run_update_replay, stage_time_ordered_chunks
+    from .lifecycle_queries import _scratch
+
+    root = _scratch("alerts_streaming_gate", sf_dir)
+
+    e = table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        F.unix_micros("ts").alias("ts_us"),
+        "value",
+    )
+    glob = stage_time_ordered_chunks(
+        e, root / "src", "user_id", ["ts_us", "event_id"]
+    )
+    stream = (
+        spark.readStream.schema(
+            "user_id long, event_id long, ts_us long, value double"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(glob)
+    )
+    emitted = run_update_replay(
+        spark,
+        spend_alerts_legacy(stream.groupBy("user_id"), threshold=1500.0),
+        root / "out",
+        root / "ckpt",
+        output_mode="append",
+    )
+    # append semantics: exactly one emission per alerted user — no
+    # latest-resolution needed (a duplicate would double a row and
+    # break the hash, which is exactly what the latch check wants).
+    return emitted.select("user_id", "total", "crossed_at_total")
+
+
 def funnel_streaming_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The STATEFUL STREAMING funnel under the external oracle gate:
     events replay through ``streaming/funnel.py::funnel_stateful``

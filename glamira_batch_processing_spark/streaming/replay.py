@@ -64,10 +64,13 @@ def run_update_replay(
     out: Path,
     ckpt: Path,
     timeout_s: int = 1800,
+    output_mode: str = "update",
 ) -> DataFrame:
-    """Run an update-mode stateful stream to completion (availableNow),
-    appending each micro-batch's emissions + batch_id to ``out``;
-    returns the sink read back as a batch DataFrame."""
+    """Run a stateful stream to completion (availableNow), appending
+    each micro-batch's emissions + batch_id to ``out``; returns the
+    sink read back as a batch DataFrame. ``output_mode`` must match
+    the operator's declared mode (update for re-emitting operators,
+    append for emit-once operators like the threshold alert)."""
 
     def sink(df, batch_id):
         df.withColumn("batch_id", F.lit(batch_id)).write.mode("append").parquet(
@@ -76,7 +79,7 @@ def run_update_replay(
 
     q = (
         stateful_df.writeStream.foreachBatch(sink)
-        .outputMode("update")
+        .outputMode(output_mode)
         .option("checkpointLocation", str(ckpt))
         .trigger(availableNow=True)
         .start()
