@@ -236,11 +236,13 @@ from glamira_batch_processing_spark.plans.registry import ORACLE, QUERIES
 # drift_split_lang_cells, cluster_label_purity, anomaly_error_spike,
 # event_transition_matrix, and the newly oracled bpe_encode_stats /
 # unigram_encode_stats / q1_coded_layout / s11_cdc_diff /
-# s11_incremental_view / sessionize_streaming_gate (digest-pinned seed
+# s11_incremental_view / sessionize_streaming_gate /
+# funnel_streaming_gate / alerts_streaming_gate (digest-pinned seed
 # oracles, the coded-layout lifecycle, the CDC +
-# incremental-view-maintenance reads, and the REAL stateful-streaming
-# replay gated against the batch oracle all landed in round 9; the
-# train queries stay rows-only by nature).
+# incremental-view-maintenance reads, and REAL stateful-streaming
+# replays of all three applyInPandasWithState operators gated against
+# batch oracles all landed in round 9; the train queries stay
+# rows-only by nature).
 _PRIORITY: list[str] = [
     # Flagships: whole-warehouse DAG (staging -> SCD -> marts -> rollup)
     # and whole-training-data pipeline (quality -> dedup+components ->
