@@ -391,35 +391,6 @@ def sessionize_streaming_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "funnel_streaming_gate",
-    oracle="""
-    WITH lvl1 AS (
-      SELECT user_id,
-             CASE WHEN event_type = 'view' THEN 1 ELSE 0 END AS is_view,
-             CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS is_click,
-             CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS is_purchase,
-             max(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) OVER (
-               PARTITION BY user_id ORDER BY ts, event_id
-               ROWS UNBOUNDED PRECEDING) AS seen_view,
-             ts, event_id
-      FROM events
-    ),
-    lvl2 AS (
-      SELECT user_id, is_view, is_purchase,
-             is_click * seen_view AS q_click,
-             max(is_click * seen_view) OVER (
-               PARTITION BY user_id ORDER BY ts, event_id
-               ROWS UNBOUNDED PRECEDING) AS seen_q_click
-      FROM lvl1
-    )
-    SELECT user_id,
-           CAST(max(is_view) + max(q_click)
-                + max(is_purchase * seen_q_click) AS BIGINT) AS stage_reached
-    FROM lvl2
-    GROUP BY user_id
-    """,
-)
-@query(
     "alerts_streaming_gate",
     oracle="""
     WITH r AS (
@@ -506,6 +477,35 @@ def alerts_streaming_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return emitted.select("user_id", "total", "crossed_at_total")
 
 
+@query(
+    "funnel_streaming_gate",
+    oracle="""
+    WITH lvl1 AS (
+      SELECT user_id,
+             CASE WHEN event_type = 'view' THEN 1 ELSE 0 END AS is_view,
+             CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS is_click,
+             CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS is_purchase,
+             max(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS UNBOUNDED PRECEDING) AS seen_view,
+             ts, event_id
+      FROM events
+    ),
+    lvl2 AS (
+      SELECT user_id, is_view, is_purchase,
+             is_click * seen_view AS q_click,
+             max(is_click * seen_view) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS UNBOUNDED PRECEDING) AS seen_q_click
+      FROM lvl1
+    )
+    SELECT user_id,
+           CAST(max(is_view) + max(q_click)
+                + max(is_purchase * seen_q_click) AS BIGINT) AS stage_reached
+    FROM lvl2
+    GROUP BY user_id
+    """,
+)
 def funnel_streaming_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The STATEFUL STREAMING funnel under the external oracle gate:
     events replay through ``streaming/funnel.py::funnel_stateful``
