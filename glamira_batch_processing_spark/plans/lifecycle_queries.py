@@ -52,8 +52,10 @@ def _scratch(name: str, sf_dir: str) -> Path:
 
     The pid in the path keeps two concurrent gate/bench processes on
     the same sf_dir from wiping each other's live files mid-read.
-    Stale siblings from dead processes (same query+sf tag, different
-    pid, older than an hour) are cleaned up best-effort."""
+    Stale siblings (same query+sf tag, different pid, older than an
+    hour, AND whose owning pid is no longer alive) are cleaned up
+    best-effort — the liveness check keeps a >1h-running concurrent
+    gate/bench process's scratch readable by its lazy DataFrames."""
     tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
     root = Path(tempfile.gettempdir()) / "spark_graft_scratch"
     p = root / f"{name}-{tag}-{os.getpid()}"
@@ -61,12 +63,25 @@ def _scratch(name: str, sf_dir: str) -> Path:
     root.mkdir(parents=True, exist_ok=True)
     cutoff = time.time() - 3600
     for sib in root.glob(f"{name}-{tag}-*"):
-        if sib != p:
+        if sib == p:
+            continue
+        try:
+            sib_pid = int(sib.name.rsplit("-", 1)[-1])
+        except ValueError:
+            sib_pid = None
+        if sib_pid is not None:
             try:
-                if sib.stat().st_mtime < cutoff:
-                    shutil.rmtree(sib, ignore_errors=True)
-            except OSError:
-                pass
+                os.kill(sib_pid, 0)
+                continue  # owner still alive: never reap a live scratch
+            except ProcessLookupError:
+                pass  # owner dead: eligible for age-gated cleanup
+            except PermissionError:
+                continue  # alive, owned by another user
+        try:
+            if sib.stat().st_mtime < cutoff:
+                shutil.rmtree(sib, ignore_errors=True)
+        except OSError:
+            pass
     return p
 
 

@@ -45,9 +45,23 @@ _TABLE_CACHE: dict[tuple[str, str], DataFrame] = {}
 
 
 def query(name: str, oracle: str | None = None):
-    """Register a contract query (and optionally its DuckDB oracle SQL)."""
+    """Register a contract query (and optionally its DuckDB oracle SQL).
+
+    Raises on duplicate registration: a bare ``@query(...)`` block
+    inserted above an existing decorated function silently re-registers
+    the WRONG callable (two stacked decorators, one function) — exactly
+    the misplacement commit c737257 had to repair after a driver_sim
+    failure. Raising turns that class of silent mis-registration into
+    an import error; tests/test_registry_audit.py additionally asserts
+    each registered callable's ``__name__`` matches its key."""
 
     def deco(fn: Callable[[SparkSession, str], DataFrame]):
+        if name in QUERIES:
+            raise ValueError(
+                f"duplicate query registration: {name!r} already maps to "
+                f"{QUERIES[name].__name__!r}; refusing to overwrite with "
+                f"{fn.__name__!r} (stacked/misplaced @query decorator?)"
+            )
         QUERIES[name] = fn
         if oracle is not None:
             ORACLE[name] = oracle

@@ -183,7 +183,15 @@ def sessionize_stateful_final(grouped, gap_us: int = DEFAULT_GAP_US):
         if state.hasTimedOut:
             seq, last_us, start_us, n = state.get
             closed.append((int(user_id), seq, start_us, last_us, n))
-            state.remove()
+            # Keep the per-user session counter (do NOT state.remove()):
+            # a user returning after an idle-timeout close must continue
+            # at seq+1, not restart at 1 — one immutable row per
+            # (user_id, session_seq) is the append-mode contract. The
+            # data path already treats last_us=None as "no open
+            # session"; no new timeout is registered, so the dormant
+            # counter-only state never fires again until new traffic
+            # arrives and re-arms it.
+            state.update((seq, None, None, 0))
         else:
             if state.exists:
                 seq, last_us, start_us, n = state.get

@@ -11,11 +11,15 @@ single-process reimplementation of the unigram trainer's count loops
 (reusing the pure ``viterbi_segment``/``_scores_from_counts``;
 partition invariance of the distributed counts is pytest-proven, so
 the single-process counts are the same exact integers) — entirely
-WITHOUT Spark, and commits them as seed parquet keyed by the corpus
-row count. The oracle SQL then just selects the slice matching
-``(SELECT COUNT(*) FROM documents)``, and the driver's value-hash
-compares Spark's distributed output against this independent
-single-process computation.
+WITHOUT Spark, and commits them as seed parquet keyed by a corpus
+content fingerprint ``corpus_sig = SUM((doc_id + 1) * LENGTH(text))``
+(not a bare row count — the weighted sum also moves when any text
+changes length or docs are reordered/renumbered, so a refreshed corpus
+with a coincidentally equal row count cannot silently match a stale
+slice). The oracle SQL in ``plans/hygiene_queries.py`` selects the
+slice matching the same fingerprint computed over ``documents``, and
+the driver's value-hash compares Spark's distributed output against
+this independent single-process computation.
 
 Regenerate after any testdata refresh:
     python scripts/gen_tokenizer_expected.py
@@ -126,10 +130,13 @@ def expected_for_corpus(
     """(bpe_rows, unigram_rows) for one corpus; row shapes match the
     operators' output schemas exactly."""
     n = corpus_sig(doc_ids, texts)
+    # Normalize NULLs once, up front, so the trainer and both encode
+    # loops see exactly what the Spark twins' fillna("") path sees —
+    # py_unigram_train's inner _words() has no None guard of its own.
+    texts = [t or "" for t in texts]
     bpe_rows = []
     cache: dict[str, list[str]] = {}
     for doc_id, text in zip(doc_ids, texts):
-        text = text or ""
         toks = encode_text(text, cache)
         bpe_rows.append(
             (

@@ -37,7 +37,10 @@ def test_every_query_has_callable():
 GATE_FAMILIES: dict[str, tuple[str, ...]] = {
     "flagship_warehouse": ("glamira_pipeline_e2e",),
     "flagship_datapipe": ("datapipe_e2e",),
-    "pricing_agg": ("q1_pricing_summary",),
+    # Round 10: q1_coded_layout runs the SAME pricing aggregate (same
+    # oracle) over the dictionary-coded warehouse layout — it rotates
+    # in while q1_pricing_summary (green r1..r9) rotates out.
+    "pricing_agg": ("q1_pricing_summary", "q1_coded_layout"),
     "projection": ("p1_typed_projection", "p5_drop_columns"),
     "fake_null": ("p4_fake_null_cleaning",),
     # Round 7: both members filter a scan by a scalar subquery (SURVEY
@@ -61,6 +64,7 @@ GATE_FAMILIES: dict[str, tuple[str, ...]] = {
         "q10_returned_items",
         "q18_large_volume_customer",
         "q9_product_profit",
+        "q8_market_share",
     ),
     # Round 7: the TPC-H HAVING-subquery / scalar-subquery join-backs are
     # the same agg-result-joined-to-detail family — q18 and q15 rotate in
@@ -88,7 +92,17 @@ GATE_FAMILIES: dict[str, tuple[str, ...]] = {
     # DELETE WHERE -> compact_small -> pruned read) is the same
     # upsert-sink family driven end-to-end through VersionedTable —
     # it rotates in while j11 (green r3/5/6/7) rotates out.
-    "merge_upsert": ("j11_incremental_merge", "s11_versioned_lifecycle"),
+    # Round 10: s11_cdc_diff reads the MERGE lifecycle's change-data
+    # feed (the upsert sink's output contract) and s11_incremental_view
+    # applies CDF deltas as a MERGE-style aggregate refresh — both are
+    # the same upsert-sink family; they rotate in while
+    # s11_versioned_lifecycle (green r8/9) rotates out.
+    "merge_upsert": (
+        "j11_incremental_merge",
+        "s11_versioned_lifecycle",
+        "s11_cdc_diff",
+        "s11_incremental_view",
+    ),
     # Round 6: funnel's per-user distinct-stage counting represents the
     # distinct-counting family while a2 (green r1/2/3/5) rotates out;
     # DSIR's conditional-count pass represents conditional aggregation
@@ -96,17 +110,25 @@ GATE_FAMILIES: dict[str, tuple[str, ...]] = {
     # Round 8: q16's per-group supplier COUNT(DISTINCT) joins the
     # distinct-counting family — it rotates in while funnel (green
     # r6/7) rotates out.
+    # Round 10: cohort_retention's daily-actives metric is per-bucket
+    # COUNT(DISTINCT user) — it joins the distinct-counting family
+    # while q16 (green r8/9) rotates out.
     "count_distinct": (
         "a2_multiplicity_flag",
         "funnel_view_click_purchase",
         "q16_parts_supplier",
+        "cohort_retention",
     ),
     # Round 8: q14's CASE-WHEN promo-revenue share is conditional
     # aggregation — it rotates in while DSIR (green r6/7) rotates out.
+    # Round 10: q8's nation-share numerator is SUM(CASE WHEN ...) — the
+    # same CASE-WHEN conditional-share shape; it rotates in while q14
+    # (green r8/9) rotates out.
     "conditional_agg": (
         "a4_null_rate_audit",
         "mix_importance_weights",
         "q14_promo_revenue",
+        "q8_market_share",
     ),
     # Round 9: q2's min-cost-per-part correlated scalar subquery joined
     # back is the group-extreme family — it rotates in while q15 (green
@@ -193,6 +215,8 @@ GATE_FAMILIES: dict[str, tuple[str, ...]] = {
     # (components + membership join + survivor window) — it rotates in
     # while dedup_cluster_components (green r3/5/6/7/8) rotates out.
     "dedup_components": ("dedup_cluster_components", "dedup_keep_best"),
+    # Round 10: residual IVF+PQ (coarse quantizer + PQ on residuals)
+    # rotates in while ann_sq8_topk (green r8/9) rotates out.
     "ann": (
         "ann_ivf_bucketed",
         "ann_cosine_topk",
@@ -200,6 +224,7 @@ GATE_FAMILIES: dict[str, tuple[str, ...]] = {
         "ann_ivf_trained",
         "ann_pq_adc_topk",
         "ann_sq8_topk",
+        "ann_ivfpq_residual_topk",
     ),
     # Round 7: SemDeDup's gate row exercises centroid assignment +
     # within-cluster pruning (clustering machinery) — it rotates in
@@ -237,7 +262,16 @@ GATE_FAMILIES: dict[str, tuple[str, ...]] = {
     # families (event-in-interval attribution = as-of semantics over a
     # range predicate) — it rotates in while asof (green r3/5/6) and
     # range_lookup_ip_geo (green r5/6) rotate out.
-    "asof": ("asof_join_last_purchase", "interval_join_attribution"),
+    # Round 10: asof_forward_next_purchase (forward-direction as-of =
+    # as-of semantics over a time-inequality range predicate) is a
+    # member of BOTH temporal-join families by the same argument that
+    # admitted interval_join in round 7 — it rotates in while
+    # interval_join_attribution (green r2/7/8/9) rotates out.
+    "asof": (
+        "asof_join_last_purchase",
+        "interval_join_attribution",
+        "asof_forward_next_purchase",
+    ),
     # Round 7: deterministic corpus shuffling is the ordering half of the
     # same train-prep partitioning family as the hash split.
     "split": ("split_train_val_test", "corpus_shuffle_deterministic"),
@@ -261,7 +295,14 @@ GATE_FAMILIES: dict[str, tuple[str, ...]] = {
     # Round 6: skew-aware aggregation (frequency top-k + salted two-phase
     # agg are both hot-key-robust groupBy designs); skew_salted_agg
     # rotates in, heavy_hitters (green r3/5) rotates out.
-    "heavy_hitters": ("heavy_hitters_by_lang", "skew_salted_agg"),
+    # Round 10: Count-Min IS the classic heavy-hitters sketch — its
+    # gate row joins the hot-key-robust aggregation family while
+    # skew_salted_agg (green r6/7/8/9) rotates out.
+    "heavy_hitters": (
+        "heavy_hitters_by_lang",
+        "skew_salted_agg",
+        "sketch_countmin_tokens",
+    ),
     "sketch": (
         "sketch_kmv_distinct",
         "sketch_countmin_tokens",
@@ -290,17 +331,40 @@ GATE_FAMILIES: dict[str, tuple[str, ...]] = {
     # layout-driven data skipping: zorder_key_orders the clustering
     # key itself, s11_versioned_lifecycle the manifest-stats pruned
     # read over a compacted layout (read_pruned_multi).
-    "table_layout": ("zorder_key_orders", "s11_versioned_lifecycle"),
+    # Round 10: s11_cdc_diff's CDF read prunes to the version-delta
+    # files via the manifest — the same metadata-driven file-skipping
+    # leg; it keeps the family while s11_versioned_lifecycle rotates
+    # out.
+    "table_layout": (
+        "zorder_key_orders",
+        "s11_versioned_lifecycle",
+        "s11_cdc_diff",
+    ),
     # Round 8: new family — the custom chunked_export DataSource
     # written AND read back under the gate (S1 ingest analog).
     "ingest_connector": ("s1_chunked_export_roundtrip",),
-    "range_join": ("range_lookup_ip_geo", "interval_join_attribution"),
+    # Round 10: asof_forward joins this family too (see "asof" above —
+    # a forward as-of is a time-inequality range-predicate join).
+    "range_join": (
+        "range_lookup_ip_geo",
+        "interval_join_attribution",
+        "asof_forward_next_purchase",
+    ),
     # Round-5 families: lexical retrieval and iterative graph ranking.
     "retrieval": ("search_bm25_topk", "search_hybrid_rrf"),
     "graph_rank": ("graph_pagerank_parts",),
     # Round 9: new family — sessionization (gap-based batch windows and
     # the native session_window form) gets its first external gate row.
     "sessionize": ("sessionize_gap30m", "sessionize_builtin_window"),
+    # Round 10: new family — REAL Structured Streaming replays of the
+    # three applyInPandasWithState operators (mtime-ordered chunked
+    # availableNow replays, state crossing every batch boundary)
+    # hash-matched against declarative batch oracles.
+    "streaming_state": (
+        "sessionize_streaming_gate",
+        "funnel_streaming_gate",
+        "alerts_streaming_gate",
+    ),
 }
 
 
@@ -330,20 +394,26 @@ def test_priority_order_covers_gate_window():
         if not set(reps) & set(prio)
     }
     assert not uncovered, f"families with no gate-window representative: {uncovered}"
-    # The round-8 rotations hold exactly ONE green external round (r8),
+    # The round-9 rotations hold exactly ONE green external round (r9),
     # so they stay in-window until a second green row lands (rotation
-    # policy: >=2 greens). Round 9 rotated out fifteen members of the
-    # round-7-and-earlier cohort, each holding >=2 greens.
+    # policy: >=2 greens). Round 10 rotated out ten members of the
+    # round-8-and-earlier cohort, each holding >=2 greens.
     for required in (
-        "q9_product_profit",
-        "q16_parts_supplier",
-        "q14_promo_revenue",
-        "s11_versioned_lifecycle",
-        "s1_chunked_export_roundtrip",
-        "multimodal_video_frames",
-        "ann_sq8_topk",
-        "multimodal_variant_routing",
-        "sketch_theta_overlap",
+        "q2_min_cost_supplier",
+        "q6_forecast_revenue",
+        "q7_volume_shipping",
+        "q10_returned_items",
+        "q17_small_quantity_revenue",
+        "q19_disjunctive_revenue",
+        "q20_potential_promotion",
+        "quality_classifier_trained",
+        "quality_classifier_eval",
+        "dedup_keep_best",
+        "qa_snapshot_drift",
+        "sessionize_builtin_window",
+        "w6_ntile_percent_rank",
+        "cohort_retention",
+        "mix_resample_sources",
     ):
         assert required in prio, required
 

@@ -174,6 +174,15 @@ def test_stateful_final_sessionize_emits_once_on_close(spark, tmp_path):
         # file 2: more u9 traffic; its only job is to run batch 2 where
         # u1's timeout (base+130min) < watermark (base+150min) fires.
         [(9, base + 181 * MIN)],
+        # file 3: user 1 RETURNS after its session 2 was closed by
+        # timeout — the counter must survive the close, so this opens
+        # session_seq=3 (not a duplicate seq=1).
+        [(1, base + 200 * MIN)],
+        # file 4: u9 jumps +400min — data-path-closes u9's session 2
+        # and advances the watermark past u1's new timeout (230min).
+        [(9, base + 400 * MIN)],
+        # file 5: one more batch so u1's session-3 timeout fires.
+        [(9, base + 401 * MIN)],
     ]
     for i, rows in enumerate(batches):
         d = src / f"b{i}"
@@ -207,4 +216,9 @@ def test_stateful_final_sessionize_emits_once_on_close(spark, tmp_path):
         (1, 1): (base, base + 10_000_000, 2),          # in-batch gap close
         (9, 1): (base, base, 1),                        # data-path close
         (1, 2): (base + 100 * MIN, base + 100 * MIN, 1),  # TIMEOUT close
+        # returning after a timeout close continues the counter: a
+        # state.remove() on timeout would restart this at (1, 1) and
+        # break the one-immutable-row-per-(user, seq) contract.
+        (1, 3): (base + 200 * MIN, base + 200 * MIN, 1),
+        (9, 2): (base + 180 * MIN, base + 181 * MIN, 2),  # data-path close
     }
