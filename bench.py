@@ -108,6 +108,19 @@ EXTENDED = [
     "quality_classifier_trained",
     "quality_classifier_eval",
     "dedup_keep_best",
+    # round 10: mirror the gate-window rotation (VERDICT r9 ask #8) —
+    # the batch queries that joined the gate join the extended bench so
+    # BENCH_r10 covers what the gate covers. The three streaming replay
+    # gates stay OUT by design: they are gate harnesses (scratch writes
+    # + availableNow replays), not engine throughput.
+    "q1_coded_layout",
+    "q8_market_share",
+    "s11_cdc_diff",
+    "s11_incremental_view",
+    "asof_forward_next_purchase",
+    "multimodal_video_meta",
+    "ann_ivfpq_residual_topk",
+    "sketch_countmin_tokens",
 ]
 
 HEADLINE = HEADLINE_PINNED + EXTENDED

@@ -67,6 +67,44 @@ def kmv_estimate(df: DataFrame, col: Column, k: int = 64) -> DataFrame:
     )
 
 
+def _cms_halves(col: Column, salt: str) -> tuple[Column, Column]:
+    """(h1, h2): the first/second 32 bits of ONE salted md5 of the
+    value, as longs. Kirsch–Mitzenmacher double hashing (ASA 2006,
+    "Less hashing, same performance") derives all d Count-Min bucket
+    functions as bucket_d = (h1 + d*h2) mod width from this single
+    digest — same eps*N overestimate bound, one hash per token instead
+    of d. The digest arithmetic is engine-portable (DuckDB spells it
+    in :func:`sql_cms_sketch`), and h1 + 3*h2 < 2^34 fits BIGINT on
+    both engines.
+
+    Callers must materialize these in their OWN projection (a separate
+    select) before fanning out the d buckets: md5/conv subtrees are
+    not common-subexpression-eliminated across array/struct fields, so
+    inlining them d times re-hashes d times (measured 1.7x slower).
+    CollapseProject keeps the split because the halves are non-cheap
+    and multiply referenced.
+    """
+    h = F.md5(F.concat(col.cast("string"), F.lit(salt)))
+    h1 = F.conv(F.substring(h, 1, 8), 16, 10).cast("long")
+    h2 = F.conv(F.substring(h, 9, 8), 16, 10).cast("long")
+    return h1, h2
+
+
+def _cms_cells_from_halves(depth: int, width: int) -> Column:
+    """The d (depth, bucket) structs from pre-projected __h1/__h2."""
+    return F.array(
+        *[
+            F.struct(
+                F.lit(d).alias("depth"),
+                ((F.col("__h1") + F.lit(d) * F.col("__h2")) % width)
+                .cast("int")
+                .alias("bucket"),
+            )
+            for d in range(depth)
+        ]
+    )
+
+
 def cms_sketch(
     df: DataFrame,
     col: Column,
@@ -77,25 +115,17 @@ def cms_sketch(
     """Count-Min state: (depth, bucket, n) rows — the d x w matrix.
 
     Each input row increments one bucket per depth; the d bucket
-    functions are independent md5 hashes (salted per depth). Built as
-    a per-row explode of d (depth, bucket) structs -> ONE groupBy
+    functions derive from ONE salted md5 via double hashing
+    (:func:`_cms_bucket_cells` — one digest per token, not d). Built
+    as a per-row explode of d (depth, bucket) structs -> ONE groupBy
     shuffle whose key space is d*w constants, with map-side partial
     aggregation doing almost all the work. Merging shards = unionByName
     + re-groupBy sum (element-wise matrix addition).
     """
-    from ..operators.mlprep import hash_bucket
-
-    cells = F.array(
-        *[
-            F.struct(
-                F.lit(d).alias("depth"),
-                hash_bucket(col, width, salt=f"{salt}#{d}").alias("bucket"),
-            )
-            for d in range(depth)
-        ]
-    )
+    h1, h2 = _cms_halves(col, salt)
     return (
-        df.select(F.explode(cells).alias("c"))
+        df.select(h1.alias("__h1"), h2.alias("__h2"))
+        .select(F.explode(_cms_cells_from_halves(depth, width)).alias("c"))
         .groupBy(F.col("c.depth").alias("depth"), F.col("c.bucket").alias("bucket"))
         .agg(F.count("*").alias("n"))
     )
@@ -115,21 +145,17 @@ def cms_estimate(
     min, never a shuffle of the probed corpus. An absent (depth,
     bucket) cell means 0 — the estimate is then exactly 0.
     """
-    from ..operators.mlprep import hash_bucket
-
-    cells = F.array(
-        *[
-            F.struct(
-                F.lit(d).alias("depth"),
-                hash_bucket(F.col(probe_col), width, salt=f"{salt}#{d}").alias(
-                    "bucket"
-                ),
-            )
-            for d in range(depth)
-        ]
-    )
-    probed = probes.select(probe_col, F.explode(cells).alias("c")).select(
-        probe_col, F.col("c.depth").alias("depth"), F.col("c.bucket").alias("bucket")
+    h1, h2 = _cms_halves(F.col(probe_col), salt)
+    probed = (
+        probes.select(probe_col, h1.alias("__h1"), h2.alias("__h2"))
+        .select(
+            probe_col, F.explode(_cms_cells_from_halves(depth, width)).alias("c")
+        )
+        .select(
+            probe_col,
+            F.col("c.depth").alias("depth"),
+            F.col("c.bucket").alias("bucket"),
+        )
     )
     joined = probed.join(F.broadcast(sketch), ["depth", "bucket"], "left")
     return joined.groupBy(probe_col).agg(
@@ -144,19 +170,26 @@ def sql_cms_sketch(
     width: int = 256,
     salt: str = "cms-v1",
 ) -> str:
-    """DuckDB twin of :func:`cms_sketch` (bit-identical matrix)."""
-    from ..operators.mlprep import hash_bucket_sql
-
-    arms = " UNION ALL ".join(
-        f"SELECT {d} AS depth, "
-        f"{hash_bucket_sql(tok_sql, width, salt=f'{salt}#{d}')} AS bucket "
-        f"FROM {source_tokens}"
-        for d in range(depth)
-    )
+    """DuckDB twin of :func:`cms_sketch` (bit-identical matrix): the
+    same single-md5 double-hashing bucket derivation, spelled in SQL.
+    Emits a plain SELECT (no WITH) so callers can splice it after
+    their own CTE chain; the depth fan-out is a CROSS JOIN range() so
+    DuckDB also hashes each token exactly once (equal work under
+    scripts/bench_compare.py)."""
     return f"""
-    SELECT depth, bucket, COUNT(*) AS n
-    FROM ({arms})
-    GROUP BY depth, bucket
+    SELECT CAST(u.range AS INTEGER) AS depth,
+           CAST((hp.h1 + u.range * hp.h2) % {width} AS INTEGER) AS bucket,
+           COUNT(*) AS n
+    FROM (
+      SELECT CAST(concat('0x', substr(dig, 1, 8)) AS BIGINT) AS h1,
+             CAST(concat('0x', substr(dig, 9, 8)) AS BIGINT) AS h2
+      FROM (
+        SELECT md5(CAST({tok_sql} AS VARCHAR) || '{salt}') AS dig
+        FROM {source_tokens}
+      )
+    ) hp
+    CROSS JOIN range({depth}) u
+    GROUP BY 1, 2
     """
 
 

@@ -503,6 +503,20 @@ class VersionedTable:
                 continue
             shutil.rmtree(d, ignore_errors=True)
             removed.append(rel)
+        # Dead writers also leak their fsynced-but-never-linked private
+        # manifest bodies (.tmp-*): a crash between the tmp write and
+        # the os.link leaves one behind (the finally-unlink dies with
+        # the process). They are invisible to readers — reap aged ones.
+        mdir = self.path / _MANIFEST_DIR
+        if mdir.is_dir():
+            for f in sorted(mdir.glob(".tmp-*")):
+                try:
+                    if now - f.stat().st_mtime < min_age_seconds:
+                        continue  # an in-flight commit, microseconds old
+                    f.unlink()
+                    removed.append(str(f.relative_to(self.path)))
+                except OSError:
+                    pass
         return removed
 
     def _version_file_paths(self, m: dict) -> list[str] | None:

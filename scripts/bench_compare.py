@@ -26,6 +26,28 @@ from glamira_batch_processing_spark.plans.registry import TABLES
 
 
 def main() -> None:
+    if "--reaggregate" in sys.argv:
+        # Recompute the summary fields from an already-measured
+        # artifact's per-query timings (no re-benching): used when the
+        # summary derivation gains a field. loadavg is re-read, so the
+        # field reflects the reaggregation moment — the timings carry
+        # their own medians/stdev.
+        prev = json.loads(
+            Path(sys.argv[sys.argv.index("--reaggregate") + 1]).read_text()
+        )
+        print(
+            json.dumps(
+                _summarize(
+                    prev["queries"],
+                    prev["unequal_work_queries"],
+                    prev["sf_dir"],
+                    prev["runs_per_query"],
+                    loadavg=prev["loadavg_1m"],  # the MEASURED run's load
+                ),
+                indent=2,
+            )
+        )
+        return
     sf = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
     from glamira_batch_processing_spark import get_spark
 
@@ -115,6 +137,10 @@ def main() -> None:
     # the real distributed tokenization while DuckDB's side is a
     # near-zero seed-table read, so the row would inflate the headline
     # ratio without comparing equal work.
+    # Round 10: the three lifecycle queries that joined the extended
+    # bench are unequal by the same construction — Spark runs the full
+    # write lifecycle (create/MERGE/DELETE + CDF read; IVM refresh;
+    # coded-layout write) while DuckDB only queries the source parquet.
     unequal = [
         n
         for n in report
@@ -123,6 +149,9 @@ def main() -> None:
         in (
             "s1_chunked_export_roundtrip",
             "s11_versioned_lifecycle",
+            "s11_cdc_diff",
+            "s11_incremental_view",
+            "q1_coded_layout",
             "bpe_encode_stats",
         )
     ]
@@ -146,33 +175,66 @@ def main() -> None:
         row["duckdb_realwork_sec"] = round(t_single, 3)
         row["ratio_spark_over_realwork"] = round(row["spark_sec"] / t_single, 2)
 
+    print(json.dumps(_summarize(report, unequal, sf, runs), indent=2))
+
+
+def _summarize(
+    report: dict,
+    unequal: list,
+    sf: str,
+    runs: int,
+    loadavg: float | None = None,
+) -> dict:
+    """Assemble the summary from per-query timings. Pure function of
+    the recorded numbers so ``--reaggregate`` can recompute the summary
+    fields from a previously measured artifact without re-benching."""
     total_s = sum(v["spark_sec"] for v in report.values())
     total_d = sum(v["duckdb_sec"] for v in report.values())
-    lfl_s = sum(v["spark_sec"] for n, v in report.items() if n not in unequal)
-    lfl_d = sum(v["duckdb_sec"] for n, v in report.items() if n not in unequal)
-    print(
-        json.dumps(
-            {
-                "sf_dir": sf,
-                "runs_per_query": runs,
-                "aggregation": "min-of-reps (symmetric; contention is additive noise — see per-query medians/stdev for spread)",
-                # ambient CPU load when the run started/ended: this box
-                # carries variable co-tenant load (round-6 bisect showed
-                # +-20% drift on identical code), so the artifact records
-                # the conditions it was measured under.
-                "loadavg_1m": round(__import__("os").getloadavg()[0], 2),
-                "spark_total_sec": round(lfl_s, 3),
-                "duckdb_total_sec": round(lfl_d, 3),
-                "ratio": round(lfl_s / lfl_d, 2),
-                "spark_total_sec_all_rows": round(total_s, 3),
-                "duckdb_total_sec_all_rows": round(total_d, 3),
-                "ratio_all_rows": round(total_s / total_d, 2),
-                "unequal_work_queries": unequal,
-                "queries": report,
-            },
-            indent=2,
-        )
-    )
+    lfl = {n: v for n, v in report.items() if n not in unequal}
+    lfl_s = sum(v["spark_sec"] for v in lfl.values())
+    lfl_d = sum(v["duckdb_sec"] for v in lfl.values())
+    # The totals ratio can lean on whichever single query is heaviest
+    # on either engine (round 10: ann_ivfpq_residual_topk's oracle
+    # costs DuckDB ~21 s, flattering the Spark total). Name the row
+    # whose removal moves the totals ratio the most and report the
+    # ratio without it, so the aggregate cannot silently hide behind
+    # one outlier in either direction. (A median-of-per-query-ratios
+    # was considered and rejected: it is dominated by sub-second
+    # queries where Spark's per-stage floor — not throughput — sets
+    # the ratio; SCALE.md documents that floor amortizing at 10x.)
+    dominant, dom_ratio_without = None, None
+    base = lfl_s / lfl_d if lfl_d else None
+    for n, v in lfl.items():
+        s2, d2 = lfl_s - v["spark_sec"], lfl_d - v["duckdb_sec"]
+        if d2 <= 0:
+            continue
+        r2 = s2 / d2
+        if dominant is None or abs(r2 - base) > abs(dom_ratio_without - base):
+            dominant, dom_ratio_without = n, r2
+    return {
+        "sf_dir": sf,
+        "runs_per_query": runs,
+        "aggregation": "min-of-reps (symmetric; contention is additive noise — see per-query medians/stdev for spread)",
+        # ambient CPU load when the run started/ended: this box
+        # carries variable co-tenant load (round-6 bisect showed
+        # +-20% drift on identical code), so the artifact records
+        # the conditions it was measured under.
+        "loadavg_1m": (
+            round(__import__("os").getloadavg()[0], 2)
+            if loadavg is None
+            else loadavg
+        ),
+        "spark_total_sec": round(lfl_s, 3),
+        "duckdb_total_sec": round(lfl_d, 3),
+        "ratio": round(lfl_s / lfl_d, 2),
+        "ratio_most_influential_row": dominant,
+        "ratio_without_that_row": round(dom_ratio_without, 2),
+        "spark_total_sec_all_rows": round(total_s, 3),
+        "duckdb_total_sec_all_rows": round(total_d, 3),
+        "ratio_all_rows": round(total_s / total_d, 2),
+        "unequal_work_queries": unequal,
+        "queries": report,
+    }
 
 
 def _s1_realwork_duckdb(sf: str, reps: int = 2) -> float:

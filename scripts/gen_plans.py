@@ -20,10 +20,14 @@ import __spark_entry__ as contract
 EXTRA = [
     n for n in contract._PRIORITY if n not in bench.HEADLINE
 ] + [
-    "dedup_cluster_components",
-    "pii_redact",
-    "chunk_token_windows",
-    "q1_coded_layout",
+    n
+    for n in (
+        "dedup_cluster_components",
+        "pii_redact",
+        "chunk_token_windows",
+        "q1_coded_layout",  # joined bench.HEADLINE in round 10
+    )
+    if n not in bench.HEADLINE
 ]
 SF = "/root/testdata/sf0.01"
 

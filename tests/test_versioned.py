@@ -1220,6 +1220,93 @@ def test_concurrent_merge_across_processes(spark, tmp_path):
     assert t.versions() == list(range(5))
 
 
+def test_crash_between_staged_files_and_manifest_link(spark, tmp_path):
+    """Crash-injection on the commit path (VERDICT r9 ask #6): a
+    subprocess writer is SIGKILLed AFTER its data files (and fsynced
+    tmp manifest body) land but BEFORE the atomic ``os.link`` makes the
+    manifest visible — a real process death at the exact protocol
+    boundary, injected by replacing ``os.link`` with a self-SIGKILL in
+    the child. The table must then: (1) still read at the prior
+    version, (2) accept the next writer at the next version number,
+    and (3) let gc_orphans reclaim the dead attempt's data directory
+    without touching any committed directory — no orphan leak, no
+    torn state."""
+    import os
+    import subprocess
+    import sys
+    import textwrap
+
+    t = VersionedTable(tmp_path / "tbl")
+    t.create(spark.range(10).selectExpr("id AS k", "id * 2 AS v"))
+    assert t.latest_version() == 0
+
+    child_src = textwrap.dedent(
+        f"""
+        import os, signal, sys
+        sys.path.insert(0, {str(Path(__file__).resolve().parent.parent)!r})
+        # Crash injection: the commit path's only os.link call is the
+        # manifest's atomic visibility step; dying inside it models a
+        # writer killed after staging data but before commit.
+        def _die(src, dst, *a, **kw):
+            sys.stdout.write("LINK_REACHED\\n"); sys.stdout.flush()
+            os.kill(os.getpid(), signal.SIGKILL)
+        os.link = _die
+        from pyspark.sql import SparkSession
+        from glamira_batch_processing_spark.sources.versioned import VersionedTable
+        spark = (SparkSession.builder.master("local[4]")
+                 .config("spark.sql.shuffle.partitions", "4")
+                 .config("spark.ui.enabled", "false")
+                 .config("spark.sql.session.timeZone", "UTC")
+                 .appName("vt-crash-writer").getOrCreate())
+        t = VersionedTable({str(tmp_path / "tbl")!r})
+        t.overwrite(spark.range(100, 110).selectExpr("id AS k", "id AS v"))
+        print("UNREACHABLE")
+        """
+    )
+    proc = subprocess.run(
+        [sys.executable, "-c", child_src],
+        stdout=subprocess.PIPE,
+        stderr=subprocess.STDOUT,
+        text=True,
+        env=dict(os.environ),
+        timeout=600,
+    )
+    assert "LINK_REACHED" in proc.stdout, proc.stdout[-2000:]
+    assert "UNREACHABLE" not in proc.stdout
+    assert proc.returncode == -9  # SIGKILL, not a clean exit
+
+    # (1) prior version intact and readable; the crashed attempt is
+    # invisible (no v1 manifest, only an unreferenced data dir + the
+    # dead writer's tmp manifest body).
+    assert t.latest_version() == 0
+    assert sorted(r["k"] for r in t.read(spark).collect()) == list(range(10))
+    data_root = tmp_path / "tbl" / "data"
+    orphan_dirs = [
+        d.name
+        for d in data_root.iterdir()
+        if d.is_dir() and d.name.startswith("v00001-")
+    ]
+    assert len(orphan_dirs) == 1, orphan_dirs  # staged files DID land
+    tmp_manifests = list((tmp_path / "tbl" / "_manifests").glob(".tmp-*"))
+    assert len(tmp_manifests) == 1  # fsynced body, never linked
+
+    # (2) the next writer is oblivious: same version number the dead
+    # writer attempted, fresh attempt-unique data dir, clean commit.
+    t.overwrite(spark.range(200, 205).selectExpr("id AS k", "id AS v"))
+    assert t.versions() == [0, 1]
+    assert sorted(r["k"] for r in t.read(spark).collect()) == list(range(200, 205))
+
+    # (3) gc reclaims exactly the dead attempt's directory AND its
+    # never-linked tmp manifest body; every committed version stays
+    # readable afterwards.
+    removed = t.gc_orphans(min_age_seconds=0.0)
+    assert f"data/{orphan_dirs[0]}" in removed
+    assert any(r.startswith("_manifests/.tmp-") for r in removed)
+    assert not list((tmp_path / "tbl" / "_manifests").glob(".tmp-*"))
+    assert sorted(r["k"] for r in t.read(spark, 0).collect()) == list(range(10))
+    assert sorted(r["k"] for r in t.read(spark, 1).collect()) == list(range(200, 205))
+
+
 def test_bloom_probe_integral_float_matches_bigint_column(spark, tmp_path):
     """equals=1.0 against a bigint column must probe the same bloom
     slot as equals=1 — a type-tag mismatch is a silent wrong-rows
