@@ -708,3 +708,28 @@ def test_q1_coded_layout_plan_shape(spark):
     assert "l_returnflag_code" in plan
     assert "Join" not in plan, plan
     assert plan.count("Exchange") == 1, plan
+
+
+def test_q8_market_share_one_fact_shuffle_join(spark):
+    """Q8's eight-table star must collapse to the designed shape: part,
+    supplier(+nation), customer(+asia nations) all broadcast against
+    lineitem, so the only join that may shuffle fact-sized data is
+    lineitem-orders (AQE may broadcast even that at toy scale). A dim
+    falling off its broadcast path would shuffle the fact 4x."""
+    df = QUERIES["q8_market_share"](spark, SF_SMALL)
+    plan = plan_of(df)
+    assert plan.count("BroadcastHashJoin") >= 4, plan
+    assert plan.count("SortMergeJoin") <= 1, plan
+
+
+def test_countmin_sketch_constant_state_aggregate(spark):
+    """The Count-Min build must be ONE map-side-combinable groupBy over
+    the constant (depth, bucket) key space: partial aggregates on the
+    scan side, a single shuffle of d*w counter cells, no joins. A plan
+    that shuffles the raw token stream (or joins per depth row) would
+    grow network with corpus size instead of staying ~1 KB."""
+    df = QUERIES["sketch_countmin_tokens"](spark, SF_SMALL)
+    plan = plan_of(df)
+    assert "partial_sum" in plan or "partial_count" in plan, plan
+    assert plan.count("Exchange ") <= 2, plan  # agg + final ORDER BY
+    assert "Join" not in plan, plan
