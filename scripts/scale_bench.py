@@ -116,6 +116,17 @@ MEASURED = [
     "quality_classifier_trained",
     "quality_classifier_eval",
     "dedup_keep_best",
+    # round-10 additions: the remaining rotated-in gate queries without
+    # a row here (the three streaming replay gates have their own
+    # measured 10x section in SCALE.md; ann_ivfpq is measured as
+    # ann_ivfpq_residual_full in _ann_frames; q1_coded_layout rides
+    # along for table completeness next to its sf10 disposition)
+    "q1_coded_layout",
+    "s11_cdc_diff",
+    "s11_incremental_view",
+    "multimodal_video_meta",
+    "sketch_countmin_tokens",
+    "asof_forward_next_purchase",
 ]
 
 # Round-6 (VERDICT r5 ask #3): the five queries flagged perf-weak at
