@@ -1335,3 +1335,158 @@ def search_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return fused.orderBy(F.desc("rrf_score"), "doc_id").limit(_RRF_TOPK)
+
+
+# ---------------------------------------------------------------------------
+# ANN index lifecycle: persisted IVF assignments + incremental refresh.
+# ---------------------------------------------------------------------------
+
+_IDX_NLIST = 8  # coarse lists (centroids vec_id < 8, as in ann_ivf_bucketed)
+_IDX_TOPK = 3
+
+
+@query(
+    "ann_index_persist",
+    oracle=f"""
+    WITH normed AS (
+      SELECT vec_id, embedding, sqrt({sql_dot("embedding", "embedding")}) AS nrm
+      FROM embeddings
+    ),
+    centroids AS (SELECT * FROM normed WHERE vec_id < {_IDX_NLIST}),
+    assigned AS (
+      SELECT vec_id, embedding, nrm, centroid_id FROM (
+        SELECT v.vec_id, v.embedding, v.nrm, c.vec_id AS centroid_id,
+               row_number() OVER (
+                 PARTITION BY v.vec_id
+                 ORDER BY {sql_dot("v.embedding", "c.embedding")} / (v.nrm * c.nrm) DESC,
+                          c.vec_id
+               ) AS rn
+        FROM normed v CROSS JOIN centroids c
+      ) WHERE rn = 1
+    ),
+    scored AS (
+      SELECT q.vec_id AS query_id, q.centroid_id, c.vec_id AS neighbor_id,
+             {sql_dot("q.embedding", "c.embedding")} / (q.nrm * c.nrm) AS cosine_sim
+      FROM assigned q
+      JOIN assigned c ON q.centroid_id = c.centroid_id AND q.vec_id != c.vec_id
+      WHERE q.vec_id % 50 = 0
+    )
+    SELECT query_id, centroid_id, neighbor_id, rank, cosine_sim FROM (
+      SELECT *, row_number() OVER (
+        PARTITION BY query_id ORDER BY cosine_sim DESC, neighbor_id
+      ) AS rank
+      FROM scored
+    )
+    WHERE rank <= {_IDX_TOPK}
+    """,
+)
+def ann_index_persist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF index LIFECYCLE: the index is a persisted TABLE, not a
+    per-query computation — the shape a 100 TB vector store actually
+    runs. Base corpus assignments (vec_id % 10 != 9) are written to a
+    VersionedTable with per-file centroid_id stats; the remaining
+    vectors arrive as an incremental batch whose assignment cost is
+    O(batch) and land via transactional MERGE (never re-assigning the
+    corpus); compact(cluster_by=centroid_id) restores list locality
+    after the merge (the OPTIMIZE ZORDER analog); probe queries then
+    read ONLY their lists via manifest min/max pruning — file opens
+    scale with nprobe, not index size.
+
+    The DuckDB oracle restates the pure search algebra over the full
+    corpus: create+MERGE over disjoint key sets must equal one-shot
+    assignment, and compaction must be answer-invariant — the
+    lifecycle legs are proven by producing the identical top-k.
+
+    The per-list read loop is driver-side but bounded by nprobe
+    (<= nlist = {_IDX_NLIST}), the vector-store analog of probing
+    inverted lists; at thousands of lists the same layout swaps the
+    loop for partition pruning on a centroid-partitioned path. The
+    distinct-probe-list collect is <= nlist rows (control plane).
+    """
+    from functools import reduce
+
+    from pyspark.sql import Window
+
+    from ..operators.similarity import dot, norm
+    from ..sources.versioned import VersionedTable
+    from .lifecycle_queries import _scratch
+
+    e = table(spark, sf_dir, "embeddings")
+    normed = e.select(
+        "vec_id", "embedding", norm(F.col("embedding")).alias("nrm")
+    )
+    cents = normed.filter(F.col("vec_id") < _IDX_NLIST).select(
+        F.col("vec_id").alias("centroid_id"),
+        F.col("embedding").alias("cvec"),
+        F.col("nrm").alias("cnrm"),
+    )
+
+    def assign(df: DataFrame) -> DataFrame:
+        sim_c = dot(F.col("embedding"), F.col("cvec")) / (
+            F.col("nrm") * F.col("cnrm")
+        )
+        w = Window.partitionBy("vec_id").orderBy(
+            F.desc("c_sim"), F.col("centroid_id")
+        )
+        return (
+            df.crossJoin(F.broadcast(cents))
+            .withColumn("c_sim", sim_c)
+            .withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("vec_id", "centroid_id", "embedding", "nrm")
+        )
+
+    vt = VersionedTable(
+        _scratch("ann_index_persist", sf_dir) / "ivf_index",
+        stat_columns=("centroid_id",),
+    )
+    vt.create(
+        assign(normed.filter(F.col("vec_id") % 10 != 9)).repartition(
+            4, "centroid_id"
+        )
+    )
+    vt.merge(
+        spark,
+        assign(normed.filter(F.col("vec_id") % 10 == 9)),
+        keys=["vec_id"],
+    )
+    vt.compact(spark, target_files=4, cluster_by=["centroid_id"])
+
+    idx = vt.read(spark)
+    probes = idx.filter(F.col("vec_id") % 50 == 0)
+    probe_lists = sorted(
+        r.centroid_id
+        for r in probes.select("centroid_id").distinct().collect()
+    )
+    cand = reduce(
+        DataFrame.unionByName,
+        [vt.read_pruned(spark, "centroid_id", equals=b)[0] for b in probe_lists],
+    )
+    q = probes.select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qvec"),
+        F.col("nrm").alias("qnrm"),
+        "centroid_id",
+    )
+    c = cand.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").alias("cvec2"),
+        F.col("nrm").alias("cnrm2"),
+        F.col("centroid_id").alias("c2"),
+    )
+    scored = q.join(
+        c,
+        (F.col("centroid_id") == F.col("c2"))
+        & (F.col("query_id") != F.col("neighbor_id")),
+    ).withColumn(
+        "cosine_sim",
+        dot(F.col("qvec"), F.col("cvec2")) / (F.col("qnrm") * F.col("cnrm2")),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine_sim"), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= _IDX_TOPK)
+        .select("query_id", "centroid_id", "neighbor_id", "rank", "cosine_sim")
+    )

@@ -295,3 +295,52 @@ def test_audio_resample_and_pixel_digest_zero_shuffle(spark):
         plan = plan_of(df)
         assert "Exchange" not in plan, name
         assert "ArrowEvalPython" in plan or "MapInPandas" in plan, name
+
+
+# ---------------------------------------------------------------------------
+# ann_index_persist: the persisted-IVF lifecycle mechanics.
+# ---------------------------------------------------------------------------
+
+
+def _scratch_path_no_wipe(name: str, sf_dir: str):
+    """Same path arithmetic as lifecycle_queries._scratch WITHOUT the
+    wipe, so a test can inspect the table a query left behind (the
+    query runs driver-side in this pytest process, so the pid in the
+    path is ours)."""
+    import hashlib
+    import os
+    import tempfile
+    from pathlib import Path
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    return (
+        Path(tempfile.gettempdir())
+        / "spark_graft_scratch"
+        / f"{name}-{tag}-{os.getpid()}"
+    )
+
+
+def test_ann_index_persist_versions_and_pruned_reads(spark):
+    """The oracle proves answer-invariance; this pins the mechanics it
+    cannot see: three committed versions (create -> merge -> clustered
+    compact), the incremental batch actually landing via MERGE (row
+    deltas), compaction row-invariance, and a single-list read pruning
+    files via manifest stats after the clustered compact."""
+    from glamira_batch_processing_spark.sources.versioned import VersionedTable
+
+    QUERIES["ann_index_persist"](spark, SF_SMALL).collect()
+    vt = VersionedTable(
+        _scratch_path_no_wipe("ann_index_persist", SF_SMALL) / "ivf_index",
+        stat_columns=("centroid_id",),
+    )
+    ops = [vt.manifest(v)["operation"] for v in vt.versions()]
+    assert ops[0] == "create" and ops[1].startswith("merge:vec_id")
+    assert ops[2].startswith("compact+zorder")
+    n_base = vt.read(spark, 0).count()
+    n_all = vt.read(spark, 1).count()
+    assert n_all > n_base  # the incremental batch landed via MERGE
+    assert n_all == vt.read(spark).count()  # compact is row-invariant
+    # after the clustered compact a single-list read prunes files
+    some_list = vt.read(spark).select("centroid_id").first()[0]
+    _, info = vt.read_pruned(spark, "centroid_id", equals=int(some_list))
+    assert info["files_read"] < info["files_total"], info
