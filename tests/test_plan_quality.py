@@ -733,3 +733,37 @@ def test_countmin_sketch_constant_state_aggregate(spark):
     assert "partial_sum" in plan or "partial_count" in plan, plan
     assert plan.count("Exchange ") <= 2, plan  # agg + final ORDER BY
     assert "Join" not in plan, plan
+
+
+def test_anomaly_spike_stats_broadcast_and_pushdown(spark):
+    """The error filter must reach the scan, and the 1-row mean/sigma
+    stats side must broadcast against the hourly aggregate — a
+    sort-merge join against a 1-row side would shuffle the series."""
+    df = QUERIES["anomaly_error_spike"](spark, SF_SMALL)
+    plan = plan_of(df)
+    assert "PushedFilters: [" in plan
+    assert "EqualTo(event_type,error)" in plan.split("PushedFilters:")[1][:200]
+    assert "BroadcastExchange" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_event_transition_matrix_no_joins_bounded_shuffles(spark):
+    """The Markov matrix is windows + aggregation only: the lead window
+    exchange on user_id, the map-side-combinable pair count, and the
+    tiny matrix window — never a self-join of the event stream."""
+    df = QUERIES["event_transition_matrix"](spark, SF_SMALL)
+    plan = plan_of(df)
+    assert "Join" not in plan, plan
+    assert plan.count("Exchange ") <= 3, plan
+    assert "partial_count" in plan  # map-side combine on the pair count
+
+
+def test_gapfill_spine_join_never_sort_merge(spark):
+    """Both sides of the spine join are calendar-bounded (hour counts,
+    not corpus rows), so the join must stay broadcast; the purchase
+    filter must reach the events scan."""
+    df = QUERIES["gapfill_forward_fill"](spark, SF_SMALL)
+    plan = plan_of(df)
+    assert "PushedFilters: [" in plan
+    assert "EqualTo(event_type,purchase)" in plan.split("PushedFilters:")[1][:300]
+    assert "SortMergeJoin" not in plan, plan
