@@ -296,10 +296,11 @@ from glamira_batch_processing_spark.plans.registry import ORACLE, QUERIES
 # f13_collated_group, quality_bigram_familiarity, text_tfidf_topterms,
 # sample_weighted_by_length, winsorize_outlier_counts,
 # drift_split_lang_cells, cluster_label_purity, anomaly_error_spike,
-# event_transition_matrix, and ann_index_persist (new in round 10:
-# the persisted-IVF index lifecycle — create -> incremental MERGE ->
-# clustered compact -> list-pruned probe reads — oracle-matched at
-# three scale factors the session it landed).
+# event_transition_matrix, plus the two new round-10 operators:
+# ann_index_persist (the persisted-IVF index lifecycle — create ->
+# incremental MERGE -> clustered compact -> list-pruned probe reads)
+# and split_leakage_safe (cluster-atomic train/val/test assignment),
+# each oracle-matched at multiple scale factors the session it landed.
 _PRIORITY: list[str] = [
     # Flagships: whole-warehouse DAG (staging -> SCD -> marts -> rollup)
     # and whole-training-data pipeline (quality -> dedup+components ->

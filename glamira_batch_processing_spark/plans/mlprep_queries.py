@@ -427,6 +427,109 @@ def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "split_leakage_safe",
+    oracle=f"""
+    WITH RECURSIVE {corpus_cte()},
+    shingles AS ({sql_shingles_cte("corpus")}),
+    mh AS (
+      SELECT doc_id, seed, MIN((a * h1 + b * h2) % 2147483647) AS minhash
+      FROM (
+        SELECT doc_id,
+               CAST(concat('0x', substr(md5(shingle), 1, 7)) AS BIGINT) AS h1,
+               CAST(concat('0x', substr(md5(shingle), 9, 7)) AS BIGINT) AS h2
+        FROM shingles
+      ), (VALUES (0, 1571058545, 730493953), (1, 1660058741, 1293707557), (2, 1122761735, 1579482915), (3, 72772567, 776319283), (4, 1809802581, 1088400267), (5, 1716185263, 1854787491), (6, 1376580201, 1232262117), (7, 126093127, 1718349005), (8, 1255154079, 929465995), (9, 1495162255, 1110399377), (10, 253380337, 223979957), (11, 331484111, 2008330133)) AS coeffs(seed, a, b)
+      GROUP BY doc_id, seed
+    ),
+    sigs AS (
+      SELECT doc_id, seed // 3 AS band,
+             string_agg(CAST(minhash AS VARCHAR), '|' ORDER BY seed) AS band_sig
+      FROM mh GROUP BY doc_id, seed // 3
+    ),
+    pairs AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM sigs a JOIN sigs b ON a.band = b.band AND a.band_sig = b.band_sig
+      WHERE a.doc_id < b.doc_id
+    ),
+    edges AS (
+      SELECT doc_a AS a, doc_b AS b FROM pairs
+      UNION
+      SELECT doc_b AS a, doc_a AS b FROM pairs
+    ),
+    r(node, lab) AS (
+      SELECT a, a FROM edges
+      UNION
+      SELECT e.b, r.lab FROM r JOIN edges e ON e.a = r.node
+    ),
+    comp AS (SELECT node, MIN(lab) AS component FROM r GROUP BY node),
+    keyed AS (
+      SELECT c.doc_id,
+             COALESCE(p.component, c.doc_id) AS split_key,
+             CAST(p.node IS NOT NULL AS INTEGER) AS is_dup
+      FROM corpus c LEFT JOIN comp p ON p.node = c.doc_id
+    ),
+    b AS (
+      SELECT doc_id, split_key, is_dup,
+             {hash_bucket_sql("split_key", 100, salt="split-v1")} AS bucket
+      FROM keyed
+    )
+    SELECT CASE WHEN bucket < 90 THEN 'train'
+                WHEN bucket < 95 THEN 'val'
+                ELSE 'test' END AS split,
+           COUNT(*) AS n_docs,
+           CAST(SUM(is_dup) AS BIGINT) AS n_dup_docs,
+           COUNT(DISTINCT CASE WHEN is_dup = 1 THEN split_key END) AS n_clusters,
+           MIN(doc_id) AS min_doc,
+           MAX(doc_id) AS max_doc
+    FROM b GROUP BY 1
+    """,
+)
+def split_leakage_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEAKAGE-SAFE train/val/test split: the hash key is the near-dup
+    CLUSTER representative, not the document id, so every member of a
+    duplicate cluster lands in the same split by construction. A naive
+    per-document hash split leaks: near-identical copies of one page
+    straddle the train/eval boundary and the eval set scores memorized
+    text (the contamination decontaminate_benchmark_overlap measures
+    AFTER the fact — this operator prevents it structurally).
+
+    Composition: LSH candidates -> connected components (the proven
+    dedup substrate) -> LEFT join of the corpus to cluster membership
+    (singletons keep their own id as split key) -> the same stateless
+    md5 hash_split as split_train_val_test, identical salt, so
+    singleton assignments are bit-compatible with the naive split.
+
+    Scale shape: everything through components is the
+    dedup_cluster_components plan; the policy adds ONE equi-join of
+    the (dup-docs-sized) membership table and the stateless per-row
+    bucket — no new corpus-sized shuffle. Split stability holds under
+    corpus growth: a cluster's key is its min member id, which only
+    changes if an older duplicate arrives — the same re-keying any
+    incremental dedup already handles.
+    """
+    c = corpus(spark, sf_dir).repartition(
+        spark.sparkContext.defaultParallelism, F.col("doc_id")
+    )
+    pairs = lsh_candidate_pairs(c, num_hashes=12, band_rows=3)
+    comp = connected_components(pairs, "doc_a", "doc_b")
+    keyed = c.join(comp, c["doc_id"] == comp["node"], "left").select(
+        c["doc_id"],
+        F.coalesce(comp["component"], c["doc_id"]).alias("split_key"),
+        comp["node"].isNotNull().cast("int").alias("is_dup"),
+    )
+    s = hash_split(keyed, F.col("split_key"), _SPLITS, salt="split-v1")
+    return s.groupBy("split").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("is_dup").cast("bigint").alias("n_dup_docs"),
+        F.countDistinct(
+            F.when(F.col("is_dup") == 1, F.col("split_key"))
+        ).alias("n_clusters"),
+        F.min("doc_id").alias("min_doc"),
+        F.max("doc_id").alias("max_doc"),
+    )
+
+
+@query(
     "sample_exact_k",
     oracle="""
     SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS tag

@@ -310,3 +310,60 @@ def test_drift_split_lang_chi2_below_critical(spark):
     assert len(cells) >= 8
     chi2 = sum(r.chi2_contribution for r in cells)
     assert chi2 < 26.12, f"split skewed the language mix: chi2={chi2}"
+
+
+# ---------------------------------------------------------------------------
+# split_leakage_safe: cluster-atomic split assignment.
+# ---------------------------------------------------------------------------
+
+
+def test_split_leakage_safe_clusters_never_straddle(spark):
+    """The hazard is real on this corpus: a NAIVE per-doc hash split
+    places members of at least one near-dup cluster in different
+    splits (train/eval contamination). The cluster-keyed split places
+    every cluster entirely inside one split, while singletons keep the
+    exact assignment the naive split gives them (same salt, same key
+    value), so going leakage-safe re-buckets only duplicate docs."""
+    from glamira_batch_processing_spark.operators.dedup import lsh_candidate_pairs
+    from glamira_batch_processing_spark.operators.mlprep import hash_split
+    from glamira_batch_processing_spark.plans.datapipe_queries import corpus
+    from tests.conftest import SF_SMALL
+
+    c = corpus(spark, SF_SMALL)
+    pairs = lsh_candidate_pairs(c, num_hashes=12, band_rows=3)
+    comp = connected_components(pairs, "doc_a", "doc_b")
+    splits = {"train": 90, "val": 5, "test": 5}
+
+    naive = hash_split(c, F.col("doc_id"), splits, salt="split-v1")
+    straddle_naive = (
+        naive.join(comp, naive["doc_id"] == comp["node"])
+        .groupBy("component")
+        .agg(F.countDistinct("split").alias("n_splits"))
+        .filter(F.col("n_splits") > 1)
+        .count()
+    )
+    assert straddle_naive >= 1  # the leakage the operator exists to stop
+
+    keyed = c.join(comp, c["doc_id"] == comp["node"], "left").select(
+        c["doc_id"],
+        F.coalesce(comp["component"], c["doc_id"]).alias("split_key"),
+    )
+    safe = hash_split(keyed, F.col("split_key"), splits, salt="split-v1")
+    straddle_safe = (
+        safe.join(comp, safe["doc_id"] == comp["node"])
+        .groupBy("component")
+        .agg(F.countDistinct("split").alias("n_splits"))
+        .filter(F.col("n_splits") > 1)
+        .count()
+    )
+    assert straddle_safe == 0
+
+    # singletons (no cluster membership) keep their naive assignment
+    singles_changed = (
+        naive.select("doc_id", F.col("split").alias("naive_split"))
+        .join(safe.select("doc_id", "split"), "doc_id")
+        .join(comp, naive["doc_id"] == comp["node"], "left_anti")
+        .filter(F.col("naive_split") != F.col("split"))
+        .count()
+    )
+    assert singles_changed == 0
