@@ -1162,7 +1162,11 @@ def mix_temperature_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return (
-        quota.join(kept, "source")
+        # Explicit hint: both sides are #sources-row aggregates, but
+        # static planning sizes them from the corpus-scan estimate and
+        # AQE left the sf1 plan on SortMergeJoin (round-10 10x audit) —
+        # the one bounded-side degradation the audit ever caught.
+        quota.join(F.broadcast(kept), "source")
         .select(
             "source",
             "n_docs",

@@ -26,6 +26,8 @@ EXTRA = [
         "pii_redact",
         "chunk_token_windows",
         "q1_coded_layout",  # joined bench.HEADLINE in round 10
+        "ann_index_persist",  # round-10 operators outside the window
+        "split_leakage_safe",
     )
     if n not in bench.HEADLINE
 ]

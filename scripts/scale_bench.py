@@ -127,6 +127,11 @@ MEASURED = [
     "multimodal_video_meta",
     "sketch_countmin_tokens",
     "asof_forward_next_purchase",
+    # round-10 new operators: the persisted-IVF index lifecycle and the
+    # cluster-atomic split (shares the components substrate; the row
+    # shows the split policy adds no super-linear term on top of it)
+    "ann_index_persist",
+    "split_leakage_safe",
 ]
 
 # Round-6 (VERDICT r5 ask #3): the five queries flagged perf-weak at

@@ -767,3 +767,13 @@ def test_gapfill_spine_join_never_sort_merge(spark):
     assert "PushedFilters: [" in plan
     assert "EqualTo(event_type,purchase)" in plan.split("PushedFilters:")[1][:300]
     assert "SortMergeJoin" not in plan, plan
+
+
+def test_mix_temperature_all_joins_broadcast(spark):
+    """Every join side in temperature sampling is bounded (#sources-row
+    aggregates, 1-row stats): the round-10 10x audit caught the final
+    quota-kept join left on SortMergeJoin by static sizing at sf1 —
+    the explicit hint must keep it broadcast at every scale."""
+    df = QUERIES["mix_temperature_sampling"](spark, SF_SMALL)
+    plan = plan_of(df)
+    assert "SortMergeJoin" not in plan, plan
