@@ -777,3 +777,23 @@ def test_mix_temperature_all_joins_broadcast(spark):
     df = QUERIES["mix_temperature_sampling"](spark, SF_SMALL)
     plan = plan_of(df)
     assert "SortMergeJoin" not in plan, plan
+
+
+def test_winsorize_bounds_broadcast(spark):
+    """The p01/p99 bounds table is #event_types rows and must broadcast
+    back onto the event stream — a shuffle join here would re-shuffle
+    the corpus to attach a handful of bounds."""
+    df = QUERIES["winsorize_outlier_counts"](spark, SF_SMALL)
+    plan = plan_of(df)
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan, plan
+
+
+def test_sample_weighted_plans_take_ordered(spark):
+    """A-ES weighted sampling must plan TakeOrderedAndProject
+    (per-partition heap + k-row merge), never a global Exchange+Sort
+    of the corpus by the sampling key."""
+    df = QUERIES["sample_weighted_by_length"](spark, SF_SMALL)
+    plan = plan_of(df)
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "Exchange rangepartitioning" not in plan, plan
