@@ -730,6 +730,70 @@ class VersionedTable:
         paths = [str(root / f["path"]) for f in kept]
         return _pred(spark.read.parquet(*paths)), info
 
+    def read_pruned_in(
+        self,
+        spark: SparkSession,
+        column: str,
+        values,
+        version: int | None = None,
+    ) -> tuple[DataFrame, dict]:
+        """Set-membership data skipping: ONE snapshot scan planning only
+        the files whose recorded [min, max] for ``column`` contains AT
+        LEAST ONE of ``values`` (bloom filters, when present, drop a
+        file only if EVERY value is definitely absent). This is the
+        inverted-list probe shape — ``WHERE centroid_id IN (probe
+        lists)`` — as a single pruned read instead of a per-value
+        read_pruned union: the plan has one parquet scan regardless of
+        len(values), so probing 64 of 65k lists never builds a
+        64-arm union on the driver.
+
+        The IN predicate is still applied to the result (pruning is an
+        optimization, never the filter); a file without stats for the
+        column is conservatively read. An empty ``values`` returns the
+        schema-preserving empty result (filter false over footers only).
+        Returns (df, info) with files_total / files_read.
+        """
+        from pyspark.sql import functions as F
+
+        vals = sorted(set(values))
+        if version is None:
+            version = self.latest_version()
+            if version is None:
+                raise FileNotFoundError(f"no committed version at {self.path}")
+        m = self.manifest(version)
+        data_dir = self.path / m["data_dir"]
+        files = m.get("files")
+        if not vals:
+            df = self.read(spark, version).filter(F.lit(False))
+            n = len(files) if files else None
+            return df, {"files_total": n, "files_read": 0, "pruned": True}
+        if not files:
+            df = self.read(spark, version).filter(F.col(column).isin(vals))
+            return df, {"files_total": None, "files_read": None, "pruned": False}
+
+        def _keep(f: dict) -> bool:
+            rng = f.get("stats", {}).get(column)
+            in_range = vals
+            if rng is not None:
+                lo, hi = rng
+                in_range = [v for v in vals if lo <= v <= hi]
+                if not in_range:
+                    return False
+            bloom = f.get("bloom", {}).get(column)
+            if bloom is not None and not any(
+                _bloom_probe(bloom, v) for v in in_range
+            ):
+                return False  # every candidate value definitely absent
+            return True
+
+        root = self.path if m.get("paths_relative_to") == "table" else data_dir
+        kept = [f for f in files if _keep(f)]
+        info = {"files_total": len(files), "files_read": len(kept), "pruned": True}
+        if not kept:
+            return self.read(spark, version).filter(F.lit(False)), info
+        paths = [str(root / f["path"]) for f in kept]
+        return spark.read.parquet(*paths).filter(F.col(column).isin(vals)), info
+
     def merge(
         self,
         spark: SparkSession,

@@ -344,3 +344,36 @@ def test_ann_index_persist_versions_and_pruned_reads(spark):
     some_list = vt.read(spark).select("centroid_id").first()[0]
     _, info = vt.read_pruned(spark, "centroid_id", equals=int(some_list))
     assert info["files_read"] < info["files_total"], info
+
+
+def test_ann_index_persist_probe_is_one_pruned_scan(spark):
+    """VERDICT r10 ask #6: the probe read must be ONE pruned scan, not
+    a per-list union loop — the plan must hold a single parquet scan
+    regardless of how many lists are probed, and manifest stats must
+    still skip non-probed files after the clustered compact."""
+    from glamira_batch_processing_spark.sources.versioned import VersionedTable
+
+    QUERIES["ann_index_persist"](spark, SF_SMALL).collect()
+    vt = VersionedTable(
+        _scratch_path_no_wipe("ann_index_persist", SF_SMALL) / "ivf_index",
+        stat_columns=("centroid_id",),
+    )
+    lists = sorted(
+        r.centroid_id
+        for r in vt.read(spark).select("centroid_id").distinct().collect()
+    )
+    probe = [int(v) for v in lists[:2]]
+    cand, info = vt.read_pruned_in(spark, "centroid_id", probe)
+    # one scan in the plan, however many lists are probed
+    plan = cand._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Scan parquet") == 1, plan
+    # manifest stats skip files holding only non-probed lists
+    assert 0 < info["files_read"] < info["files_total"], info
+    # pruning is an optimization, never the filter: rows == full-scan IN
+    expect = vt.read(spark).filter(F.col("centroid_id").isin(probe))
+    assert cand.count() == expect.count() > 0
+    # empty probe set: schema-preserving empty result, zero data files
+    empty, einfo = vt.read_pruned_in(spark, "centroid_id", [])
+    assert einfo["files_read"] == 0
+    assert empty.count() == 0
+    assert empty.columns == vt.read(spark).columns
