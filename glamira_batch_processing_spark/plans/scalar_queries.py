@@ -464,3 +464,231 @@ def f13_collated_group(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.lower(F.col("k")).cast("string").alias("etype_ci"), "n")
         .orderBy("etype_ci")
     )
+
+
+# ---------------------------------------------------------------------------
+# F14: from_json nested re-typing (the stringify-on-drift repair).
+# ---------------------------------------------------------------------------
+_CART_SCHEMA = (
+    "array<struct<product_id:string,amount:bigint,price:string,"
+    "currency:string,option:array<struct<option_id:string,"
+    "option_label:string,value_id:string,value_label:string>>>>"
+)
+
+# DuckDB from_json structure string for the same nested shape.
+_CART_DUCK = (
+    '[{"product_id":"VARCHAR","amount":"BIGINT","price":"VARCHAR",'
+    '"currency":"VARCHAR","option":[{"option_id":"VARCHAR",'
+    '"option_label":"VARCHAR","value_id":"VARCHAR",'
+    '"value_label":"VARCHAR"}]}]'
+)
+
+# The per-item construction, restated identically on both engines so
+# each side builds its OWN JSON text, parses it with its OWN nested
+# re-typer, and must land on identical typed rows.
+_F14_ORACLE = f"""
+WITH base AS (
+  SELECT o_orderkey AS k FROM orders
+),
+items AS (
+  SELECT k, j,
+    to_json(struct_pack(
+      product_id := CAST((k*7 + j*13) % 200 AS VARCHAR),
+      amount := CAST(1 + (k + j) % 5 AS BIGINT),
+      price := CASE WHEN (k + j) % 13 = 0 THEN 'N/A'
+        ELSE concat(CAST(100 + (k*31 + j*17) % 900 AS VARCHAR), '.',
+                    lpad(CAST((k + j) % 100 AS VARCHAR), 2, '0')) END,
+      currency := CASE (k + j) % 3 WHEN 0 THEN 'USD'
+                  WHEN 1 THEN 'EUR' ELSE 'GBP' END,
+      option := CASE WHEN (k + j) % 3 = 0 THEN [
+          struct_pack(
+            option_id := 'opt' || CAST((k + j) % 9 AS VARCHAR),
+            option_label := 'stone',
+            value_id := CAST((k + j) % 4 AS VARCHAR),
+            value_label := 'ruby'),
+          struct_pack(
+            option_id := 'opt' || CAST((k + j + 1) % 9 AS VARCHAR),
+            option_label := 'metal',
+            value_id := CAST((k + j + 1) % 4 AS VARCHAR),
+            value_label := 'gold')]
+        WHEN (k + j) % 3 = 1 THEN []
+        ELSE NULL END
+    )) AS cp
+  FROM base, generate_series(0, 2) AS g(j)
+  WHERE j <= k % 3
+),
+carts AS (
+  -- k%37 in (0,1) are the malformed / NULL drift rows: Spark's
+  -- PERMISSIVE from_json maps both to a NULL array; the oracle
+  -- restates that mapping as a pre-parse NULL.
+  SELECT k, CASE WHEN k % 37 IN (0, 1) THEN NULL
+            ELSE '[' || string_agg(cp, ',' ORDER BY j) || ']' END AS js
+  FROM items GROUP BY k
+),
+typed AS (
+  SELECT k, from_json(js::JSON, '{_CART_DUCK}') AS cart FROM carts
+),
+lvl1 AS (
+  SELECT k, generate_subscripts(cart, 1) - 1 AS cart_pos,
+         unnest(cart) AS cp
+  FROM typed WHERE cart IS NOT NULL
+),
+lvl1s AS (
+  SELECT k, cart_pos, cp.product_id AS product_id, cp.amount AS amount,
+         cp.price AS price_raw, cp.currency AS currency,
+         cp.option AS opts
+  FROM lvl1
+  UNION ALL
+  SELECT k, NULL, NULL, NULL, NULL, NULL, NULL
+  FROM typed WHERE cart IS NULL
+),
+lvl2 AS (
+  SELECT k, cart_pos, product_id, amount, price_raw, currency,
+         generate_subscripts(opts, 1) - 1 AS opt_pos, unnest(opts) AS op
+  FROM lvl1s WHERE opts IS NOT NULL AND len(opts) > 0
+),
+lvl2s AS (
+  SELECT k, cart_pos, product_id, amount, price_raw, currency, opt_pos,
+         op.option_id AS option_id, op.option_label AS option_label,
+         op.value_id AS value_id, op.value_label AS value_label
+  FROM lvl2
+  UNION ALL
+  SELECT k, cart_pos, product_id, amount, price_raw, currency,
+         NULL, NULL, NULL, NULL, NULL
+  FROM lvl1s WHERE opts IS NULL OR len(opts) = 0
+)
+SELECT k AS o_orderkey,
+  CASE WHEN lower(list_extract(
+         ['true','1','yes','FALSE','0','no','maybe'], k % 7 + 1))
+       IN ('true','1','yes','y') THEN TRUE
+       WHEN lower(list_extract(
+         ['true','1','yes','FALSE','0','no','maybe'], k % 7 + 1))
+       IN ('false','0','no','n') THEN FALSE
+       ELSE NULL END AS is_paypal,
+  cart_pos, product_id, amount, price_raw,
+  TRY_CAST(price_raw AS DOUBLE) AS price_num,
+  currency, opt_pos, option_id, option_label, value_id, value_label
+FROM lvl2s
+"""
+
+
+@query("f14_json_retype", oracle=_F14_ORACLE)
+def f14_json_retype(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nested JSON re-typing: a stringified ARRAY<STRUCT> column is
+    rebuilt into its typed form with one from_json, then consumed by
+    the standard double posexplode_outer (ref: the repair script
+    ``ETL/INSERT INTO `solid-transport-479213-h5.sql``:37-60 rebuilds
+    cart_products[].option[] from JSON strings via JSON_VALUE inside
+    ARRAY(SELECT AS STRUCT ...) against summary_schema.json — the
+    endgame of normalize_parquet_run.py:73-102's stringify-on-drift
+    normalize; lines 62-75 of the same script re-type is_paypal
+    STRING -> BOOLEAN and price STRING -> NUMERIC, mirrored here as
+    the is_paypal CASE and the price try_cast).
+
+    Each engine builds its OWN JSON text from the same arithmetic
+    (Spark to_json here, DuckDB to_json in the oracle), parses it with
+    its OWN nested re-typer (from_json on both), and must produce
+    identical typed rows — so the comparison pins parse semantics, not
+    a shared string. Drift rows (k % 37 in (0, 1)) arrive malformed or
+    NULL; PERMISSIVE from_json maps both to a NULL array and the outer
+    explode preserves the parent row, exactly like the reference's
+    LEFT JOIN UNNEST downstream of its repair.
+
+    Scale shape: to_json/from_json are codegen'd Column expressions
+    fused into the scan — zero shuffle, zero UDF; the explode is a
+    pipelined Generate. At 100 TB the one-pass from_json beats the
+    reference's per-path JSON_VALUE (one text parse per row, not one
+    per extracted field)."""
+    o = table(spark, sf_dir, "orders").select("o_orderkey")
+    k = F.col("o_orderkey")
+
+    opt_t = (
+        "array<struct<option_id:string,option_label:string,"
+        "value_id:string,value_label:string>>"
+    )
+
+    def item(j: int):
+        pid = ((k * 7 + j * 13) % 200).cast("string")
+        amount = (1 + (k + j) % 5).cast("long")
+        price = F.when((k + j) % 13 == 0, F.lit("N/A")).otherwise(
+            F.concat(
+                (100 + (k * 31 + j * 17) % 900).cast("string"),
+                F.lit("."),
+                F.lpad(((k + j) % 100).cast("string"), 2, "0"),
+            )
+        )
+        currency = F.element_at(
+            F.array(F.lit("USD"), F.lit("EUR"), F.lit("GBP")),
+            ((k + j) % 3 + 1).cast("int"),
+        )
+
+        def opt(off: int, label: str, value: str):
+            return F.struct(
+                F.concat(
+                    F.lit("opt"), ((k + j + off) % 9).cast("string")
+                ).alias("option_id"),
+                F.lit(label).alias("option_label"),
+                ((k + j + off) % 4).cast("string").alias("value_id"),
+                F.lit(value).alias("value_label"),
+            )
+
+        options = (
+            F.when((k + j) % 3 == 0, F.array(opt(0, "stone", "ruby"), opt(1, "metal", "gold")))
+            .when((k + j) % 3 == 1, F.array().cast(opt_t))
+            .otherwise(F.lit(None).cast(opt_t))
+        )
+        return F.struct(
+            pid.alias("product_id"),
+            amount.alias("amount"),
+            price.alias("price"),
+            currency.alias("currency"),
+            options.alias("option"),
+        )
+
+    cart = F.slice(
+        F.array(item(0), item(1), item(2)), 1, (1 + k % 3).cast("int")
+    )
+    js = (
+        F.when(k % 37 == 0, F.lit('{"cart": not-json'))
+        .when(k % 37 == 1, F.lit(None).cast("string"))
+        .otherwise(F.to_json(cart))
+    )
+    ip_raw = F.element_at(
+        F.array(*[F.lit(s) for s in
+                  ["true", "1", "yes", "FALSE", "0", "no", "maybe"]]),
+        (k % 7 + 1).cast("int"),
+    )
+    is_paypal = (
+        F.when(F.lower(ip_raw).isin("true", "1", "yes", "y"), F.lit(True))
+        .when(F.lower(ip_raw).isin("false", "0", "no", "n"), F.lit(False))
+        .otherwise(F.lit(None).cast("boolean"))
+    )
+
+    typed = o.select(
+        "o_orderkey",
+        is_paypal.alias("is_paypal"),
+        F.from_json(js, _CART_SCHEMA).alias("cart"),
+    )
+    lvl1 = typed.select(
+        "o_orderkey",
+        "is_paypal",
+        F.posexplode_outer("cart").alias("cart_pos", "cp"),
+    )
+    return lvl1.select(
+        "o_orderkey",
+        "is_paypal",
+        "cart_pos",
+        F.col("cp.product_id").alias("product_id"),
+        F.col("cp.amount").alias("amount"),
+        F.col("cp.price").alias("price_raw"),
+        F.col("cp.price").try_cast("double").alias("price_num"),
+        F.col("cp.currency").alias("currency"),
+        F.posexplode_outer("cp.option").alias("opt_pos", "op"),
+    ).select(
+        "o_orderkey", "is_paypal", "cart_pos", "product_id", "amount",
+        "price_raw", "price_num", "currency", "opt_pos",
+        F.col("op.option_id").alias("option_id"),
+        F.col("op.option_label").alias("option_label"),
+        F.col("op.value_id").alias("value_id"),
+        F.col("op.value_label").alias("value_label"),
+    )

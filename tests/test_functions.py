@@ -126,3 +126,37 @@ def test_text_fingerprint_normalization(spark):
     got = {r.id: r.fp for r in df.select("id", fingerprint(F.col("text")).alias("fp")).collect()}
     assert got[1] == got[2] == got[3]
     assert got[4] != got[1]
+
+
+def test_f14_json_retype_drift_rows_and_plan(spark):
+    """The from_json repair (f14): malformed and NULL JSON rows both
+    land as a preserved parent row with NULL item fields (PERMISSIVE
+    from_json -> NULL array -> posexplode_outer), option-less items
+    keep one row with NULL option fields, and the whole pipeline is
+    scan-fused: zero Exchange, zero Python."""
+    import __spark_entry__ as contract
+    from tests.conftest import SF_SMALL
+
+    df = contract.queries()["f14_json_retype"](spark, SF_SMALL)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, plan
+    assert "Python" not in plan and "ArrowEval" not in plan, plan
+
+    # o_orderkey % 37 == 0 is the malformed row, == 1 the NULL row:
+    # both must survive as exactly one row of NULL item fields.
+    drift = df.filter((F.col("o_orderkey") % 37).isin(0, 1)).collect()
+    assert drift, "no drift rows at this sf"
+    by_key: dict[int, list] = {}
+    for r in drift:
+        by_key.setdefault(r.o_orderkey, []).append(r)
+    for key, rows in by_key.items():
+        assert len(rows) == 1, (key, rows)
+        assert rows[0].cart_pos is None and rows[0].product_id is None
+    # a typed row: amount came back as a BIGINT through the JSON text
+    typed = df.filter(F.col("product_id").isNotNull()).first()
+    assert isinstance(typed.amount, int)
+    # 'N/A' price strings re-type to NULL, numeric ones to double
+    na = df.filter(F.col("price_raw") == "N/A").first()
+    assert na is not None and na.price_num is None
+    num = df.filter(F.col("price_raw") != "N/A").first()
+    assert isinstance(num.price_num, float)
