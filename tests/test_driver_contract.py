@@ -48,10 +48,14 @@ GATE_FAMILIES: dict[str, tuple[str, ...]] = {
     # p6 (green r1/2/3/5/6) rotates out.
     # Round 9: q17's correlated scalar-AVG subquery filter is the same
     # A6 shape — it rotates in while q22 (green r7/8) rotates out.
+    # Round 11: q11's HAVING-against-a-scalar-fraction-of-the-same-
+    # aggregate is the same filter-by-scalar-subquery shape — it
+    # rotates in while q17 (green r9/10) rotates out.
     "snapshot_filter": (
         "p6_latest_snapshot_filter",
         "q22_dormant_customers",
         "q17_small_quantity_revenue",
+        "q11_important_stock",
     ),
     "explode": ("j1_posexplode_outer",),
     # Round 6: q5/q10 (TPC-H multi-dim join chains) join the dim-join reps —
@@ -69,11 +73,15 @@ GATE_FAMILIES: dict[str, tuple[str, ...]] = {
     # Round 7: the TPC-H HAVING-subquery / scalar-subquery join-backs are
     # the same agg-result-joined-to-detail family — q18 and q15 rotate in
     # while j6 (green r1/2/3/5/6) rotates out.
+    # Round 11: q11 joins its per-part aggregate back against the
+    # grand-total aggregate of the SAME relation — the shape that
+    # admitted q18's HAVING subquery in round 7.
     "agg_join_back": (
         "j6_agg_join_back",
         "q18_large_volume_customer",
         "q15_top_supplier",
         "q17_small_quantity_revenue",
+        "q11_important_stock",
     ),
     # Round 7: the TPC-H EXISTS/NOT-EXISTS shapes join the semi/anti
     # family — q21 rotates in while j9 (green r1/2/3/5/6) rotates out.
@@ -113,11 +121,15 @@ GATE_FAMILIES: dict[str, tuple[str, ...]] = {
     # Round 10: cohort_retention's daily-actives metric is per-bucket
     # COUNT(DISTINCT user) — it joins the distinct-counting family
     # while q16 (green r8/9) rotates out.
+    # Round 11: rolling_7d's trailing-window actives metric is
+    # per-bucket COUNT(DISTINCT user) — the same argument that
+    # admitted cohort_retention in round 10, which rotates out (r9/10).
     "count_distinct": (
         "a2_multiplicity_flag",
         "funnel_view_click_purchase",
         "q16_parts_supplier",
         "cohort_retention",
+        "rolling_7d_active_users",
     ),
     # Round 8: q14's CASE-WHEN promo-revenue share is conditional
     # aggregation — it rotates in while DSIR (green r6/7) rotates out.
@@ -133,11 +145,15 @@ GATE_FAMILIES: dict[str, tuple[str, ...]] = {
     # Round 9: q2's min-cost-per-part correlated scalar subquery joined
     # back is the group-extreme family — it rotates in while q15 (green
     # r7/8) rotates out.
+    # Round 11: text_tfidf_topterms' per-document rank<=3 window is
+    # the group-extreme pick-top-per-group shape — it rotates in while
+    # q2 (green r9/10) rotates out.
     "group_max": (
         "a7_group_max_count",
         "a3_distinct_pairs",
         "q15_top_supplier",
         "q2_min_cost_supplier",
+        "text_tfidf_topterms",
     ),
     "grouping_sets": ("grouping_sets_priority_status", "rollup_revenue_by_region"),
     # Round 6: the two row_number-pick-one-per-key families merged (both
@@ -165,17 +181,26 @@ GATE_FAMILIES: dict[str, tuple[str, ...]] = {
     # Round 9: w6's ntile/percent_rank ranking shapes extend the
     # window-function-coverage family — it rotates in while w7 (green
     # r7/8) rotates out.
+    # Round 11: gapfill's forward-fill is last(ignorenulls) over a
+    # running ROWS frame — the w5 running-accumulation shape; it
+    # rotates in while w6 (green r9/10) rotates out.
     "window_frames": (
         "w5_running_totals",
         "w7_range_interval_frame",
         "w6_ntile_percent_rank",
+        "gapfill_forward_fill",
     ),
     # Round 9: q10's ORDER BY revenue DESC LIMIT 20 is the TakeOrdered
     # top-k shape — it rotates in while q3 (green r7/8) rotates out.
+    # Round 11: the A-ES weighted sample takes the global top-64 by a
+    # composite weight key and plans TakeOrderedAndProject — the
+    # topk_order shape; it keeps the family while q10 (green r9/10)
+    # rotates out.
     "topk_order": (
         "o4_topk_composite_order",
         "q3_shipping_priority",
         "q10_returned_items",
+        "sample_weighted_by_length",
     ),
     "union": ("u1_union_all", "u2_intersect_except"),
     "string_normalize": ("f1_string_normalize", "boilerplate_strip_lines"),
@@ -192,24 +217,35 @@ GATE_FAMILIES: dict[str, tuple[str, ...]] = {
     # Round 9: q7's shipdate-year extraction + interval predicates and
     # q6's pushed date-range algebra are both date arithmetic — they
     # rotate in while q12 (green r7/8) rotates out.
+    # Round 11: gapfill's hour spine is F6's GENERATE_DATE_ARRAY +
+    # UNNEST shape (sequence + explode + date_trunc) — it keeps the
+    # family while q6/q7 (green r9/10 each) rotate out.
     "date_time": (
         "f6_date_dimension",
         "f6_time_arithmetic",
         "q12_latency_priority_classes",
         "q7_volume_shipping",
         "q6_forecast_revenue",
+        "gapfill_forward_fill",
     ),
-    "json_extract": ("f8_json_extract", "f12_variant_extract"),
+    # Round 11: f14 is the reference repair script's from_json nested
+    # re-typing (VERDICT r10 missing #1) — it rotates in while f12
+    # (green r7..r10) rotates out.
+    "json_extract": ("f8_json_extract", "f12_variant_extract", "f14_json_retype"),
     "dedup_exact": ("dedup_exact", "url_canonicalize_dedup"),
     # Round 6: sub-document span dedup joins the near-dup reps (same
     # family at finer granularity) — spans rotates in, minhash (green
     # r1/2/3/5) rotates out.
+    # Round 11: the LSH recall eval tunes the banded near-dup path
+    # against labeled pairs — it rotates in while dedup_semdedup_prune
+    # (green r7..r10) rotates out.
     "dedup_near": (
         "dedup_minhash_lsh",
         "dedup_simhash",
         "dedup_ngram_jaccard",
         "dedup_substring_spans",
         "dedup_semdedup_prune",
+        "dedup_lsh_recall_eval",
     ),
     # Round 9: dedup_keep_best RUNS the components substrate end-to-end
     # (components + membership join + survivor window) — it rotates in
@@ -217,6 +253,7 @@ GATE_FAMILIES: dict[str, tuple[str, ...]] = {
     "dedup_components": ("dedup_cluster_components", "dedup_keep_best"),
     # Round 10: residual IVF+PQ (coarse quantizer + PQ on residuals)
     # rotates in while ann_sq8_topk (green r8/9) rotates out.
+    # Round 11: the persisted-IVF index lifecycle joins the ANN reps.
     "ann": (
         "ann_ivf_bucketed",
         "ann_cosine_topk",
@@ -225,21 +262,29 @@ GATE_FAMILIES: dict[str, tuple[str, ...]] = {
         "ann_pq_adc_topk",
         "ann_sq8_topk",
         "ann_ivfpq_residual_topk",
+        "ann_index_persist",
     ),
     # Round 7: SemDeDup's gate row exercises centroid assignment +
     # within-cluster pruning (clustering machinery) — it rotates in
     # while kmeans_lloyd_step (green r5/6) rotates out.
-    "clustering": ("kmeans_lloyd_step", "dedup_semdedup_prune"),
+    # Round 11: cluster_label_purity runs the Lloyd assignment and
+    # evaluates it (contingency purity) — the clustering family's
+    # evaluation leg, in while dedup_semdedup_prune rotates out.
+    "clustering": ("kmeans_lloyd_step", "dedup_semdedup_prune", "cluster_label_purity"),
     "langid": ("text_langid", "text_langid_trained"),
     # Round 9: the trained NB quality classifier + its held-out eval are
     # the learned leg of the quality-filter family — they rotate in
     # while quality_gopher_filter (green r7/8) rotates out.
+    # Round 11: bigram familiarity is the Gopher-family quality
+    # metric — it keeps the family while the trained classifier pair
+    # (green r9/10 each) rotates out.
     "text_quality": (
         "text_repetition_stats",
         "text_quality_score",
         "quality_gopher_filter",
         "quality_classifier_trained",
         "quality_classifier_eval",
+        "quality_bigram_familiarity",
     ),
     # Round 8: the unsupported-variant quarantine gate is the image
     # family's routing leg — it rotates in while pixel_digest (green
@@ -274,7 +319,10 @@ GATE_FAMILIES: dict[str, tuple[str, ...]] = {
     ),
     # Round 7: deterministic corpus shuffling is the ordering half of the
     # same train-prep partitioning family as the hash split.
-    "split": ("split_train_val_test", "corpus_shuffle_deterministic"),
+    # Round 11: the cluster-atomic leakage-safe split joins the
+    # train-prep partitioning family while corpus_shuffle (green
+    # r7..r10) rotates out.
+    "split": ("split_train_val_test", "corpus_shuffle_deterministic", "split_leakage_safe"),
     # Round 9: source-proportion resampling is the sampling family's
     # domain-mixing leg — it rotates in while mix_temperature_sampling
     # (green r7/8) rotates out.
@@ -351,7 +399,10 @@ GATE_FAMILIES: dict[str, tuple[str, ...]] = {
         "asof_forward_next_purchase",
     ),
     # Round-5 families: lexical retrieval and iterative graph ranking.
-    "retrieval": ("search_bm25_topk", "search_hybrid_rrf"),
+    # Round 11: tf-idf relevance ranking is the lexical-retrieval
+    # family's scoring ancestor of BM25 — it rotates in while
+    # search_hybrid_rrf (green r7..r10) rotates out.
+    "retrieval": ("search_bm25_topk", "search_hybrid_rrf", "text_tfidf_topterms"),
     "graph_rank": ("graph_pagerank_parts",),
     # Round 9: new family — sessionization (gap-based batch windows and
     # the native session_window form) gets its first external gate row.
@@ -365,6 +416,11 @@ GATE_FAMILIES: dict[str, tuple[str, ...]] = {
         "funnel_streaming_gate",
         "alerts_streaming_gate",
     ),
+    # Round 11: new family — the digest-pinned distributed tokenizer
+    # encodes (BPE merges and Unigram pieces trained distributed, the
+    # encode passes oracle-checked against seed tables from a
+    # Spark-free twin).
+    "tokenizer": ("bpe_encode_stats", "unigram_encode_stats"),
 }
 
 
@@ -394,26 +450,27 @@ def test_priority_order_covers_gate_window():
         if not set(reps) & set(prio)
     }
     assert not uncovered, f"families with no gate-window representative: {uncovered}"
-    # The round-9 rotations hold exactly ONE green external round (r9),
-    # so they stay in-window until a second green row lands (rotation
-    # policy: >=2 greens). Round 10 rotated out ten members of the
-    # round-8-and-earlier cohort, each holding >=2 greens.
+    # The round-10 rotations hold exactly ONE green external round
+    # (r10), so they stay in-window until a second green row lands
+    # (rotation policy: >=2 greens). Round 11 rotated out fifteen
+    # members of the round-9-and-earlier cohort, each holding >=2
+    # greens.
     for required in (
-        "q2_min_cost_supplier",
-        "q6_forecast_revenue",
-        "q7_volume_shipping",
-        "q10_returned_items",
-        "q17_small_quantity_revenue",
-        "q19_disjunctive_revenue",
+        "q1_coded_layout",
+        "q8_market_share",
+        "s11_cdc_diff",
+        "sessionize_streaming_gate",
+        "funnel_streaming_gate",
+        "alerts_streaming_gate",
+        "multimodal_video_meta",
+        "ann_ivfpq_residual_topk",
+        "asof_forward_next_purchase",
+        "sketch_countmin_tokens",
+        # multi-green veterans that remain sole family representatives
         "q20_potential_promotion",
-        "quality_classifier_trained",
-        "quality_classifier_eval",
         "dedup_keep_best",
         "qa_snapshot_drift",
         "sessionize_builtin_window",
-        "w6_ntile_percent_rank",
-        "cohort_retention",
-        "mix_resample_sources",
     ):
         assert required in prio, required
 
