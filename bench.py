@@ -121,6 +121,18 @@ EXTENDED = [
     "multimodal_video_meta",
     "ann_ivfpq_residual_topk",
     "sketch_countmin_tokens",
+    # round 11: mirror the gate-window rotation — the round-11 swap-ins
+    # not already benched join here (same policy as round 10; the
+    # streaming replay gates stay out by design).
+    "unigram_encode_stats",
+    "gapfill_forward_fill",
+    "f14_json_retype",
+    "dedup_lsh_recall_eval",
+    "cluster_label_purity",
+    "ann_index_persist",
+    "multimodal_video_routing",
+    "split_leakage_safe",
+    "sample_weighted_by_length",
 ]
 
 HEADLINE = HEADLINE_PINNED + EXTENDED

@@ -39,7 +39,10 @@ def main() -> None:
             json.dumps(
                 _summarize(
                     prev["queries"],
-                    prev["unequal_work_queries"],
+                    # recompute from the CURRENT classification rule,
+                    # not the artifact's stored list, so an unequal-work
+                    # reclassification propagates without re-benching
+                    _unequal(prev["queries"]),
                     prev["sf_dir"],
                     prev["runs_per_query"],
                     loadavg=prev["loadavg_1m"],  # the MEASURED run's load
@@ -141,20 +144,14 @@ def main() -> None:
     # bench are unequal by the same construction — Spark runs the full
     # write lifecycle (create/MERGE/DELETE + CDF read; IVM refresh;
     # coded-layout write) while DuckDB only queries the source parquet.
-    unequal = [
-        n
-        for n in report
-        if n.startswith("multimodal_")
-        or n
-        in (
-            "s1_chunked_export_roundtrip",
-            "s11_versioned_lifecycle",
-            "s11_cdc_diff",
-            "s11_incremental_view",
-            "q1_coded_layout",
-            "bpe_encode_stats",
-        )
-    ]
+    # Round 11: ann_index_persist is the same write-surface lifecycle
+    # class (create -> incremental MERGE -> clustered compact = three
+    # transactional table commits before the probe read) vs a pure-
+    # SELECT oracle that restates only the search algebra; and
+    # unigram_encode_stats is the same digest-pinned answer-table
+    # construction as bpe_encode_stats (DuckDB reads precomputed seed
+    # rows, does no tokenizer training/encode work).
+    unequal = _unequal(report)
     if "multimodal_video_frames" in report:
         t_single, n_frames = _video_frames_single_node(sf, reps=2)
         row = report["multimodal_video_frames"]
@@ -176,6 +173,27 @@ def main() -> None:
         row["ratio_spark_over_realwork"] = round(row["spark_sec"] / t_single, 2)
 
     print(json.dumps(_summarize(report, unequal, sf, runs), indent=2))
+
+
+def _unequal(report: dict) -> list:
+    """Names whose Spark and DuckDB sides do UNEQUAL work by oracle
+    construction (see the block comment above the call site)."""
+    return [
+        n
+        for n in report
+        if n.startswith("multimodal_")
+        or n
+        in (
+            "s1_chunked_export_roundtrip",
+            "s11_versioned_lifecycle",
+            "s11_cdc_diff",
+            "s11_incremental_view",
+            "q1_coded_layout",
+            "bpe_encode_stats",
+            "unigram_encode_stats",
+            "ann_index_persist",
+        )
+    ]
 
 
 def _summarize(

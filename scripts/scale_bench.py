@@ -132,6 +132,15 @@ MEASURED = [
     # shows the split policy adds no super-linear term on top of it)
     "ann_index_persist",
     "split_leakage_safe",
+    # round-11 additions: the rotated-in gate queries without a row
+    # here (the rest of the round-11 window already had rows)
+    "unigram_encode_stats",
+    "gapfill_forward_fill",
+    "rolling_7d_active_users",
+    "sample_weighted_by_length",
+    "cluster_label_purity",
+    "multimodal_video_routing",
+    "f14_json_retype",
 ]
 
 # Round-6 (VERDICT r5 ask #3): the five queries flagged perf-weak at
@@ -153,6 +162,11 @@ WEAK_VS_DUCK = [
     # Round-9 (VERDICT r8 ask #3): bench-flagged at sf0.1 (2.43x, >1 s)
     # and previously missing from this table — measure, don't infer.
     "dedup_keep_best",
+    # Round-11: the two new equal-work bench-flag hits from the
+    # regenerated BENCH_COMPARE (dedup_lsh_recall_eval 4.28x at 1.01 s,
+    # split_leakage_safe 2.22x at 3.40 s) get twin-at-10x rows.
+    "dedup_lsh_recall_eval",
+    "split_leakage_safe",
 ]
 
 
