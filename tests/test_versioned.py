@@ -383,6 +383,50 @@ def test_read_pruned_empty_interval_preserves_schema(spark, tmp_path):
     assert df.count() == 0
 
 
+def test_read_pruned_in_set_membership(spark, tmp_path):
+    """read_pruned_in: equals the full-scan IN filter, skips files that
+    hold none of the probed values, handles the empty set, and falls
+    back conservatively without stats."""
+    t = _mk_stats_table(spark, tmp_path / "tbl")
+    # values spanning two distant ranges + one absent value
+    vals = [12, 9900, 50000]
+    df, info = t.read_pruned_in(spark, "k", vals)
+    assert info["pruned"] and 0 < info["files_read"] < info["files_total"]
+    full = t.read(spark)
+    expect = full.filter(full.k.isin(vals))
+    assert sorted(map(tuple, df.collect())) == sorted(map(tuple, expect.collect()))
+    # all values out of range -> zero files, schema preserved
+    df2, info2 = t.read_pruned_in(spark, "k", [70000, 80000])
+    assert info2["files_read"] == 0 and df2.count() == 0
+    assert df2.columns == ["k", "v"]
+    # empty value set -> footers-only empty read
+    df3, info3 = t.read_pruned_in(spark, "k", [])
+    assert info3["files_read"] == 0 and df3.count() == 0
+    # duplicates in the probe set do not duplicate rows
+    df4, _ = t.read_pruned_in(spark, "k", [12, 12])
+    assert df4.count() == 1
+
+
+def test_read_pruned_in_bloom_drops_unclustered_files(spark, tmp_path):
+    """On an UNCLUSTERED table every file's min/max covers the key
+    space, so range pruning keeps everything — the per-file blooms must
+    still drop files where every probed value is definitely absent."""
+    t = VersionedTable(
+        tmp_path / "tbl", stat_columns=("k",), bloom_columns=("k",),
+        bloom_fpp=0.001,
+    )
+    # interleaved keys per file: file i holds k % 4 == i -> min/max
+    # ranges all span [i, ~8000), but blooms separate membership
+    df = spark.range(8000).selectExpr("id AS k", "CAST(id AS STRING) AS v")
+    t.create(df.repartition(4, (df.k % 4).cast("int")))
+    m = t.manifest(t.latest_version())
+    assert len(m["files"]) >= 3
+    probe = [16, 20]  # both k % 4 == 0
+    got, info = t.read_pruned_in(spark, "k", probe)
+    assert info["files_read"] < info["files_total"], info
+    assert sorted(r.k for r in got.collect()) == probe
+
+
 def test_read_pruned_without_stats_falls_back(spark, tmp_path):
     t = VersionedTable(tmp_path / "tbl")  # no stat_columns
     t.create(spark.createDataFrame([(1, "a"), (2, "b")], "k long, v string"))
