@@ -393,7 +393,7 @@ def main() -> None:
         "is multi-file and can even run FASTER).",
         "",
         "Interpreting `plan same = NO`: a row flips when Catalyst's "
-        "size-based join strategy changes between scales. For the LSH, pagerank (final mass-table re-attach outgrows broadcast -> SMJ), q18 (the HAVING-survivor semi-join side outgrows broadcast) "
+        "size-based join strategy changes between scales. For the LSH rows (dedup_minhash_lsh, its fast twin, and dedup_lsh_recall_eval — the candidate-pair side grows with the corpus), pagerank (final mass-table re-attach outgrows broadcast -> SMJ), q18 (the HAVING-survivor semi-join side outgrows broadcast), q4/q12 (the EXISTS/delay-class semi-join sides are fact-derived; verified round 10) "
         "queries and the order-flatten carts join this is the CORRECT "
         "choice, not degradation — the build side is a self-join/fact "
         "aggregate that grows with the data, so it outgrows the "
