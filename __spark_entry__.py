@@ -349,7 +349,10 @@ from glamira_batch_processing_spark.plans.registry import ORACLE, QUERIES
 # drift_split_lang_cells, anomaly_error_spike, event_transition_matrix,
 # ann_ivf_trained, ann_recall_eval, winsorize_outlier_counts, plus the
 # three previously queue-orphaned names (VERDICT r10 ask #4):
-# ann_recall_multiprobe, ann_sq8_recall_eval, f10_array_lambda_stats.
+# ann_recall_multiprobe, ann_sq8_recall_eval, f10_array_lambda_stats,
+# and the one NEW round-11 operator sketch_countmin_estimate (the
+# Count-Min estimate leg: broadcast-sketch probes beside exact counts,
+# oracle-matched at sf0.001/0.01/0.1 the session it landed).
 _PRIORITY: list[str] = [
     # Flagships: whole-warehouse DAG (staging -> SCD -> marts -> rollup)
     # and whole-training-data pipeline (quality -> dedup+components ->

@@ -191,3 +191,80 @@ def sketch_countmin_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cms_sketch(
         counts, F.col("token"), depth=4, width=256, weight=F.col("occ")
     )
+
+
+_CMS_PROBE_ABSENT = ("zzzabsenttoken", "qqqmissingword")
+
+
+@query(
+    "sketch_countmin_estimate",
+    oracle=f"""
+    WITH tok AS (
+      SELECT unnest(str_split(lower(text), ' ')) AS token FROM documents
+    ),
+    filtered AS (SELECT token FROM tok WHERE token <> ''),
+    exact AS (SELECT token, COUNT(*) AS occ FROM filtered GROUP BY 1),
+    sketch AS (
+      {sql_cms_sketch("filtered", "token", depth=4, width=256)}
+    ),
+    probes AS (
+      SELECT token FROM exact
+      UNION ALL
+      SELECT * FROM (VALUES ('{_CMS_PROBE_ABSENT[0]}'),
+                            ('{_CMS_PROBE_ABSENT[1]}')) v(token)
+    ),
+    cells AS (
+      SELECT p.token,
+             CAST(u.range AS INTEGER) AS depth,
+             CAST((hp.h1 + u.range * hp.h2) % 256 AS INTEGER) AS bucket
+      FROM (
+        SELECT token,
+               CAST(concat('0x', substr(dig, 1, 8)) AS BIGINT) AS h1,
+               CAST(concat('0x', substr(dig, 9, 8)) AS BIGINT) AS h2
+        FROM (SELECT token, md5(token || 'cms-v1') AS dig FROM probes)
+      ) hp
+      JOIN probes p USING (token)
+      CROSS JOIN range(4) u
+    )
+    SELECT c.token,
+           CAST(MIN(COALESCE(s.n, 0)) AS BIGINT) AS est_count,
+           CAST(COALESCE(ANY_VALUE(e.occ), 0) AS BIGINT) AS exact_count
+    FROM cells c
+    LEFT JOIN sketch s ON s.depth = c.depth AND s.bucket = c.bucket
+    LEFT JOIN exact e ON e.token = c.token
+    GROUP BY c.token
+    """,
+)
+def sketch_countmin_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Count-Min ESTIMATE leg (the probe side the sketch exists
+    for): every vocabulary token plus two known-absent probes is
+    estimated as min-over-depths of its bucket counters against the
+    count-then-sketch matrix, emitted beside the exact count — so the
+    oracle pins the full eps*N overestimate contract cell-for-cell
+    (est_count >= exact_count by construction on every row, bit-exact
+    across engines because both derive buckets from the same single
+    salted md5, Kirsch-Mitzenmacher 2006).
+
+    Scale shape: the d*w counter matrix is ~KB-scale and BROADCAST to
+    the probes (cms_estimate), so estimation never shuffles the probed
+    stream — at 100 TB the probe side is a scan + broadcast join + one
+    map-side-combinable min per probe. Exact counts ride the same
+    vocabulary-keyed groupBy the sketch build already runs."""
+    d = table(spark, sf_dir, "documents")
+    tok = d.select(
+        F.explode(words(F.col("text"))).alias("token")
+    ).filter(F.col("token") != "")
+    counts = tok.groupBy("token").agg(F.count("*").alias("occ"))
+    sketch = cms_sketch(
+        counts, F.col("token"), depth=4, width=256, weight=F.col("occ")
+    )
+    absent = spark.createDataFrame(
+        [(t,) for t in _CMS_PROBE_ABSENT], "token string"
+    )
+    probes = counts.select("token").unionByName(absent)
+    est = cms_estimate(sketch, probes, "token", depth=4, width=256)
+    return est.join(counts, "token", "left").select(
+        "token",
+        F.col("est_count").cast("long").alias("est_count"),
+        F.coalesce(F.col("occ"), F.lit(0)).cast("long").alias("exact_count"),
+    )

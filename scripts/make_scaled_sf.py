@@ -103,10 +103,13 @@ def main() -> None:
     ).drop("__r").write.mode("overwrite").parquet(str(out_dir / "documents.parquet"))
 
     vecs = _replicate(t["embeddings"], factor, {"vec_id": n_vec})
-    rotated = F.when(F.col("__r") == 0, F.col("embedding")).otherwise(
+    # rotate by replica mod dim (factor may exceed the vector dim; a
+    # rotation by r and r+dim are the same permutation anyway)
+    rot = F.col("__r") % F.lit(dim)
+    rotated = F.when(rot == 0, F.col("embedding")).otherwise(
         F.concat(
-            F.slice(F.col("embedding"), F.col("__r") + 1, F.lit(dim) - F.col("__r")),
-            F.slice(F.col("embedding"), 1, F.col("__r")),
+            F.slice(F.col("embedding"), rot + 1, F.lit(dim) - rot),
+            F.slice(F.col("embedding"), 1, rot),
         )
     )
     vecs.withColumn("embedding", rotated).drop("__r").write.mode(

@@ -141,6 +141,9 @@ MEASURED = [
     "cluster_label_purity",
     "multimodal_video_routing",
     "f14_json_retype",
+    # round-11 new operator: the Count-Min estimate leg (broadcast
+    # sketch probe beside exact counts)
+    "sketch_countmin_estimate",
 ]
 
 # Round-6 (VERDICT r5 ask #3): the five queries flagged perf-weak at

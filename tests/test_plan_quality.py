@@ -799,3 +799,18 @@ def test_sample_weighted_plans_take_ordered(spark):
     plan = plan_of(df)
     assert "TakeOrderedAndProject" in plan, plan
     assert "Exchange rangepartitioning" not in plan, plan
+
+
+def test_countmin_estimate_broadcast_probe_and_bound(spark):
+    """The estimate leg must broadcast the ~KB sketch against the
+    probes (never shuffle the probed stream on the sketch key) and
+    satisfy the Count-Min contract on every row: est >= exact, absent
+    probes still answered (0 or collision noise)."""
+    df = QUERIES["sketch_countmin_estimate"](spark, SF_SMALL)
+    plan = plan_of(df)
+    assert "BroadcastHashJoin" in plan, plan
+    rows = df.collect()
+    assert rows
+    assert all(r.est_count >= r.exact_count for r in rows)
+    absent = [r for r in rows if r.exact_count == 0]
+    assert len(absent) == 2  # the two known-absent probes
