@@ -54,6 +54,14 @@ SF_DIRS = [
     "/root/testdata/sf0.01",
     "/root/testdata/sf0.1",
 ]
+# The 10x scaled corpus is DETERMINISTIC (key-shifted replicas with a
+# deterministic word mutation — make_scaled_sf.py), so its slice is
+# stable across .scale rebuilds and makes the full driver_sim battery
+# oracle-checkable at sf1 too (round 11; pyarrow reads the Spark part
+# -file directory and skips _SUCCESS). Generated only when present.
+_SCALE_SF1 = Path(__file__).resolve().parent.parent / ".scale/sf1"
+if (_SCALE_SF1 / "documents.parquet").exists():
+    SF_DIRS.append(str(_SCALE_SF1))
 
 
 def py_unigram_train(

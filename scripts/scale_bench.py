@@ -408,7 +408,7 @@ def main() -> None:
         "",
         "### Perf-weak queries vs their DuckDB twin at 10x",
         "",
-        "The five sf0.1 perf-weak queries (>1 s AND >2x DuckDB) re-timed "
+        "Every query ever flagged perf-weak at sf0.1 (>1 s AND >2x DuckDB, accumulated across rounds) re-timed "
         "against the SAME DuckDB oracle SQL at both scales (min of "
         f"{RUNS}). Spark's per-stage floor amortizes with data volume "
         "while DuckDB grows ~linearly, so the sf1 ratio is the "
