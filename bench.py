@@ -182,100 +182,144 @@ def main() -> None:
         timings[name] = round(statistics.median(reps), 4)
         stddevs[name] = round(statistics.stdev(reps), 4) if len(reps) > 1 else 0.0
 
+    line, full = build_summaries(
+        timings, stddevs, SF_DIR, REPS, Path(__file__).resolve().parent
+    )
+    Path(__file__).resolve().parent.joinpath("BENCH_SUMMARY.json").write_text(
+        json.dumps(full, indent=1) + "\n"
+    )
+    print(line)
+
+
+def _load_prior_queries(repo_dir: Path) -> tuple[str, dict[str, float], str]:
+    """Best prior per-query medians for the like-for-like comparison.
+
+    Preference order:
+      1. The latest committed ``BENCH_r*.json`` whose ``parsed`` payload
+         carries a queries map, upgraded to full precision from the
+         committed ``BENCH_SUMMARY.json`` when that summary provably
+         came from the same run (same headline total, same name set).
+      2. The committed ``BENCH_SUMMARY.json`` alone — covers the round-11
+         failure mode where the latest driver artifact is ``rc=1`` with
+         ``parsed: null`` (bench crashed after the summary was written),
+         so the newest valid data lives only in the summary.
+
+    Returns ``(source_name, queries_map, precision)``; empty map means no
+    usable prior exists and the same-set fields are omitted.
+    """
+    summary: dict = {}
+    try:
+        s = json.loads(repo_dir.joinpath("BENCH_SUMMARY.json").read_text())
+        if isinstance(s, dict) and isinstance(s.get("queries"), dict):
+            summary = s
+    except (OSError, ValueError):
+        pass
+    for artifact in sorted(repo_dir.glob("BENCH_r*.json"), reverse=True):
+        try:
+            prev = json.loads(artifact.read_text())
+            if not isinstance(prev, dict):
+                continue
+            prev = prev.get("parsed", prev)
+            if not isinstance(prev, dict) or not isinstance(
+                prev.get("queries"), dict
+            ):
+                # rc!=0 artifact (e.g. BENCH_r11.json): no parsed line.
+                # If the committed summary is NEWER than the skipped
+                # artifact's data (it was written by that same crashed
+                # run), prefer it outright rather than reaching back to
+                # an older round's artifact.
+                if summary and summary.get("queries", {}) != {}:
+                    return (
+                        "BENCH_SUMMARY.json",
+                        dict(summary["queries"]),
+                        "full",
+                    )
+                continue
+            pq = dict(prev["queries"])
+            # The artifact's per-query values are 2-decimal stdout
+            # rounding. The committed BENCH_SUMMARY.json from the SAME
+            # run holds them at full precision — use it when it provably
+            # matches the artifact, so the same-set delta isn't polluted
+            # by ~±5 ms/query rounding noise.
+            if (
+                summary
+                and summary.get("value") == prev.get("value")
+                and set(summary.get("queries", {})) == set(pq)
+            ):
+                return artifact.name, dict(summary["queries"]), "full"
+            return artifact.name, pq, "stdout_2dp"
+        except (ValueError, KeyError, TypeError):
+            continue  # a malformed prior artifact never blocks the bench
+    if summary:
+        return "BENCH_SUMMARY.json", dict(summary["queries"]), "full"
+    return "", {}, ""
+
+
+def build_summaries(
+    timings: dict[str, float],
+    stddevs: dict[str, float],
+    sf_dir: str,
+    reps: int,
+    repo_dir: Path,
+) -> tuple[str, dict]:
+    """Build the stdout line and the full BENCH_SUMMARY payload.
+
+    The stdout line is CONSTANT-SIZE by construction (round-12 bench
+    hygiene; VERDICT r11 ask #1 — the r6 truncation → r10 near-miss →
+    r11 crash arc): it carries scalars, the same-set comparison fields,
+    and a per-query map restricted to the FROZEN 20-name
+    ``HEADLINE_PINNED`` tier, which is closed to additions by policy —
+    so the line's size is independent of how many queries the extended
+    tier or the gate window grows to. The full per-query and stddev
+    maps live only in ``BENCH_SUMMARY.json`` (committed, full
+    precision). ``tests/test_bench_contract.py`` pins the size
+    invariance; there is no runtime size assert left to crash the
+    driver's artifact like round 11's.
+    """
     pinned_total = sum(t for n, t in timings.items() if n in HEADLINE_PINNED)
     extended_total = sum(t for n, t in timings.items() if n in EXTENDED)
-    sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
-    # Totals-first compact stdout line, kept under ~2 KB (round-7 bench
-    # hygiene — the r6 driver artifact lost its per-query head to tail
-    # truncation): scalars lead so a truncated capture still carries
-    # them, per-query medians are compacted to ms precision, and the
-    # stddev map lives only in BENCH_SUMMARY.json (written next to this
-    # script and committed), which holds the full-precision record.
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     summary = {
         "metric": "headline_queries_total",
         "value": round(pinned_total + extended_total, 4),
         "unit": "sec",
         "headline_pinned_total": round(pinned_total, 4),
         "extended_total": round(extended_total, 4),
-        "reps": REPS,
+        "extended_n": sum(1 for n in timings if n in EXTENDED),
+        "reps": reps,
         # Co-tenant adjudication from the artifact alone (VERDICT r10
         # ask #5): the box's 1-minute load average at measurement end.
-        # Round 9 vs 10 showed a uniform ~21% same-set inflation that
-        # took a prose investigation to attribute to box load; with the
-        # loadavg stamped, the next judge reads it off BENCH_r*.json.
         "loadavg_1m": round(os.getloadavg()[0], 2),
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-        # 2-decimal stdout precision: 58+ queries at 3 decimals ran the
-        # line to within ~80 bytes of its 2 KB budget (round 10); the
-        # full-precision record lives in BENCH_SUMMARY.json.
-        "queries": {n: round(t, 2) for n, t in timings.items()},
+        # Pinned tier only — a frozen 20-name set, so this map cannot
+        # grow. Full maps (all tiers, full precision): BENCH_SUMMARY.json.
+        "queries": {
+            n: round(t, 2) for n, t in timings.items() if n in HEADLINE_PINNED
+        },
+        "full_record": "BENCH_SUMMARY.json",
     }
-    # Like-for-like line (round-10 bench hygiene): when the headline
-    # grows with a gate-window rotation, the raw total reads as a
-    # slowdown. Compare against the latest committed BENCH_r*.json
-    # over the INTERSECTION of query names so round-over-round deltas
-    # are same-set by construction; adds/drops are the name diff.
-    prior = sorted(Path(__file__).resolve().parent.glob("BENCH_r*.json"))
+    # Like-for-like comparison (round-10 bench hygiene): when the
+    # headline grows with a gate-window rotation, the raw total reads
+    # as a slowdown. Compare over the INTERSECTION of query names so
+    # round-over-round deltas are same-set by construction.
     name_diff: dict[str, list[str]] = {}
-    if prior:
-        try:
-            prev = json.loads(prior[-1].read_text())
-            # driver artifacts wrap the bench stdout line in "parsed";
-            # a non-dict artifact (e.g. a bare JSON list) falls through
-            # to the except arm rather than raising AttributeError
-            if not isinstance(prev, dict):
-                raise TypeError("prior bench artifact is not a JSON object")
-            prev = prev.get("parsed", prev)
-            if not isinstance(prev, dict):
-                raise TypeError("prior bench 'parsed' is not a JSON object")
-            pq = prev.get("queries", {})
-            # The artifact's per-query values are 2-decimal stdout
-            # rounding (the 2 KB line budget). The committed
-            # BENCH_SUMMARY.json from the SAME run holds them at full
-            # precision — use it when it provably matches the artifact
-            # (same headline total and same name set), so the same-set
-            # delta isn't polluted by ~±5 ms/query rounding noise.
-            try:
-                s = json.loads(
-                    Path(__file__)
-                    .resolve()
-                    .parent.joinpath("BENCH_SUMMARY.json")
-                    .read_text()
-                )
-                if (
-                    isinstance(s, dict)
-                    and s.get("value") == prev.get("value")
-                    and set(s.get("queries", {})) == set(pq)
-                ):
-                    pq = s["queries"]
-                    summary["sameset_prev_precision"] = "full"
-            except (OSError, ValueError):
-                pass
-            shared = [n for n in timings if n in pq]
-            summary["sameset_vs"] = prior[-1].name
-            summary["sameset_n"] = len(shared)
-            summary["sameset_total"] = round(sum(timings[n] for n in shared), 3)
-            summary["sameset_prev_total"] = round(
-                sum(float(pq[n]) for n in shared), 3
-            )
-            # full add/drop name lists go to BENCH_SUMMARY.json only
-            # (the stdout line stays under its 2 KB budget)
-            name_diff = {
-                "added": sorted(set(timings) - set(pq)),
-                "dropped": sorted(set(pq) - set(timings)),
-            }
-        except (ValueError, KeyError, TypeError, AttributeError):
-            pass  # a malformed prior artifact never blocks the bench
-    Path(__file__).resolve().parent.joinpath("BENCH_SUMMARY.json").write_text(
-        json.dumps(
-            {**summary, **name_diff, "queries": timings, "stddev": stddevs},
-            indent=1
+    src, pq, precision = _load_prior_queries(repo_dir)
+    if pq:
+        shared = [n for n in timings if n in pq]
+        summary["sameset_vs"] = src
+        summary["sameset_prev_precision"] = precision
+        summary["sameset_n"] = len(shared)
+        summary["sameset_total"] = round(sum(timings[n] for n in shared), 3)
+        summary["sameset_prev_total"] = round(
+            sum(float(pq[n]) for n in shared), 3
         )
-        + "\n"
-    )
-    line = json.dumps(summary, separators=(",", ":"))
-    assert len(line) < 2000, f"bench stdout line grew to {len(line)} bytes"
-    print(line)
+        # full add/drop name lists go to BENCH_SUMMARY.json only
+        name_diff = {
+            "added": sorted(set(timings) - set(pq)),
+            "dropped": sorted(set(pq) - set(timings)),
+        }
+    full = {**summary, **name_diff, "queries": timings, "stddev": stddevs}
+    return json.dumps(summary, separators=(",", ":")), full
 
 
 if __name__ == "__main__":
