@@ -133,6 +133,19 @@ EXTENDED = [
     "multimodal_video_routing",
     "split_leakage_safe",
     "sample_weighted_by_length",
+    # round 12: mirror the gate-window rotation — the round-12 swap-ins
+    # not already benched join here (ann_cosine_topk_np is already in
+    # the pinned tier; the streaming replay gates stay out by design).
+    "drift_split_lang_cells",
+    "winsorize_outlier_counts",
+    "event_transition_matrix",
+    "f13_collated_group",
+    "f10_array_lambda_stats",
+    "sketch_countmin_estimate",
+    "ann_ivf_trained",
+    "ann_recall_eval",
+    # round 12: the new HLL estimate leg
+    "sketch_hll_estimate",
 ]
 
 HEADLINE = HEADLINE_PINNED + EXTENDED

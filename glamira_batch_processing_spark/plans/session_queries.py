@@ -223,6 +223,112 @@ def sketch_quantile_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_HLL_M = 64
+_HLL_ALPHA = "CAST(0.709 AS DOUBLE)"  # alpha_64, the standard constant
+_POW49 = 1 << 49  # rho <= 49, so 2^(49-rho) is an exact BIGINT
+
+
+@query(
+    "sketch_hll_estimate",
+    oracle=f"""
+    WITH reg AS ({sql_hll_sketch("events", "event_id", m=_HLL_M)}),
+    agg AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_filled,
+             CAST(SUM(CAST(1 AS BIGINT) << (49 - max_rho)) AS BIGINT)
+               AS denom_filled
+      FROM reg
+    ),
+    est AS (
+      SELECT n_filled,
+             {_HLL_M} - n_filled AS zeros,
+             denom_filled
+               + ({_HLL_M} - n_filled) * CAST({_POW49} AS BIGINT)
+               AS denom_scaled
+      FROM agg
+    )
+    SELECT CAST({_HLL_M} AS INTEGER) AS m,
+           n_filled,
+           CAST(zeros AS BIGINT) AS zeros,
+           denom_scaled,
+           (({_HLL_ALPHA} * {_HLL_M * _HLL_M}) * CAST({_POW49} AS BIGINT))
+             / CAST(denom_scaled AS DOUBLE) AS raw_est,
+           (SELECT CAST(COUNT(DISTINCT event_id) AS BIGINT) FROM events)
+             AS exact_distinct,
+           CASE WHEN ((({_HLL_ALPHA} * {_HLL_M * _HLL_M})
+                        * CAST({_POW49} AS BIGINT))
+                       / CAST(denom_scaled AS DOUBLE)) <= {2.5 * _HLL_M}
+                     AND zeros > 0
+                THEN 1 ELSE 0 END AS is_small_range
+    FROM est
+    """,
+)
+def sketch_hll_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The HLL ESTIMATE leg, closing the build->estimate lifecycle the
+    way round 11's sketch_countmin_estimate closed Count-Min's: the
+    m=64 register state (sketch_hll_registers, gate-green since r6)
+    reduced to the raw HyperLogLog cardinality estimate NEXT TO the
+    exact distinct count, entirely inside the engine — no driver-side
+    hll_estimate() call, no collect.
+
+    Engine-exact numerics: the harmonic denominator is the EXACT
+    integer sum of 2^(49-rho) (rho <= 49, so each term and the sum fit
+    BIGINT), empty registers contribute 2^49 exactly; the numerator
+    alpha*m^2*2^49 rounds ONCE (alpha*m^2 — multiplying by 2^49 is
+    exact), and the final IEEE division is correctly rounded on both
+    engines, so the estimate hash-matches DuckDB bit-for-bit. The
+    small-range regime is emitted as a FLAG (is_small_range) rather
+    than applying the linear-counting correction inline, because that
+    correction needs ln() — transcendentals are not cross-engine
+    ulp-stable (see .claude/skills/verify gotchas); the corrected
+    value is pinned in pytest instead via operators/sketches.py::
+    hll_estimate.
+
+    Scale shape: one map-side-combinable groupBy onto m=64 register
+    rows, a single-row reduction of those, and an exact distinct
+    (itself a two-phase partial agg) — the only data-sized pass is the
+    scan; the estimate math runs on 64 rows. At 100 TB the register
+    state is still 64 rows, mergeable across shards/streams by
+    element-wise max (idempotent, replay-safe).
+    """
+    e = table(spark, sf_dir, "events")
+    reg = hll_sketch(e, F.col("event_id"), m=_HLL_M)
+    agg = reg.agg(
+        F.count("*").cast("long").alias("n_filled"),
+        # SQL shiftleft: the Python F.shiftleft only takes an int shift
+        F.sum(F.expr("shiftleft(CAST(1 AS BIGINT), 49 - max_rho)"))
+        .cast("long")
+        .alias("denom_filled"),
+    )
+    est = agg.select(
+        "n_filled",
+        (F.lit(_HLL_M).cast("long") - F.col("n_filled")).alias("zeros"),
+        (
+            F.col("denom_filled")
+            + (F.lit(_HLL_M).cast("long") - F.col("n_filled"))
+            * F.lit(_POW49).cast("long")
+        ).alias("denom_scaled"),
+    )
+    # (alpha * m^2) * 2^49: one float rounding, then an exact pow-2 scale
+    numer = (
+        F.lit(0.709) * F.lit(_HLL_M * _HLL_M)
+    ) * F.lit(_POW49).cast("long")
+    raw_est = numer / F.col("denom_scaled").cast("double")
+    exact = e.agg(
+        F.countDistinct("event_id").cast("long").alias("exact_distinct")
+    )
+    return est.crossJoin(F.broadcast(exact)).select(
+        F.lit(_HLL_M).cast("int").alias("m"),
+        "n_filled",
+        "zeros",
+        "denom_scaled",
+        raw_est.alias("raw_est"),
+        "exact_distinct",
+        F.when((raw_est <= F.lit(2.5 * _HLL_M)) & (F.col("zeros") > 0), 1)
+        .otherwise(0)
+        .alias("is_small_range"),
+    )
+
+
 from ..operators.sketches import kmv_theta_ops, sql_kmv_theta_ops  # noqa: E402
 
 

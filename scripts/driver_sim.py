@@ -1,15 +1,23 @@
 """Simulate the external driver's correctness gate.
 
 Usage: python scripts/driver_sim.py [sf_dir] [--only name1,name2,...]
+                                    [--json DRIVERSIM_rN.json]
 Runs entry() smoke + every queries() entry vs its oracle_sql() via
 DuckDB, order-insensitive full-precision comparison. Exit 1 on any
 mismatch. --only restricts to a comma-separated subset (skips the
 entry smoke) for fast iteration on specific queries.
+
+--json PATH (VERDICT r11 ask #5) writes/merges a machine-checkable
+per-round artifact: per-query status at each scale the battery ran,
+so the "ALL MATCH at N scales" claim is a committed JSON record
+instead of SCALE.md prose. One run appends one scale entry (keyed by
+the sf dir); re-running the same scale overwrites that entry.
 """
 
 from __future__ import annotations
 
 import datetime
+import json
 import math
 import sys
 from decimal import Decimal
@@ -41,6 +49,11 @@ def main() -> int:
     if "--only" in argv:
         i = argv.index("--only")
         only = set(argv[i + 1].split(","))
+        argv = argv[:i] + argv[i + 2 :]
+    json_path: Path | None = None
+    if "--json" in argv:
+        i = argv.index("--json")
+        json_path = Path(argv[i + 1])
         argv = argv[:i] + argv[i + 2 :]
     sf = argv[0] if argv else "/root/testdata/sf0.01"
     from pyspark.sql import SparkSession
@@ -75,10 +88,12 @@ def main() -> int:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{src}'")
 
     fails = []
+    record: dict[str, dict] = {}
     for name, fn in sorted(qs.items()):
         if name not in osql:
             n = fn(spark, sf).count()
             print(f"ROWS-ONLY {name}: rows={n}")
+            record[name] = {"status": "rows_only", "rows": n}
             continue
         spdf = fn(spark, sf).toPandas()
         dkdf = con.sql(osql[name]).df()
@@ -93,6 +108,11 @@ def main() -> int:
         )
         ok = sc == dc and srows == drows
         print(f"{'PASS' if ok else 'FAIL'} {name}: rows={len(srows)}/{len(drows)}")
+        record[name] = {
+            "status": "pass" if ok else "FAIL",
+            "rows": len(srows),
+            "oracle_rows": len(drows),
+        }
         if not ok:
             fails.append(name)
             if sc != dc:
@@ -103,6 +123,23 @@ def main() -> int:
                         print(f"  first diff row {i}:\n   spark={a}\n   duck ={b}")
                         break
     print("RESULT:", "ALL MATCH" if not fails else f"MISMATCH: {fails}")
+    if json_path is not None:
+        doc: dict = {"scales": {}}
+        if json_path.exists():
+            doc = json.loads(json_path.read_text())
+        n_pass = sum(1 for r in record.values() if r["status"] == "pass")
+        n_rows = sum(1 for r in record.values() if r["status"] == "rows_only")
+        doc["scales"][sf] = {
+            "result": "ALL MATCH" if not fails else f"MISMATCH: {fails}",
+            "n_queries": len(record),
+            "n_oracle_pass": n_pass,
+            "n_rows_only": n_rows,
+            "n_fail": len(fails),
+            "only_subset": sorted(only) if only is not None else None,
+            "queries": record,
+        }
+        json_path.write_text(json.dumps(doc, indent=1, sort_keys=True) + "\n")
+        print(f"wrote {json_path} [{sf}]")
     return 1 if fails else 0
 
 

@@ -10,13 +10,17 @@ shape stability, q1-crossing style.
 Usage:
   python scripts/make_scaled_sf.py 10  .scale/sf1    # once
   python scripts/make_scaled_sf.py 100 .scale/sf10   # once (~GBs)
-  python scripts/flagship_sf10.py
+  python scripts/flagship_sf10.py [--json FLAGSHIP_SCALE.json]
 
-Prints a markdown table for SCALE.md.
+Prints a markdown table for SCALE.md. With --json (VERDICT r11 ask #8)
+also writes a committed machine-diffable record (query, per-scale
+median seconds, plan-stability booleans, loadavg) so cross-round
+flagship trends diff the way BENCH_COMPARE does.
 """
 
 from __future__ import annotations
 
+import json
 import os
 import statistics
 import sys
@@ -68,6 +72,24 @@ def main() -> None:
         same_01_1 = "same" if sigs.get("sf0.1") == sigs.get("sf1") else "DIFF"
         same_1_10 = "same" if sigs.get("sf1") == sigs.get("sf10") else "DIFF"
         rows.append((name, times, same_01_1, same_1_10, sigs))
+
+    json_path = None
+    if "--json" in sys.argv:
+        json_path = Path(sys.argv[sys.argv.index("--json") + 1])
+        doc = {
+            "runs": RUNS,
+            "loadavg_1m": round(os.getloadavg()[0], 2),
+            "flagships": {
+                name: {
+                    "median_sec": {k: round(v, 2) for k, v in t.items()},
+                    "plan_stable_sf01_to_sf1": s01 == "same",
+                    "plan_stable_sf1_to_sf10": s110 == "same",
+                }
+                for name, t, s01, s110, _ in rows
+            },
+        }
+        json_path.write_text(json.dumps(doc, indent=1, sort_keys=True) + "\n")
+        print(f"wrote {json_path}", file=sys.stderr)
 
     print(f"loadavg_1m={os.getloadavg()[0]:.2f} runs={RUNS}")
     print("| query | sf0.1 | sf1 | sf10 | plan sf0.1->sf1 | plan sf1->sf10 |")

@@ -869,6 +869,53 @@ def test_hll_estimate_within_bound(spark):
     assert abs(est - 5000) / 5000 < 0.4, est
 
 
+def test_hll_estimate_query_matches_driver_side_math(spark):
+    """The in-engine estimate leg (sketch_hll_estimate) must agree with
+    the driver-side hll_estimate() on the same register state — outside
+    the small-range regime they are the same raw formula, so equality
+    is exact; in the small-range regime the query emits the flag and
+    the raw value while hll_estimate() applies linear counting."""
+    from glamira_batch_processing_spark.operators.sketches import (
+        hll_estimate,
+        hll_sketch,
+    )
+    from glamira_batch_processing_spark.plans import session_queries  # noqa: F401
+    from glamira_batch_processing_spark.plans.registry import QUERIES
+    from tests.conftest import SF_SMALL
+
+    row = QUERIES["sketch_hll_estimate"](spark, SF_SMALL).collect()[0]
+    sk = hll_sketch(
+        spark.read.parquet(f"{SF_SMALL}/events.parquet"),
+        F.col("event_id"),
+        m=64,
+    )
+    regs = [(r.register, r.max_rho) for r in sk.collect()]
+    driver_est = hll_estimate(regs, m=64)
+    assert row.m == 64 and row.n_filled + row.zeros == 64
+    if row.is_small_range == 0:
+        assert row.raw_est == driver_est, (row.raw_est, driver_est)
+    # estimate quality: within the 3-sigma HLL bound of the exact count
+    assert abs(row.raw_est - row.exact_distinct) / row.exact_distinct < 0.4
+
+
+def test_hll_estimate_small_range_flag(spark):
+    """A tiny input leaves empty registers: the query must flag the
+    small-range regime instead of silently reporting the biased raw
+    estimate as final (the ln-based correction is pytest-side only —
+    transcendentals are not cross-engine stable)."""
+    from glamira_batch_processing_spark.operators.sketches import (
+        hll_estimate,
+        hll_sketch,
+    )
+
+    tiny = spark.range(8)
+    sk = hll_sketch(tiny, F.col("id"), m=64)
+    regs = [(r.register, r.max_rho) for r in sk.collect()]
+    est = hll_estimate(regs, m=64)
+    # linear counting on 8 distinct with 64 registers: near-exact
+    assert abs(est - 8) / 8 < 0.2, est
+
+
 def test_hll_shard_merge_is_elementwise_max(spark):
     from glamira_batch_processing_spark.operators.sketches import hll_sketch
 
