@@ -410,10 +410,13 @@ from glamira_batch_processing_spark.plans.registry import ORACLE, QUERIES
 # tail sketch_quantile_sample, anomaly_error_spike,
 # ann_recall_multiprobe, ann_sq8_recall_eval, then the rows-only
 # production kernels dedup_minhash_lsh_fast + datapipe_e2e_fast
-# (VERDICT r11 ask #3's remaining two), and the one NEW round-12
-# operator sketch_hll_estimate (the HLL estimate leg: in-engine raw
+# (VERDICT r11 ask #3's remaining two), and the TWO NEW round-12
+# operators sketch_hll_estimate (the HLL estimate leg: in-engine raw
 # estimate beside the exact distinct count, hash-matched at
-# sf0.001/0.01/0.1 the session it landed).
+# sf0.001/0.01/0.1 the session it landed) and
+# dedup_streaming_ingest_gate (incremental LSH dedup-at-ingest as a
+# real Structured Streaming replay, union of per-batch pair emissions
+# hash-matched against the whole-corpus batch LSH oracle).
 _PRIORITY: list[str] = [
     # Flagships: whole-warehouse DAG (staging -> SCD -> marts -> rollup)
     # and whole-training-data pipeline (quality -> dedup+components ->

@@ -153,9 +153,10 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 # Dedup: MinHash + LSH banding (the scale path).
 # ---------------------------------------------------------------------------
-@query(
-    "dedup_minhash_lsh",
-    oracle=f"""
+# Shared by dedup_minhash_lsh (the batch discovery pass) and
+# dedup_streaming_ingest_gate (the SAME pair semantics accumulated
+# batch-by-batch through a real Structured Streaming replay).
+_LSH_PAIRS_ORACLE = f"""
     WITH {corpus_cte()},
     shingles AS ({sql_shingles_cte("corpus")}),
     mh AS (
@@ -176,8 +177,10 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
     FROM sigs a JOIN sigs b ON a.band = b.band AND a.band_sig = b.band_sig
     WHERE a.doc_id < b.doc_id
-    """,
-)
+    """
+
+
+@query("dedup_minhash_lsh", oracle=_LSH_PAIRS_ORACLE)
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash(12) + LSH(4 bands x 3 rows) candidate pairs. One shuffle
     per stage on a high-cardinality key; no pairwise work outside
@@ -212,6 +215,67 @@ def dedup_minhash_lsh_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark.sparkContext.defaultParallelism, F.col("doc_id")
     )
     return lsh_candidate_pairs_fast(c, num_hashes=12, band_rows=3)
+
+
+@query("dedup_streaming_ingest_gate", oracle=_LSH_PAIRS_ORACLE)
+def dedup_streaming_ingest_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup-at-ingest under the external oracle gate: the corpus
+    arrives as FOUR mtime-ordered file chunks replayed through a real
+    Structured Streaming file source (maxFilesPerTrigger=1 +
+    availableNow), and each micro-batch runs incremental_lsh_pairs
+    (operators/dedup.py:242) — signatures for the BATCH ONLY are
+    computed and MERGEd into a persistent VersionedTable signature
+    store (txn_id = batch id, so a replayed batch neither duplicates
+    signatures nor double-reports), then band buckets are probed with
+    the batch broadcast as the small side. The union of per-batch pair
+    emissions must hash-match the WHOLE-CORPUS batch LSH oracle
+    (dedup_minhash_lsh's SQL verbatim): every pair is discovered
+    exactly once, at the batch where its later-arriving member lands.
+
+    Chunks are cut on doc_id % 4, so a base document and its injected
+    near/exact duplicates (+100000 / +200000 offsets) usually arrive
+    in different micro-batches — the cross-batch signature state, not
+    within-batch hashing, is what the oracle verifies.
+
+    100 TB shape: per-batch cost is O(batch + matching buckets),
+    independent of corpus size; the only growing state is the
+    signature table at ~12 longs/doc, and the bucket probe reads it
+    through one pruned scan. This is the never-re-shingle ingest
+    pattern a streaming pretraining-data pipeline runs."""
+    from ..operators.dedup import incremental_lsh_pairs
+    from ..sources.versioned import VersionedTable
+    from ..streaming.replay import stage_keyed_chunks
+    from .lifecycle_queries import _scratch
+
+    root = _scratch("dedup_streaming_ingest_gate", sf_dir)
+    c = corpus(spark, sf_dir)
+    glob = stage_keyed_chunks(
+        c, root / "src", F.pmod(F.col("doc_id"), F.lit(4)), n_chunks=4
+    )
+    stream = (
+        spark.readStream.schema("doc_id bigint, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(glob)
+    )
+    sig_store = VersionedTable(root / "sigs")
+    out = root / "out"
+
+    def sink(batch_df, batch_id):
+        _, pairs = incremental_lsh_pairs(
+            spark, sig_store, batch_df, txn_id=f"ingest-b{batch_id}"
+        )
+        pairs.withColumn("batch_id", F.lit(batch_id)).write.mode(
+            "append"
+        ).parquet(str(out))
+
+    q = (
+        stream.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", str(root / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(1800)
+    return spark.read.parquet(str(out)).select("doc_a", "doc_b").distinct()
 
 
 # ---------------------------------------------------------------------------

@@ -58,6 +58,32 @@ def stage_time_ordered_chunks(
     return f"{src}/c*"
 
 
+def stage_keyed_chunks(
+    df: DataFrame,
+    src: Path,
+    chunk_col,
+    n_chunks: int = 4,
+    base_mtime: int = 1_700_000_000,
+) -> str:
+    """Write ``df`` as ``n_chunks`` replay files cut by an explicit
+    deterministic chunk expression (e.g. ``doc_id % 4`` — an ingest
+    arrival order, where rows have no event time to order by). Mtimes
+    ascend so the file source replays chunks in order; the cut is
+    value-driven, so related rows (e.g. a document and its later-
+    arriving duplicate) land in DIFFERENT micro-batches and the
+    operator's cross-batch state is what the downstream oracle
+    verifies."""
+    chunked = df.withColumn("__chunk", chunk_col.cast("int"))
+    for i in range(n_chunks):
+        d = src / f"c{i}"
+        chunked.filter(F.col("__chunk") == i).drop("__chunk").coalesce(
+            1
+        ).write.parquet(str(d))
+        for p in d.glob("*.parquet"):
+            os.utime(p, (base_mtime + i, base_mtime + i))
+    return f"{src}/c*"
+
+
 def run_update_replay(
     spark,
     stateful_df: DataFrame,

@@ -144,6 +144,19 @@ MEASURED = [
     # round-11 new operator: the Count-Min estimate leg (broadcast
     # sketch probe beside exact counts)
     "sketch_countmin_estimate",
+    # round-12 additions: the rotated-in gate queries without a row
+    # here (ann_ivf_trained / ann_recall_eval are contract-bounded ANN
+    # shapes — their full-corpus scaling twins live in _ann_frames —
+    # but they get rows so the table covers the gate window verbatim)
+    "drift_split_lang_cells",
+    "winsorize_outlier_counts",
+    "event_transition_matrix",
+    "f13_collated_group",
+    "f10_array_lambda_stats",
+    "ann_ivf_trained",
+    "ann_recall_eval",
+    # round-12 new operator: the HLL estimate leg
+    "sketch_hll_estimate",
 ]
 
 # Round-6 (VERDICT r5 ask #3): the five queries flagged perf-weak at
@@ -170,6 +183,11 @@ WEAK_VS_DUCK = [
     # split_leakage_safe 2.22x at 3.40 s) get twin-at-10x rows.
     "dedup_lsh_recall_eval",
     "split_leakage_safe",
+    # Round-12: the two new equal-work bench-flag hits from the
+    # regenerated BENCH_COMPARE (ann_ivf_trained 2.78x at 4.13 s,
+    # ann_recall_eval 5.32x at 1.01 s) get twin-at-10x rows.
+    "ann_ivf_trained",
+    "ann_recall_eval",
 ]
 
 
