@@ -410,13 +410,16 @@ from glamira_batch_processing_spark.plans.registry import ORACLE, QUERIES
 # tail sketch_quantile_sample, anomaly_error_spike,
 # ann_recall_multiprobe, ann_sq8_recall_eval, then the rows-only
 # production kernels dedup_minhash_lsh_fast + datapipe_e2e_fast
-# (VERDICT r11 ask #3's remaining two), and the TWO NEW round-12
+# (VERDICT r11 ask #3's remaining two), and the THREE NEW round-12
 # operators sketch_hll_estimate (the HLL estimate leg: in-engine raw
 # estimate beside the exact distinct count, hash-matched at
-# sf0.001/0.01/0.1 the session it landed) and
+# sf0.001/0.01/0.1 the session it landed),
 # dedup_streaming_ingest_gate (incremental LSH dedup-at-ingest as a
 # real Structured Streaming replay, union of per-batch pair emissions
-# hash-matched against the whole-corpus batch LSH oracle).
+# hash-matched against the whole-corpus batch LSH oracle), and
+# sketch_bloom_membership (engine-portable Bloom filter kill-list
+# membership: bit_or build onto 8 words, broadcast probe, confusion
+# cells incl. deterministic false positives hash-matched).
 _PRIORITY: list[str] = [
     # Flagships: whole-warehouse DAG (staging -> SCD -> marts -> rollup)
     # and whole-training-data pipeline (quality -> dedup+components ->

@@ -409,3 +409,111 @@ def sql_kmv_theta_ops(
            SUM(in_a * in_b) / CAST(COUNT(*) AS DOUBLE) AS jaccard_k
     FROM flagged
     """
+
+
+# ---------------------------------------------------------------------------
+# Bloom-filter membership (cell-exact, engine-portable).
+# ---------------------------------------------------------------------------
+
+_BLOOM_BITS_PER_WORD = 63  # stay clear of the BIGINT sign bit
+
+
+def _bloom_positions(col: Column, m_bits: int, k: int, salt: str) -> Column:
+    """Array of k deterministic bit positions in [0, m_bits) for a key:
+    k disjoint 24-bit slices of ONE md5, each reduced mod m_bits —
+    integer/string ops both engines evaluate identically (the same
+    portability recipe as hll_sketch / cms_sketch)."""
+    h = F.md5(F.concat(col.cast("string"), F.lit(salt)))
+    return F.array(
+        *[
+            (
+                F.conv(F.substring(h, 1 + 6 * i, 6), 16, 10).cast("long")
+                % m_bits
+            ).cast("int")
+            for i in range(k)
+        ]
+    )
+
+
+def bloom_build(
+    df: DataFrame,
+    col: Column,
+    m_words: int = 8,
+    k: int = 3,
+    salt: str = "bloom-v1",
+) -> DataFrame:
+    """Build an m_words x 63-bit Bloom filter as (word, mask) rows.
+
+    The filter is a bit-OR semilattice, so the build is one map-side-
+    combinable groupBy onto m_words rows — mergeable across shards or
+    streaming micro-batches by element-wise OR (associative,
+    commutative, idempotent: retry/speculation safe), the same merge
+    law as the HLL registers' max. State is m_words longs no matter
+    how many keys were inserted."""
+    m_bits = m_words * _BLOOM_BITS_PER_WORD
+    pos = df.select(
+        F.explode(_bloom_positions(col, m_bits, k, salt)).alias("pos")
+    )
+    return (
+        pos.select(
+            (F.col("pos") / _BLOOM_BITS_PER_WORD).cast("int").alias("word"),
+            F.pmod(F.col("pos"), F.lit(_BLOOM_BITS_PER_WORD)).alias("bit"),
+        )
+        .groupBy("word")
+        .agg(
+            F.expr("bit_or(shiftleft(CAST(1 AS BIGINT), bit))").alias("mask")
+        )
+    )
+
+
+def bloom_probe(
+    df: DataFrame,
+    col: Column,
+    words: DataFrame,
+    m_words: int = 8,
+    k: int = 3,
+    salt: str = "bloom-v1",
+    out: str = "maybe_present",
+) -> DataFrame:
+    """Probe: append ``out`` = 1 iff ALL k bits are set (no false
+    negatives by construction; false positives at the standard
+    (1-e^(-kn/m))^k rate, deterministic here because the hash family
+    is fixed). The filter is m_words rows — broadcast; the probe side
+    never shuffles."""
+    m_bits = m_words * _BLOOM_BITS_PER_WORD
+    probe = df.withColumn(
+        "__pos", F.explode(_bloom_positions(col, m_bits, k, salt))
+    ).select(
+        *df.columns,
+        (F.col("__pos") / _BLOOM_BITS_PER_WORD).cast("int").alias("word"),
+        F.pmod(F.col("__pos"), F.lit(_BLOOM_BITS_PER_WORD)).alias("bit"),
+    )
+    hit = probe.join(F.broadcast(words), "word", "left").withColumn(
+        "__bit_set",
+        F.expr("shiftright(coalesce(mask, CAST(0 AS BIGINT)), bit) & 1"),
+    )
+    return (
+        hit.groupBy(*df.columns)
+        .agg(F.min("__bit_set").cast("int").alias(out))
+    )
+
+
+def sql_bloom_words_cte(
+    source: str, col_sql: str, m_words: int = 8, k: int = 3,
+    salt: str = "bloom-v1",
+) -> str:
+    """DuckDB rendering of :func:`bloom_build` as a CTE body."""
+    m_bits = m_words * _BLOOM_BITS_PER_WORD
+    h = f"md5(CAST({col_sql} AS VARCHAR) || '{salt}')"
+    slices = ", ".join(
+        f"CAST(CAST('0x' || substr({h}, {1 + 6 * i}, 6) AS BIGINT)"
+        f" % {m_bits} AS INTEGER)"
+        for i in range(k)
+    )
+    return f"""
+      SELECT CAST(pos // {_BLOOM_BITS_PER_WORD} AS INTEGER) AS word,
+             bit_or(CAST(1 AS BIGINT) << (pos % {_BLOOM_BITS_PER_WORD}))
+               AS mask
+      FROM (SELECT unnest([{slices}]) AS pos FROM {source})
+      GROUP BY 1
+    """

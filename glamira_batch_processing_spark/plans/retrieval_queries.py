@@ -1073,6 +1073,15 @@ def _tivf_oracle() -> str:
 
 @query("ann_ivf_trained", oracle=_tivf_oracle())
 def ann_ivf_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """See :func:`ivf_trained_topk` — the contract form probes every
+    100th vector, so its probe set GROWS with the corpus (designed-in
+    pair growth at 10x, like ann_sq8_topk's note in scale_bench.py);
+    the deployment-scaling measurement is the fixed-probe
+    ``ann_ivf_trained_full`` in scripts/scale_bench.py::_ann_frames."""
+    return ivf_trained_topk(spark, sf_dir, F.col("vec_id") % 100 == 0)
+
+
+def ivf_trained_topk(spark, sf_dir, query_pred) -> DataFrame:
     """IVF search whose cell layout comes from TRAINING, end-to-end in
     one declarative, oracle-replicated DAG: assign every vector's
     8-dim leading subspace to the seeded centroids, perform ONE exact
@@ -1130,26 +1139,43 @@ def ann_ivf_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
             for d in range(1, _TIVF_SUB + 1)
         ],
     )
-    fold2: F.Column | None = None
-    for d in range(1, _TIVF_SUB + 1):
-        x = F.element_at("sub", d).cast("double") - F.col(f"c{d}")
-        t = x * x
-        fold2 = t if fold2 is None else fold2 + t
-    w_assign = Window.partitionBy("vec_id").orderBy(
-        F.col("d2"), F.col("cluster_id")
+    # Re-assignment is SCAN-FUSED against the trained centroids: the k
+    # trained rows are a bounded driver-side collect (k=8 — the same
+    # bounded-collect class as the persisted-index probe ids), folded
+    # into the lloyd_assign argmin expression. Round 12: the previous
+    # crossJoin+row_number formulation shuffled N x k rows carrying
+    # the full embedding through a per-vector window sort (an 8M-row
+    # sort at sf10, the query's dominant and highest-variance stage);
+    # the literal fold is zero-shuffle and IEEE-identical — _sq_dist
+    # accumulates the same left-to-right component order (0.0 + t1
+    # == t1 exactly), and its strict-less argmin keeps the earliest
+    # index on ties == the window's (d2, cluster_id) ascending pick.
+    # Collected doubles round-trip exactly through F.lit (binary64).
+    trained_rows = sorted(cents.collect(), key=lambda r: r.cluster_id)
+    trained = [
+        [r[f"c{d}"] for d in range(1, _TIVF_SUB + 1)] for r in trained_rows
+    ]
+    idx2id = F.array(*[F.lit(int(r.cluster_id)) for r in trained_rows])
+    re_assigned = base.select(
+        "vec_id",
+        "embedding",
+        "nrm",
+        F.element_at(
+            idx2id, lloyd_assign(F.col("sub"), trained) + 1
+        ).alias("centroid_id"),
     )
-    re_assigned = (
-        base.crossJoin(F.broadcast(cents))
-        .withColumn("d2", fold2)
-        .withColumn("rn", F.row_number().over(w_assign))
-        .filter(F.col("rn") == 1)
-        .select("vec_id", "embedding", "nrm", F.col("cluster_id").alias("centroid_id"))
-    )
-    q = re_assigned.filter(F.col("vec_id") % 100 == 0).select(
-        F.col("vec_id").alias("query_id"),
-        F.col("embedding").alias("qvec"),
-        F.col("nrm").alias("qnrm"),
-        "centroid_id",
+    # The probe side is bounded by construction (a search API's query
+    # batch) — pin the broadcast: Catalyst's static filter estimate on
+    # re_assigned is corpus-sized, so at sf10 the scoring join
+    # otherwise flips to SortMergeJoin and shuffles the CORPUS
+    # (round-12 plan diff: BroadcastHashJoin -> SMJ + 2 Exchanges).
+    q = F.broadcast(
+        re_assigned.filter(query_pred).select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("qvec"),
+            F.col("nrm").alias("qnrm"),
+            "centroid_id",
+        )
     )
     c = re_assigned.select(
         F.col("vec_id").alias("neighbor_id"),

@@ -329,6 +329,92 @@ def sketch_hll_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+from ..operators.sketches import (  # noqa: E402
+    bloom_build,
+    bloom_probe,
+    sql_bloom_words_cte,
+)
+
+_BLOOM_KILL_PRED = "doc_id % 11 = 0 AND doc_id < 693"  # ~63 bounded keys
+_BLOOM_SLICES = ", ".join(
+    f"CAST(CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || 'bloom-v1'),"
+    f" {1 + 6 * i}, 6) AS BIGINT) % 504 AS INTEGER)"
+    for i in range(3)
+)
+
+
+@query(
+    "sketch_bloom_membership",
+    oracle=f"""
+    WITH words AS (
+      {sql_bloom_words_cte(
+          f"(SELECT doc_id FROM documents WHERE {_BLOOM_KILL_PRED})",
+          "doc_id",
+      )}
+    ),
+    fill AS (
+      SELECT CAST(SUM(bit_count(mask)) AS BIGINT) AS set_bits FROM words
+    ),
+    probes AS (
+      SELECT doc_id, CAST(pos // 63 AS INTEGER) AS word, pos % 63 AS bit
+      FROM (SELECT doc_id, unnest([{_BLOOM_SLICES}]) AS pos FROM documents)
+    ),
+    hit AS (
+      SELECT p.doc_id,
+             CAST(MIN((COALESCE(w.mask, 0) >> p.bit) & 1) AS INTEGER)
+               AS maybe_present
+      FROM probes p LEFT JOIN words w USING (word)
+      GROUP BY p.doc_id
+    )
+    SELECT maybe_present,
+           CASE WHEN {_BLOOM_KILL_PRED} THEN 1 ELSE 0 END
+             AS actually_present,
+           CAST(COUNT(*) AS BIGINT) AS n_keys,
+           (SELECT set_bits FROM fill) AS set_bits
+    FROM hit
+    GROUP BY 1, 2
+    """,
+)
+def sketch_bloom_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter membership — the kill-list primitive a 100 TB
+    pipeline broadcasts instead of joining: an 8x63-bit filter built
+    over a BOUNDED key set (the dedup kill-list shape, ~63 doc ids),
+    probed by every document, with the confusion cells (true-positive /
+    false-positive / true-negative; a false-negative cell is
+    IMPOSSIBLE by construction and its absence is part of the oracle)
+    counted next to the filter's popcount fill.
+
+    Engine-exact by the same recipe as KMV/HLL/CMS: bit positions are
+    k=3 disjoint 24-bit md5 slices mod 504, words stay under the
+    BIGINT sign bit (63 bits/word), the build is bit_or and the probe
+    shift/AND — pure integer ops, so the DuckDB twin hash-matches
+    bit-for-bit INCLUDING the deterministic false positives.
+
+    Scale shape: build = one map-side-combinable groupBy onto 8 rows;
+    probe = broadcast of those 8 rows, zero shuffle on the corpus side
+    before the final cell count; merge across shards/micro-batches =
+    element-wise OR (idempotent, replay-safe, same law class as the
+    HLL registers' max)."""
+    d = table(spark, sf_dir, "documents")
+    kill_pred = (F.col("doc_id") % 11 == 0) & (F.col("doc_id") < 693)
+    words = bloom_build(
+        d.filter(kill_pred).select("doc_id"), F.col("doc_id")
+    )
+    fill = words.agg(
+        F.sum(F.bit_count("mask")).cast("long").alias("set_bits")
+    )
+    probed = bloom_probe(d.select("doc_id"), F.col("doc_id"), words)
+    return (
+        probed.select(
+            "maybe_present",
+            F.when(kill_pred, 1).otherwise(0).alias("actually_present"),
+        )
+        .groupBy("maybe_present", "actually_present")
+        .agg(F.count("*").cast("long").alias("n_keys"))
+        .crossJoin(F.broadcast(fill))
+    )
+
+
 from ..operators.sketches import kmv_theta_ops, sql_kmv_theta_ops  # noqa: E402
 
 

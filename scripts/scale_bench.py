@@ -247,12 +247,26 @@ def _ann_frames(spark, sf_dir):
             vecs, cents, pq_codebooks(64, 8, 16), query_pred=probe, k=5
         ),
         "ann_sq8_full": _sq8_full(vecs, probe),
+        # round 12: fixed-probe form of ann_ivf_trained — the contract
+        # query probes every 100th vector, so its raw 10x timing
+        # reports designed-in N^2/(100K) pair growth (ann_sq8's note);
+        # this is the deployment shape (train scales with the corpus,
+        # the probe set doesn't).
+        "ann_ivf_trained_full": _ivf_trained_full(spark, sf_dir, probe),
         # semdedup_prune is NOT measured full-corpus: with the fixed
         # 8-centroid quantizer its pairwise term grows as N^2/k by
         # construction — the deployment answer is k ~ N/target_size
         # (constant cluster population => linear pairwise; SCALE.md),
         # so a fixed-k 10x timing would report a designed-out N^2.
     }
+
+
+def _ivf_trained_full(spark, sf_dir, probe):
+    from glamira_batch_processing_spark.plans.retrieval_queries import (
+        ivf_trained_topk,
+    )
+
+    return ivf_trained_topk(spark, sf_dir, probe)
 
 
 def _sq8_full(vecs, probe):

@@ -33,6 +33,11 @@ GATES = [
     "sessionize_streaming_gate",
     "funnel_streaming_gate",
     "alerts_streaming_gate",
+    # round 12: incremental LSH dedup-at-ingest replay (persistent
+    # VersionedTable signature state instead of GroupState — the
+    # batch_id column in its replay sink counts micro-batches the
+    # same way)
+    "dedup_streaming_ingest_gate",
 ]
 
 
@@ -66,6 +71,7 @@ def main() -> int:
         src = f"{p}/*.parquet" if p.is_dir() else str(p)
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{src}'")
     n_events = con.sql("SELECT COUNT(*) FROM events").fetchone()[0]
+    n_docs = con.sql("SELECT COUNT(*) FROM documents").fetchone()[0]
 
     qs, osql = contract.queries(), contract.oracle_sql()
     report: dict[str, dict] = {}
@@ -96,7 +102,9 @@ def main() -> int:
         )
         report[name] = {
             "oracle_match": ok,
-            "input_rows": n_events,
+            # the dedup gate streams the documents-derived corpus; the
+            # three event gates stream the events table
+            "input_rows": n_docs if name.startswith("dedup_") else n_events,
             "result_rows": len(srows),
             "state_crossing_batches": batches,
             "replay_wall_sec": round(wall, 2),

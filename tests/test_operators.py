@@ -916,6 +916,51 @@ def test_hll_estimate_small_range_flag(spark):
     assert abs(est - 8) / 8 < 0.2, est
 
 
+def test_bloom_no_false_negatives_and_merge_is_elementwise_or(spark):
+    """Every inserted key must probe positive (Bloom guarantees no
+    false negatives), and a sharded build OR-merged word-wise must
+    equal the single-pass filter (the idempotent merge law that makes
+    it retry/speculation/stream-replay safe)."""
+    from glamira_batch_processing_spark.operators.sketches import (
+        bloom_build,
+        bloom_probe,
+    )
+
+    keys = spark.range(0, 100)
+    words = bloom_build(keys, F.col("id"))
+    probed = bloom_probe(keys, F.col("id"), words)
+    assert probed.filter("maybe_present = 0").count() == 0
+
+    a = bloom_build(spark.range(0, 60), F.col("id"))
+    b = bloom_build(spark.range(40, 100), F.col("id"))
+    merged = (
+        a.unionByName(b)
+        .groupBy("word")
+        .agg(F.expr("bit_or(mask)").alias("mask"))
+    )
+    assert sorted((r.word, r.mask) for r in merged.collect()) == sorted(
+        (r.word, r.mask) for r in words.collect()
+    )
+
+
+def test_bloom_absent_keys_mostly_negative(spark):
+    """Probing keys disjoint from the build set: the false-positive
+    rate must sit near the analytic (1-e^(-kn/m))^k, not at saturation
+    — catches a broken position derivation that sets too many bits."""
+    from glamira_batch_processing_spark.operators.sketches import (
+        bloom_build,
+        bloom_probe,
+    )
+
+    words = bloom_build(spark.range(0, 60), F.col("id"))
+    absent = spark.range(10_000, 10_500)
+    fp = bloom_probe(absent, F.col("id"), words).filter(
+        "maybe_present = 1"
+    ).count()
+    # k=3, n=60, m=504 -> p_bit ~ 0.30, fp ~ 2.7%; allow generous slack
+    assert fp / 500 < 0.15, fp
+
+
 def test_hll_shard_merge_is_elementwise_max(spark):
     from glamira_batch_processing_spark.operators.sketches import hll_sketch
 
