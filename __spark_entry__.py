@@ -419,7 +419,11 @@ from glamira_batch_processing_spark.plans.registry import ORACLE, QUERIES
 # hash-matched against the whole-corpus batch LSH oracle), and
 # sketch_bloom_membership (engine-portable Bloom filter kill-list
 # membership: bit_or build onto 8 words, broadcast probe, confusion
-# cells incl. deterministic false positives hash-matched).
+# cells incl. deterministic false positives hash-matched) — plus
+# budget_quality_select (token-budget data selection: the Spark side
+# runs the two-phase bucket-histogram form, the oracle states the
+# naive global running-sum window; hash-equality at
+# sf0.001/0.01/0.1/sf1 proves the scale rewrite semantics-preserving).
 _PRIORITY: list[str] = [
     # Flagships: whole-warehouse DAG (staging -> SCD -> marts -> rollup)
     # and whole-training-data pipeline (quality -> dedup+components ->

@@ -1177,3 +1177,124 @@ def mix_temperature_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# ---------------------------------------------------------------------------
+# Token-budget quality selection (round 12): pick the highest-quality
+# documents whose tokens fit a fixed training budget.
+# ---------------------------------------------------------------------------
+
+_BQS_BUDGET = 12_000          # tokens — a strict subset at every test SF
+_BQS_BUCKET_W = 20_000        # score_ppm bucket width -> <=101 buckets
+_BQS_SCORE_SQL = (
+    "({stop} * 1000000) // GREATEST(len(str_split(lower(text), ' ')), 1)"
+    " + (length(regexp_replace(lower(text), '[^a-z]', '', 'g')) * 1000000)"
+    "   // GREATEST(length(text), 1)"
+)
+
+
+def _bqs_oracle() -> str:
+    from ..operators.text import LANG_STOPWORDS, sql_stopword_count
+
+    score = _BQS_SCORE_SQL.format(
+        stop=sql_stopword_count("text", LANG_STOPWORDS["en"])
+    )
+    return f"""
+    WITH scored AS (
+      SELECT doc_id,
+             {score} AS score_ppm,
+             len(str_split(lower(text), ' ')) AS n_tokens
+      FROM documents
+    ),
+    sel AS (
+      SELECT *, SUM(n_tokens) OVER (
+        ORDER BY score_ppm DESC, doc_id
+        ROWS UNBOUNDED PRECEDING) AS run
+      FROM scored
+    )
+    SELECT doc_id,
+           CAST(score_ppm AS BIGINT) AS score_ppm,
+           CAST(n_tokens AS BIGINT) AS n_tokens
+    FROM sel WHERE run <= {_BQS_BUDGET}
+    """
+
+
+@query("budget_quality_select", oracle=_bqs_oracle())
+def budget_quality_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-selection under a token budget: keep the greedy
+    quality-descending prefix of the corpus whose cumulative token
+    count fits the budget — the "best N tokens" pass every
+    budget-bound pretraining run makes.
+
+    The ORACLE states the naive form: one GLOBAL running sum over
+    (score DESC, doc_id). That formulation serializes the whole corpus
+    through a single window partition — the classic 100 TB
+    scale-killer. The Spark side runs the production TWO-PHASE form:
+    (1) histogram the integer quality score into <=101 fixed-width
+    buckets (one map-side-combinable agg), cumulate token sums over
+    that tiny bucket table to find the full buckets and the ONE
+    boundary bucket plus its remaining budget, then (2) select whole
+    buckets by broadcast join and run the tie-broken prefix window
+    over ONLY the boundary bucket's documents. The hash-equality gate
+    proves the rewrite is semantics-preserving: the selected SET —
+    every doc_id, score, and token count — must equal the naive
+    global-window answer exactly.
+
+    Engine-exactness: the quality score is pure integer arithmetic
+    (stopword-density and alpha-density in ppm via integer DIV — the
+    transcendental-free recipe), token counts are integers, and
+    bucketing is integer DIV, so both phases are bit-exact on both
+    engines. Output size is budget-bounded (~220 docs here) at every
+    scale."""
+    from ..operators.text import LANG_STOPWORDS, stopword_count, words
+
+    budget = F.lit(_BQS_BUDGET).cast("long")
+    d = table(spark, sf_dir, "documents")
+    scored = d.select(
+        "doc_id",
+        stopword_count(F.col("text"), LANG_STOPWORDS["en"])
+        .cast("long")
+        .alias("stop_cnt"),
+        F.size(words(F.col("text"))).cast("long").alias("n_tokens"),
+        F.length(F.regexp_replace(F.lower(F.col("text")), "[^a-z]", ""))
+        .cast("long")
+        .alias("alpha_chars"),
+        F.length("text").cast("long").alias("n_chars"),
+    ).select(
+        "doc_id",
+        "n_tokens",
+        F.expr(
+            "(stop_cnt * 1000000) DIV greatest(n_tokens, 1)"
+            " + (alpha_chars * 1000000) DIV greatest(n_chars, 1)"
+        ).alias("score_ppm"),
+    ).withColumn("bucket", F.expr(f"score_ppm DIV {_BQS_BUCKET_W}"))
+
+    hist = scored.groupBy("bucket").agg(F.sum("n_tokens").alias("btok"))
+    w_cum = Window.orderBy(F.desc("bucket")).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    info = (
+        hist.withColumn("cum", F.sum("btok").over(w_cum))
+        .withColumn("better_cum", F.col("cum") - F.col("btok"))
+        .select(
+            "bucket",
+            F.when(F.col("cum") <= budget, F.lit("full"))
+            .when(F.col("better_cum") < budget, F.lit("boundary"))
+            .otherwise(F.lit("out"))
+            .alias("kind"),
+            (budget - F.col("better_cum")).alias("remainder"),
+        )
+    )
+    joined = scored.join(F.broadcast(info), "bucket")
+    cols = ["doc_id", "score_ppm", "n_tokens"]
+    full_sel = joined.filter(F.col("kind") == "full").select(*cols)
+    w_bnd = Window.partitionBy("bucket").orderBy(
+        F.desc("score_ppm"), "doc_id"
+    ).rowsBetween(Window.unboundedPreceding, 0)
+    bnd_sel = (
+        joined.filter(F.col("kind") == "boundary")
+        .withColumn("run", F.sum("n_tokens").over(w_bnd))
+        .filter(F.col("run") <= F.col("remainder"))
+        .select(*cols)
+    )
+    return full_sel.unionByName(bnd_sel)
