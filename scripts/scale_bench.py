@@ -155,8 +155,12 @@ MEASURED = [
     "f10_array_lambda_stats",
     "ann_ivf_trained",
     "ann_recall_eval",
-    # round-12 new operator: the HLL estimate leg
+    # round-12 new operators: the HLL estimate leg, Bloom membership,
+    # and the two-phase token-budget selection (its oracle is the
+    # naive global window; the measured Spark side is the bucket form)
     "sketch_hll_estimate",
+    "sketch_bloom_membership",
+    "budget_quality_select",
 ]
 
 # Round-6 (VERDICT r5 ask #3): the five queries flagged perf-weak at
