@@ -1248,7 +1248,6 @@ def budget_quality_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     scale."""
     from ..operators.text import LANG_STOPWORDS, stopword_count, words
 
-    budget = F.lit(_BQS_BUDGET).cast("long")
     d = table(spark, sf_dir, "documents")
     scored = d.select(
         "doc_id",
@@ -1267,8 +1266,21 @@ def budget_quality_select(spark: SparkSession, sf_dir: str) -> DataFrame:
             "(stop_cnt * 1000000) DIV greatest(n_tokens, 1)"
             " + (alpha_chars * 1000000) DIV greatest(n_chars, 1)"
         ).alias("score_ppm"),
-    ).withColumn("bucket", F.expr(f"score_ppm DIV {_BQS_BUCKET_W}"))
+    )
+    return budget_select_two_phase(scored, _BQS_BUDGET)
 
+
+def budget_select_two_phase(
+    scored: DataFrame, budget_tokens: int, bucket_w: int = _BQS_BUCKET_W
+) -> DataFrame:
+    """The two-phase greedy token-budget prefix over a scored frame
+    (columns: doc_id, score_ppm, n_tokens). Semantics: identical to the
+    naive global running-sum selection ordered by (score_ppm DESC,
+    doc_id) with cumulative n_tokens <= budget — equivalence is
+    oracle-gated in budget_quality_select and edge-pinned in
+    tests/test_mlprep.py (exact-boundary remainder, all-fit, ties)."""
+    budget = F.lit(int(budget_tokens)).cast("long")
+    scored = scored.withColumn("bucket", F.expr(f"score_ppm DIV {bucket_w}"))
     hist = scored.groupBy("bucket").agg(F.sum("n_tokens").alias("btok"))
     w_cum = Window.orderBy(F.desc("bucket")).rowsBetween(
         Window.unboundedPreceding, 0

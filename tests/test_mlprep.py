@@ -367,3 +367,76 @@ def test_split_leakage_safe_clusters_never_straddle(spark):
         .count()
     )
     assert singles_changed == 0
+
+
+# ---------------------------------------------------------------------------
+# Token-budget selection: two-phase form vs the naive greedy prefix
+# ---------------------------------------------------------------------------
+
+
+def _naive_budget_prefix(rows, budget):
+    """Greedy prefix by (score DESC, doc_id ASC) with cumsum <= budget."""
+    out, run = [], 0
+    for doc_id, score, tok in sorted(rows, key=lambda r: (-r[1], r[0])):
+        if run + tok > budget:
+            break
+        run += tok
+        out.append((doc_id, score, tok))
+    return sorted(out)
+
+
+def _two_phase(spark, rows, budget, bucket_w=20_000):
+    from glamira_batch_processing_spark.plans.mlprep_queries import (
+        budget_select_two_phase,
+    )
+
+    df = spark.createDataFrame(
+        rows, "doc_id long, score_ppm long, n_tokens long"
+    )
+    got = budget_select_two_phase(df, budget, bucket_w)
+    return sorted(
+        (r.doc_id, r.score_ppm, r.n_tokens) for r in got.collect()
+    )
+
+
+def test_budget_select_matches_naive_prefix_edges(spark):
+    """The two-phase bucket form must equal the naive global prefix on
+    the shapes that break sloppy rewrites: an exact-boundary remainder
+    (better buckets consume the whole budget -> boundary prefix must be
+    EMPTY), score ties straddling the within-bucket tie-break, and a
+    boundary doc whose tokens overflow mid-bucket."""
+    rows = [
+        # bucket 2 (scores 40000..44000): 3 docs, 10 tokens total
+        (1, 44000, 4), (2, 42000, 3), (3, 40000, 3),
+        # bucket 1 (scores 20000..30000): ties on score -> doc_id order
+        (4, 30000, 5), (5, 30000, 5), (6, 20000, 7),
+        # bucket 0
+        (7, 1000, 2),
+    ]
+    # exact boundary: budget == bucket-2 total -> bucket 1 prefix empty
+    assert _two_phase(spark, rows, 10) == _naive_budget_prefix(rows, 10)
+    # mid-bucket overflow with a score tie: selects doc 4, skips 5
+    assert _two_phase(spark, rows, 16) == _naive_budget_prefix(rows, 16)
+    # stop mid-way into the tie pair's second member
+    assert _two_phase(spark, rows, 20) == _naive_budget_prefix(rows, 20)
+    # everything fits
+    assert _two_phase(spark, rows, 1000) == _naive_budget_prefix(rows, 1000)
+    assert len(_two_phase(spark, rows, 1000)) == len(rows)
+    # budget smaller than the single best doc -> empty selection
+    assert _two_phase(spark, rows, 3) == []
+
+
+def test_budget_select_randomized_vs_naive(spark):
+    """Randomized cross-check (fixed seed): arbitrary score/token mixes
+    across many buckets must match the naive prefix exactly."""
+    import random
+
+    rng = random.Random(12)
+    rows = [
+        (i, rng.randrange(0, 200_000), rng.randrange(1, 50))
+        for i in range(200)
+    ]
+    for budget in (0, 37, 500, 2_000, 10**6):
+        assert _two_phase(spark, rows, budget) == _naive_budget_prefix(
+            rows, budget
+        ), budget
