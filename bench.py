@@ -210,12 +210,21 @@ def _load_prior_queries(repo_dir: Path) -> tuple[str, dict[str, float], str]:
     Preference order:
       1. The latest committed ``BENCH_r*.json`` whose ``parsed`` payload
          carries a queries map, upgraded to full precision from the
-         committed ``BENCH_SUMMARY.json`` when that summary provably
-         came from the same run (same headline total, same name set).
+         committed ``BENCH_SUMMARY.json`` when that summary came from the
+         same run: same headline total AND the artifact's name set is a
+         SUBSET of the summary's. (Since round 12 the stdout map is the
+         pinned 20-name tier only, so the artifact's map is always a
+         strict subset of the summary's full map — set-equality would
+         never match and the comparison would silently collapse to 20
+         names at 2-decimal precision; the r12 verdict's top ask.)
       2. The committed ``BENCH_SUMMARY.json`` alone — covers the round-11
          failure mode where the latest driver artifact is ``rc=1`` with
          ``parsed: null`` (bench crashed after the summary was written),
-         so the newest valid data lives only in the summary.
+         so the newest valid data lives only in the summary. Guarded:
+         the summary is preferred over continuing to an older artifact
+         ONLY when its headline total matches no older artifact's — a
+         stale/restored summary that provably belongs to an older round
+         must not shadow that round's own artifact.
 
     Returns ``(source_name, queries_map, precision)``; empty map means no
     usable prior exists and the same-set fields are omitted.
@@ -227,42 +236,44 @@ def _load_prior_queries(repo_dir: Path) -> tuple[str, dict[str, float], str]:
             summary = s
     except (OSError, ValueError):
         pass
+    parsed_artifacts: list[tuple[str, dict | None]] = []
     for artifact in sorted(repo_dir.glob("BENCH_r*.json"), reverse=True):
         try:
             prev = json.loads(artifact.read_text())
-            if not isinstance(prev, dict):
-                continue
-            prev = prev.get("parsed", prev)
-            if not isinstance(prev, dict) or not isinstance(
-                prev.get("queries"), dict
-            ):
-                # rc!=0 artifact (e.g. BENCH_r11.json): no parsed line.
-                # If the committed summary is NEWER than the skipped
-                # artifact's data (it was written by that same crashed
-                # run), prefer it outright rather than reaching back to
-                # an older round's artifact.
-                if summary and summary.get("queries", {}) != {}:
-                    return (
-                        "BENCH_SUMMARY.json",
-                        dict(summary["queries"]),
-                        "full",
-                    )
-                continue
-            pq = dict(prev["queries"])
-            # The artifact's per-query values are 2-decimal stdout
-            # rounding. The committed BENCH_SUMMARY.json from the SAME
-            # run holds them at full precision — use it when it provably
-            # matches the artifact, so the same-set delta isn't polluted
-            # by ~±5 ms/query rounding noise.
-            if (
-                summary
-                and summary.get("value") == prev.get("value")
-                and set(summary.get("queries", {})) == set(pq)
-            ):
-                return artifact.name, dict(summary["queries"]), "full"
-            return artifact.name, pq, "stdout_2dp"
-        except (ValueError, KeyError, TypeError):
+        except (OSError, ValueError):
             continue  # a malformed prior artifact never blocks the bench
+        if not isinstance(prev, dict):
+            continue
+        prev = prev.get("parsed", prev)
+        ok = isinstance(prev, dict) and isinstance(prev.get("queries"), dict)
+        parsed_artifacts.append((artifact.name, prev if ok else None))
+    for i, (name, prev) in enumerate(parsed_artifacts):
+        if prev is None:
+            # rc!=0 artifact (e.g. BENCH_r11.json): no parsed line. The
+            # committed summary stands in for the crashed run's data —
+            # but only if it matches no OLDER artifact's headline total
+            # (else it is that older round's data, restored; continue
+            # the walk and let that artifact represent itself).
+            if summary and not any(
+                p is not None and summary.get("value") == p.get("value")
+                for _, p in parsed_artifacts[i + 1 :]
+            ):
+                return "BENCH_SUMMARY.json", dict(summary["queries"]), "full"
+            continue
+        pq = dict(prev["queries"])
+        # The artifact's per-query values are 2-decimal stdout rounding
+        # over the pinned tier only. The committed BENCH_SUMMARY.json
+        # from the SAME run holds ALL tiers at full precision — use it
+        # when the totals match and the artifact's names are a subset of
+        # the summary's, so the same-set comparison runs over the full
+        # 67+ name set instead of the pinned 20.
+        if (
+            summary
+            and summary.get("value") == prev.get("value")
+            and set(pq) <= set(summary.get("queries", {}))
+        ):
+            return name, dict(summary["queries"]), "full"
+        return name, pq, "stdout_2dp"
     if summary:
         return "BENCH_SUMMARY.json", dict(summary["queries"]), "full"
     return "", {}, ""
