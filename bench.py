@@ -146,6 +146,17 @@ EXTENDED = [
     "ann_recall_eval",
     # round 12: the new HLL estimate leg
     "sketch_hll_estimate",
+    # round 13: mirror the gate-window rotation — the round-13 swap-ins
+    # not already benched join here (dedup_streaming_ingest_gate stays
+    # OUT by design: streaming replay gates are gate harnesses, not
+    # engine throughput; dedup_minhash_lsh_fast is already benched).
+    "sketch_quantile_sample",
+    "anomaly_error_spike",
+    "ann_recall_multiprobe",
+    "ann_sq8_recall_eval",
+    "sketch_bloom_membership",
+    "budget_quality_select",
+    "ann_cosine_topk_np_ids",
 ]
 
 HEADLINE = HEADLINE_PINNED + EXTENDED

@@ -484,6 +484,41 @@ def ann_cosine_topk_np(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cosine_topk_np(queries_pdf, e, k=10)
 
 
+@query(
+    "ann_cosine_topk_np_ids",
+    oracle=f"""
+    WITH normed AS (
+      SELECT vec_id, embedding, sqrt({sql_dot("embedding", "embedding")}) AS nrm
+      FROM embeddings
+    ),
+    scored AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             {sql_dot("q.embedding", "c.embedding")} / (q.nrm * c.nrm) AS cosine_sim
+      FROM normed q JOIN normed c ON q.vec_id != c.vec_id
+      WHERE q.vec_id % 100 = 0
+    )
+    SELECT query_id, neighbor_id FROM (
+      SELECT *, row_number() OVER (
+        PARTITION BY query_id ORDER BY cosine_sim DESC, neighbor_id
+      ) AS rank
+      FROM scored
+    )
+    WHERE rank <= 10
+    """,
+)
+def ann_cosine_topk_np_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ids-only projection of the numpy BLAS kernel (VERDICT r12 ask
+    #5): the top-10 neighbor-id SET per query, hash-matched against the
+    exact sequential-fold oracle. The raw float kernel stays rows-only
+    (numpy's pairwise/SIMD summation diverges from the fold in the last
+    ~ulp), but the id set is float-robust — the k-boundary score gaps
+    in this corpus are orders of magnitude wider than the ~1e-12
+    summation-order divergence. Set-equality vs the fold path is
+    pinned in pytest (tests/test_similarity.py) and held at
+    sf0.001/0.01/0.1/sf1 when gated (round-13 verification)."""
+    return ann_cosine_topk_np(spark, sf_dir).select("query_id", "neighbor_id")
+
+
 # ---------------------------------------------------------------------------
 # Similarity search: IVF-bucketed ANN (the scale path).
 # ---------------------------------------------------------------------------

@@ -127,6 +127,24 @@ def main() -> int:
         doc: dict = {"scales": {}}
         if json_path.exists():
             doc = json.loads(json_path.read_text())
+        existing = doc.get("scales", {}).get(sf)
+        if (
+            only is not None
+            and isinstance(existing, dict)
+            and existing.get("only_subset") is None
+        ):
+            # ADVICE r12: a --only subset run must never clobber a
+            # recorded FULL-battery entry for the same scale — an
+            # "ALL MATCH" over 1 query silently replacing an
+            # "ALL MATCH" over 185. Use a separate --json path for
+            # subset evidence (the committed addendum-file pattern) or
+            # rerun the full battery.
+            print(
+                f"REFUSING to overwrite full-battery entry for {sf} "
+                f"with a --only subset run; artifact unchanged "
+                f"(write subsets to an addendum file instead)"
+            )
+            return 1 if fails else 0
         n_pass = sum(1 for r in record.values() if r["status"] == "pass")
         n_rows = sum(1 for r in record.values() if r["status"] == "rows_only")
         doc["scales"][sf] = {

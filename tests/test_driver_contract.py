@@ -130,12 +130,18 @@ GATE_FAMILIES: dict[str, tuple[str, ...]] = {
     # Round 11: rolling_7d's trailing-window actives metric is
     # per-bucket COUNT(DISTINCT user) — the same argument that
     # admitted cohort_retention in round 10, which rotates out (r9/10).
+    # Round 13: sketch_hll_estimate computes the exact
+    # COUNT(DISTINCT event_id) NEXT TO the HLL estimate — the
+    # distinct-counting family's sketch-vs-exact shape (the same
+    # argument style that admitted cohort_retention in round 10 and
+    # rolling_7d in round 11, which rotates out with greens r11/r12).
     "count_distinct": (
         "a2_multiplicity_flag",
         "funnel_view_click_purchase",
         "q16_parts_supplier",
         "cohort_retention",
         "rolling_7d_active_users",
+        "sketch_hll_estimate",
     ),
     # Round 8: q14's CASE-WHEN promo-revenue share is conditional
     # aggregation — it rotates in while DSIR (green r6/7) rotates out.
@@ -203,11 +209,16 @@ GATE_FAMILIES: dict[str, tuple[str, ...]] = {
     # composite weight key and plans TakeOrderedAndProject — the
     # topk_order shape; it keeps the family while q10 (green r9/10)
     # rotates out.
+    # Round 13: budget selection IS an ordered-prefix take — ORDER BY
+    # quality DESC, taken until the running token sum exhausts the
+    # budget (top-k with a data-defined k) — the same ordered-selection
+    # semantics that admitted the A-ES weighted sample in round 11.
     "topk_order": (
         "o4_topk_composite_order",
         "q3_shipping_priority",
         "q10_returned_items",
         "sample_weighted_by_length",
+        "budget_quality_select",
     ),
     "union": ("u1_union_all", "u2_intersect_except"),
     # Round 12: f13 performs the case normalization IN the grouping
@@ -253,6 +264,12 @@ GATE_FAMILIES: dict[str, tuple[str, ...]] = {
     # Round 11: the LSH recall eval tunes the banded near-dup path
     # against labeled pairs — it rotates in while dedup_semdedup_prune
     # (green r7..r10) rotates out.
+    # Round 13: the ingest gate runs the SAME banded-LSH near-dup path
+    # incrementally (per-batch signatures MERGEd into persistent state,
+    # replayed as real Structured Streaming) — it rotates in while
+    # dedup_lsh_recall_eval (green r11/12) rotates out;
+    # dedup_minhash_lsh_fast is the production xxhash64 fold of the
+    # same banding (rows-only, queued round 14).
     "dedup_near": (
         "dedup_minhash_lsh",
         "dedup_simhash",
@@ -260,6 +277,8 @@ GATE_FAMILIES: dict[str, tuple[str, ...]] = {
         "dedup_substring_spans",
         "dedup_semdedup_prune",
         "dedup_lsh_recall_eval",
+        "dedup_streaming_ingest_gate",
+        "dedup_minhash_lsh_fast",
     ),
     # Round 9: dedup_keep_best RUNS the components substrate end-to-end
     # (components + membership join + survivor window) — it rotates in
@@ -271,6 +290,10 @@ GATE_FAMILIES: dict[str, tuple[str, ...]] = {
     # Round 12: the trained-centroid path and the recall evals join —
     # the deployed-kernel evidence VERDICT r11 flagged; the rows-only
     # numpy kernel gets its blemish-erasing rows>0 row.
+    # Round 13: the recall-eval legs gate (multiprobe + SQ8) while
+    # ann_index_persist (green r11/12) rotates out; the rows-only numpy
+    # kernel is settled by gating its ids-only projection WITH the
+    # exact-fold oracle (VERDICT r12 ask #5).
     "ann": (
         "ann_ivf_bucketed",
         "ann_cosine_topk",
@@ -284,6 +307,7 @@ GATE_FAMILIES: dict[str, tuple[str, ...]] = {
         "ann_recall_multiprobe",
         "ann_sq8_recall_eval",
         "ann_cosine_topk_np",
+        "ann_cosine_topk_np_ids",
     ),
     # Round 7: SemDeDup's gate row exercises centroid assignment +
     # within-cluster pruning (clustering machinery) — it rotates in
@@ -347,12 +371,17 @@ GATE_FAMILIES: dict[str, tuple[str, ...]] = {
     # Round 9: source-proportion resampling is the sampling family's
     # domain-mixing leg — it rotates in while mix_temperature_sampling
     # (green r7/8) rotates out.
+    # Round 13: token-budget data selection is the sampling family's
+    # budget-constrained selection leg (select the quality-ordered
+    # prefix of the corpus until the token budget) — it rotates in
+    # while sample_weighted_by_length (green r11/12) rotates out.
     "sampling": (
         "sample_stratified_lang",
         "sample_exact_k",
         "sample_weighted_by_length",
         "mix_temperature_sampling",
         "mix_resample_sources",
+        "budget_quality_select",
     ),
     "pii": ("pii_redact", "pii_luhn_validate"),
     "chunk_pack": ("chunk_token_windows", "pack_sequences"),
@@ -360,7 +389,15 @@ GATE_FAMILIES: dict[str, tuple[str, ...]] = {
     # standard document-overlap/contamination-detection primitive — it
     # rotates in while decontaminate_benchmark_overlap (green r3/5/6)
     # rotates out.
-    "decontaminate": ("decontaminate_benchmark_overlap", "text_winnow_fingerprints"),
+    # Round 13: Bloom kill-list membership is the decontamination
+    # primitive at 100 TB (probe every training doc against a compact
+    # benchmark kill-list sketch) — it rotates in while
+    # text_winnow_fingerprints (green r7..r12, 6 greens) rotates out.
+    "decontaminate": (
+        "decontaminate_benchmark_overlap",
+        "text_winnow_fingerprints",
+        "sketch_bloom_membership",
+    ),
     # Round 6: skew-aware aggregation (frequency top-k + salted two-phase
     # agg are both hot-key-robust groupBy designs); skew_salted_agg
     # rotates in, heavy_hitters (green r3/5) rotates out.
@@ -378,6 +415,9 @@ GATE_FAMILIES: dict[str, tuple[str, ...]] = {
     # Round 12: the CMS estimate leg (broadcast-sketch probes beside
     # exact counts) keeps the family while sketch_countmin_tokens
     # (green r10/11) rotates out.
+    # Round 13: the HLL estimate leg, the Bloom membership primitive,
+    # and the quantile reservoir all gate (the last never-gated
+    # oracle-backed sketches).
     "sketch": (
         "sketch_kmv_distinct",
         "sketch_countmin_tokens",
@@ -385,6 +425,8 @@ GATE_FAMILIES: dict[str, tuple[str, ...]] = {
         "sketch_theta_overlap",
         "sketch_countmin_estimate",
         "sketch_quantile_sample",
+        "sketch_hll_estimate",
+        "sketch_bloom_membership",
     ),
     # Round 9: qa_snapshot_drift profiles per-bucket value distributions
     # across snapshots (counts, ppm shares, chi-square, exact-integer
@@ -456,10 +498,16 @@ GATE_FAMILIES: dict[str, tuple[str, ...]] = {
     # three applyInPandasWithState operators (mtime-ordered chunked
     # availableNow replays, state crossing every batch boundary)
     # hash-matched against declarative batch oracles.
+    # Round 13: the dedup-at-ingest replay joins as the fourth REAL
+    # Structured Streaming gate (per-batch LSH signatures MERGEd into
+    # persistent cross-batch state) — it rotates in while
+    # alerts_streaming_gate (green r10/11/12) rotates out; all four
+    # replays stay in the committed DRIVERSIM battery.
     "streaming_state": (
         "sessionize_streaming_gate",
         "funnel_streaming_gate",
         "alerts_streaming_gate",
+        "dedup_streaming_ingest_gate",
     ),
     # Round 11: new family — the digest-pinned distributed tokenizer
     # encodes (BPE merges and Unigram pieces trained distributed, the
@@ -481,13 +529,16 @@ def test_priority_order_covers_gate_window():
     assert len(prio) == 50
     assert len(set(prio)) == 50
     assert names[:50] == prio
-    # Rows-only window members (VERDICT r11 ask #3): production kernels
-    # whose float summation order cannot hash-match a DuckDB oracle by
-    # design; the driver records a weaker rows>0 row for them, and
-    # their tolerance parity vs the oracled twin is pytest-pinned
-    # (tests/test_retrieval.py). Keep this set SMALL and justified —
-    # every other window member must carry a full value-hash oracle.
-    rows_only_ok = {"ann_cosine_topk_np"}
+    # Rows-only window members: production kernels whose float
+    # summation order cannot hash-match a DuckDB oracle by design; the
+    # driver records a weaker rows>0 row for them, and their tolerance
+    # parity vs the oracled twin is pytest-pinned. Round 13: EMPTY —
+    # ann_cosine_topk_np was settled per VERDICT r12 ask #5 by gating
+    # its ids-only projection WITH the exact-fold oracle, so every
+    # window member carries a full value-hash oracle. Round 14 will
+    # re-justify entries for dedup_minhash_lsh_fast / datapipe_e2e_fast
+    # (queued). Keep this set SMALL and justified.
+    rows_only_ok: set[str] = set()
     missing_oracle = [
         n for n in prio if n not in ORACLES and n not in rows_only_ok
     ]
@@ -504,35 +555,42 @@ def test_priority_order_covers_gate_window():
         if not set(reps) & set(prio)
     }
     assert not uncovered, f"families with no gate-window representative: {uncovered}"
-    # The round-11 rotations hold exactly ONE green external round
-    # (r11), so they stay in-window until a second green row lands
-    # (rotation policy: >=2 greens). Round 12 rotated out nine members
-    # of the round-10-and-earlier cohort, each holding >=2 greens.
+    # The round-12 rotations hold exactly ONE green external round
+    # (r12), so they stay in-window until a second green row lands
+    # (rotation policy: >=2 greens). Round 13 rotated out nine members
+    # of the round-11-and-earlier cohort, each holding >=2 greens
+    # (ann_cosine_topk_np's in-place settlement excepted — VERDICT r12
+    # ask #5: its ids-only projection gates WITH an oracle instead).
     for required in (
-        # the fifteen round-11 swap-ins (one green each, must stay)
-        "q11_important_stock",
-        "s11_incremental_view",
-        "gapfill_forward_fill",
-        "rolling_7d_active_users",
-        "f14_json_retype",
-        "text_tfidf_topterms",
-        "dedup_lsh_recall_eval",
-        "cluster_label_purity",
-        "ann_index_persist",
-        "quality_bigram_familiarity",
-        "multimodal_video_routing",
-        "split_leakage_safe",
-        "sample_weighted_by_length",
-        "bpe_encode_stats",
-        "unigram_encode_stats",
+        # the eight surviving round-12 swap-ins (one green each, stay)
+        "f10_array_lambda_stats",
+        "f13_collated_group",
+        "drift_split_lang_cells",
+        "winsorize_outlier_counts",
+        "event_transition_matrix",
+        "sketch_countmin_estimate",
+        "ann_ivf_trained",
+        "ann_recall_eval",
+        # the nine round-13 first-timers (gate this round)
+        "sketch_quantile_sample",
+        "anomaly_error_spike",
+        "ann_recall_multiprobe",
+        "ann_sq8_recall_eval",
+        "sketch_hll_estimate",
+        "dedup_streaming_ingest_gate",
+        "sketch_bloom_membership",
+        "budget_quality_select",
+        "ann_cosine_topk_np_ids",
         # multi-green veterans that remain sole family representatives
         "q1_coded_layout",
         "q8_market_share",
+        "q11_important_stock",
         "s11_cdc_diff",
-        "alerts_streaming_gate",
+        "gapfill_forward_fill",
         "asof_forward_next_purchase",
         "q20_potential_promotion",
         "dedup_keep_best",
+        "bpe_encode_stats",
     ):
         assert required in prio, required
 
