@@ -220,7 +220,7 @@ def dedup_minhash_lsh_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query("dedup_streaming_ingest_gate", oracle=_LSH_PAIRS_ORACLE)
 def dedup_streaming_ingest_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Dedup-at-ingest under the external oracle gate: the corpus
-    arrives as FOUR mtime-ordered file chunks replayed through a real
+    arrives as THREE mtime-ordered file chunks replayed through a real
     Structured Streaming file source (maxFilesPerTrigger=1 +
     availableNow), and each micro-batch runs incremental_lsh_pairs
     (operators/dedup.py:242) — signatures for the BATCH ONLY are
@@ -232,10 +232,16 @@ def dedup_streaming_ingest_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     (dedup_minhash_lsh's SQL verbatim): every pair is discovered
     exactly once, at the batch where its later-arriving member lands.
 
-    Chunks are cut on doc_id % 4, so a base document and its injected
-    near/exact duplicates (+100000 / +200000 offsets) usually arrive
-    in different micro-batches — the cross-batch signature state, not
-    within-batch hashing, is what the oracle verifies.
+    Chunks are cut on doc_id % 3 — an expression the injected
+    duplicate offsets do NOT preserve (100000 % 3 = 1, 200000 % 3 = 2),
+    so a base document, its near duplicate (+100000) and its exact
+    copy (+200000) land in three DIFFERENT micro-batches, ALWAYS: every
+    designed duplicate pair crosses a batch boundary, and a sink that
+    ignored the persistent signature store could not reproduce the
+    whole-corpus oracle. (The round-12 cut on doc_id % 4 was defective
+    exactly here — both offsets are divisible by 4, so designed pairs
+    were same-batch and the cross-batch state went near-unverified;
+    ADVICE r12.)
 
     100 TB shape: per-batch cost is O(batch + matching buckets),
     independent of corpus size; the only growing state is the
@@ -250,7 +256,7 @@ def dedup_streaming_ingest_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     root = _scratch("dedup_streaming_ingest_gate", sf_dir)
     c = corpus(spark, sf_dir)
     glob = stage_keyed_chunks(
-        c, root / "src", F.pmod(F.col("doc_id"), F.lit(4)), n_chunks=4
+        c, root / "src", F.pmod(F.col("doc_id"), F.lit(3)), n_chunks=3
     )
     stream = (
         spark.readStream.schema("doc_id bigint, text string")
@@ -274,7 +280,14 @@ def dedup_streaming_ingest_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(1800)
+    if not q.awaitTermination(1800):
+        # ADVICE r12: reading the output while the stream still writes
+        # would surface as a confusing partial-result oracle mismatch;
+        # make a hung replay report as what it is.
+        q.stop()
+        raise TimeoutError(
+            "dedup_streaming_ingest_gate replay did not finish in 1800s"
+        )
     return spark.read.parquet(str(out)).select("doc_a", "doc_b").distinct()
 
 

@@ -71,7 +71,15 @@ def main() -> int:
         src = f"{p}/*.parquet" if p.is_dir() else str(p)
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{src}'")
     n_events = con.sql("SELECT COUNT(*) FROM events").fetchone()[0]
-    n_docs = con.sql("SELECT COUNT(*) FROM documents").fetchone()[0]
+    # ADVICE r12: the dedup gate streams corpus() = documents PLUS the
+    # injected near/exact duplicate rows (~+24.7%), so the replay
+    # throughput denominator must count the corpus CTE, not the raw
+    # documents table.
+    from glamira_batch_processing_spark.plans.datapipe_queries import corpus_cte
+
+    n_corpus = con.sql(
+        f"WITH {corpus_cte()} SELECT COUNT(*) FROM corpus"
+    ).fetchone()[0]
 
     qs, osql = contract.queries(), contract.oracle_sql()
     report: dict[str, dict] = {}
@@ -102,9 +110,10 @@ def main() -> int:
         )
         report[name] = {
             "oracle_match": ok,
-            # the dedup gate streams the documents-derived corpus; the
-            # three event gates stream the events table
-            "input_rows": n_docs if name.startswith("dedup_") else n_events,
+            # the dedup gate streams the documents-derived corpus
+            # (incl. injected duplicates); the event gates stream the
+            # events table
+            "input_rows": n_corpus if name.startswith("dedup_") else n_events,
             "result_rows": len(srows),
             "state_crossing_batches": batches,
             "replay_wall_sec": round(wall, 2),

@@ -25,7 +25,7 @@ from glamira_batch_processing_spark.operators.spans import (
     word_windows,
 )
 
-from .conftest import SF_MEDIUM
+from .conftest import SF_MEDIUM, SF_SMALL
 
 
 # ---------------------------------------------------------------------------
@@ -314,6 +314,45 @@ def test_incremental_lsh_matches_full_recompute(spark, tmp_path):
     expected1 = {p for p in full if p[0] in batch1_ids and p[1] in batch1_ids}
     got1 = {tuple(r) for r in p1.collect()}
     assert got1 == expected1
+
+
+def test_ingest_gate_designed_pairs_cross_batches(spark):
+    """ADVICE r12 (medium): the round-12 replay cut chunks on
+    doc_id % 4, which BOTH duplicate offsets (+100000, +200000)
+    preserve — so a base doc and its duplicates always landed in the
+    SAME micro-batch and the gate's cross-batch signature state went
+    near-unverified. The fix cuts on doc_id % 3 (100000 % 3 = 1,
+    200000 % 3 = 2): this pins that (a) every DESIGNED duplicate pair
+    now has its two members arriving in different micro-batches, and
+    (b) each pair is emitted at the batch where its later member
+    lands — i.e. the persistent signature store, not within-batch
+    hashing, produced it."""
+    import __spark_entry__ as contract
+    from scripts.streaming_scale import scratch_root
+
+    name = "dedup_streaming_ingest_gate"
+    qs = contract.queries()
+    pairs = {(r.doc_a, r.doc_b) for r in qs[name](spark, SF_SMALL).collect()}
+    designed = {
+        (a, b) for a, b in pairs if (b - a) in (100000, 200000)
+    } | {(a, b) for a, b in pairs if a >= 100000 and (b - a) == 100000}
+    assert designed, "corpus should contain designed duplicate pairs"
+    # (a) members of every designed pair arrive in different batches
+    for a, b in designed:
+        assert a % 3 != b % 3, (a, b)
+    # (b) emission batch == later member's arrival batch, for ALL pairs
+    sink = scratch_root(name, SF_SMALL) / "out"
+    emitted = spark.read.parquet(str(sink)).collect()
+    assert emitted
+    for r in emitted:
+        assert r.batch_id == max(r.doc_a % 3, r.doc_b % 3), (
+            r.doc_a,
+            r.doc_b,
+            r.batch_id,
+        )
+    # cross-batch discoveries dominate: at least every designed pair
+    cross = [r for r in emitted if r.doc_a % 3 != r.doc_b % 3]
+    assert len(cross) >= len(designed)
 
 
 def test_incremental_lsh_replay_is_idempotent(spark, tmp_path):
