@@ -488,8 +488,14 @@ from glamira_batch_processing_spark.plans.registry import ORACLE, QUERIES
 # value-hash oracle.
 # Round-14 queue: the rows-only production kernels
 # dedup_minhash_lsh_fast + datapipe_e2e_fast (VERDICT r11 ask #3's
-# last two, displaced by this round's arithmetic cap) — the 8
-# round-12 swap-ins reach 2 greens in r13 and free their slots then.
+# last two, displaced by this round's arithmetic cap), plus the TWO
+# NEW round-13 operators watermark_late_data_gate (withWatermark +
+# tumbling-window agg in append mode, out-of-order straggler replay,
+# oracle restating the watermark algebra boundary-exactly) and
+# s11_time_travel_restore (VERSION AS OF + RESTORE: three versions of
+# one VersionedTable read in a single result, restore proven a
+# metadata re-commit) — the 8 round-12 swap-ins reach 2 greens in r13
+# and free their slots then.
 _PRIORITY: list[str] = [
     # Flagships: whole-warehouse DAG (staging -> SCD -> marts -> rollup)
     # and whole-training-data pipeline (quality -> dedup+components ->

@@ -412,6 +412,101 @@ def q1_coded_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "s11_time_travel_restore",
+    oracle="""
+    WITH tgt AS (
+      SELECT o_orderkey, o_custkey,
+             CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS total_cents,
+             0 AS from_source
+      FROM orders
+      WHERE o_orderdate < TIMESTAMP '1997-01-01' AND o_orderkey % 5 = 0
+    ),
+    src AS (
+      SELECT o_orderkey, o_custkey,
+             CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS total_cents,
+             1 AS from_source
+      FROM orders
+      WHERE o_orderdate >= TIMESTAMP '1996-07-01' AND o_orderkey % 5 = 0
+    ),
+    merged AS (
+      SELECT o_orderkey, o_custkey, total_cents, from_source
+      FROM (
+        SELECT *, row_number() OVER (
+          PARTITION BY o_orderkey ORDER BY from_source DESC
+        ) AS rn
+        FROM (SELECT * FROM tgt UNION ALL SELECT * FROM src)
+      ) WHERE rn = 1
+    ),
+    after_delete AS (
+      SELECT * FROM merged WHERE NOT (o_custkey % 3 = 0)
+    )
+    SELECT 'v1_asof' AS leg, * FROM merged
+    UNION ALL
+    SELECT 'v2_head' AS leg, * FROM after_delete
+    UNION ALL
+    SELECT 'restored' AS leg, * FROM merged
+    """,
+)
+def s11_time_travel_restore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VersionedTable TIME TRAVEL + RESTORE under the external oracle
+    gate (new round 13 — the Delta/Iceberg `VERSION AS OF` / `RESTORE`
+    surface the lifecycle rows did not yet prove externally): create(v0
+    history) -> MERGE(v1, source wins) -> DELETE WHERE(v2) ->
+    restore(v1) committing v3, then read THREE versions of the same
+    table in one result:
+
+    - ``v1_asof``   = ``read(version=1)`` — time travel PAST the delete
+      back to the post-merge state;
+    - ``v2_head``   = ``read(version=2)`` — the pre-restore head, still
+      readable AFTER restore moved the head (immutable history);
+    - ``restored``  = ``read()`` — the new head v3, whose content must
+      be bit-identical to v1 (restore is a metadata re-commit of v1's
+      files, not a rewrite).
+
+    The oracle restates the merge and delete algebra declaratively and
+    expects `v1_asof` == `restored` row-for-row — so a restore that
+    rewrote/duplicated data, a version read that leaked another
+    version's files, or a delete applied in-place (mutating v1's
+    files) all flip the hash. Versions are addressed by number, not
+    wall-clock, so the gate is deterministic (`read_as_of`'s timestamp
+    resolution is pinned in tests/test_versioned.py).
+
+    100 TB shape: time travel and restore are pure manifest operations
+    (one tiny JSON read / one manifest re-commit listing v1's files by
+    reference); no data is copied, so the gate's cost is three reads of
+    the same ~N rows. Ref: the reference's BigQuery snapshot-decorator
+    reads (SURVEY §2.1 S11 note)."""
+    from ..sources.versioned import VersionedTable
+
+    t = VersionedTable(_scratch("s11_time_travel_restore", sf_dir))
+    o = table(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 5 == 0)
+
+    def shape(df: DataFrame, from_source: int) -> DataFrame:
+        return df.select(
+            "o_orderkey",
+            "o_custkey",
+            F.floor(F.col("o_totalprice") * 100 + 0.5)
+            .cast("long")
+            .alias("total_cents"),
+            F.lit(from_source).alias("from_source"),
+        )
+
+    t.create(shape(o.filter(F.col("o_orderdate") < "1997-01-01"), 0))
+    t.merge(
+        spark,
+        shape(o.filter(F.col("o_orderdate") >= "1996-07-01"), 1),
+        keys=["o_orderkey"],
+    )
+    t.delete_where(spark, "o_custkey % 3 = 0")
+    t.restore(1)
+    cols = ["o_orderkey", "o_custkey", "total_cents", "from_source"]
+    v1 = t.read(spark, version=1).select(F.lit("v1_asof").alias("leg"), *cols)
+    v2 = t.read(spark, version=2).select(F.lit("v2_head").alias("leg"), *cols)
+    head = t.read(spark).select(F.lit("restored").alias("leg"), *cols)
+    return v1.unionByName(v2).unionByName(head)
+
+
+@query(
     "s11_versioned_lifecycle",
     oracle="""
     WITH tgt AS (

@@ -161,6 +161,20 @@ MEASURED = [
     "sketch_hll_estimate",
     "sketch_bloom_membership",
     "budget_quality_select",
+    # round-13 additions: the rotated-in gate queries without a row
+    # here (dedup_streaming_ingest_gate has its 10x row in the
+    # streaming section via scripts/streaming_scale.py; the
+    # ann_cosine_topk_np ids projection rides the same bounded contract
+    # shape as the np kernel, whose full-corpus twin is in _ann_frames)
+    "sketch_quantile_sample",
+    "anomaly_error_spike",
+    "ann_recall_multiprobe",
+    "ann_sq8_recall_eval",
+    "ann_cosine_topk_np_ids",
+    # round-13 new operators: time travel / restore (manifest-only
+    # lifecycle) — the watermark gate is a streaming replay, measured
+    # in the streaming section
+    "s11_time_travel_restore",
 ]
 
 # Round-6 (VERDICT r5 ask #3): the five queries flagged perf-weak at
@@ -192,6 +206,12 @@ WEAK_VS_DUCK = [
     # ann_recall_eval 5.32x at 1.01 s) get twin-at-10x rows.
     "ann_ivf_trained",
     "ann_recall_eval",
+    # Round-13: the two new equal-work bench-flag hits from the
+    # regenerated BENCH_COMPARE (ann_recall_multiprobe 4.97x at 1.88 s,
+    # ann_sq8_recall_eval 6.42x at 1.04 s — the recall-eval class,
+    # same stage-floor shape as ann_recall_eval) get twin-at-10x rows.
+    "ann_recall_multiprobe",
+    "ann_sq8_recall_eval",
 ]
 
 

@@ -38,6 +38,10 @@ GATES = [
     # batch_id column in its replay sink counts micro-batches the
     # same way)
     "dedup_streaming_ingest_gate",
+    # round 13: watermarked tumbling-window aggregation in append mode
+    # with displaced-straggler late data (windowed agg state instead
+    # of GroupState; batch_id in the sink counts micro-batches)
+    "watermark_late_data_gate",
 ]
 
 

@@ -116,6 +116,9 @@ GATE_FAMILIES: dict[str, tuple[str, ...]] = {
         "s11_versioned_lifecycle",
         "s11_cdc_diff",
         "s11_incremental_view",
+        # round-13 new operator (round-14 queue): VERSION AS OF +
+        # RESTORE over the same transactional table
+        "s11_time_travel_restore",
     ),
     # Round 6: funnel's per-user distinct-stage counting represents the
     # distinct-counting family while a2 (green r1/2/3/5) rotates out;
@@ -508,6 +511,9 @@ GATE_FAMILIES: dict[str, tuple[str, ...]] = {
         "funnel_streaming_gate",
         "alerts_streaming_gate",
         "dedup_streaming_ingest_gate",
+        # round-13 new operator (round-14 queue): watermarked windowed
+        # agg in append mode with genuinely-late straggler replay
+        "watermark_late_data_gate",
     ),
     # Round 11: new family — the digest-pinned distributed tokenizer
     # encodes (BPE merges and Unigram pieces trained distributed, the

@@ -452,3 +452,131 @@ def test_streaming_session_window(spark, tmp_path):
     assert got[(1, "2024-01-01 01:00:00")] == (1, "2024-01-01 01:30:00")
     assert got[(2, "2024-01-01 00:05:00")] == (1, "2024-01-01 00:35:00")
     assert len(got) == 3
+
+
+def test_watermark_boundary_semantics(spark, tmp_path):
+    """Empirical pin of the watermark algebra watermark_late_data_gate's
+    oracle restates (round 13) — hand-built boundary rows, 10 s tumbling
+    windows, 5 s delay, three replayed file chunks:
+
+    - the LATE-events filter lags eviction by one micro-batch
+      (Spark 3.4+ split watermark): a row arriving in batch b is
+      dropped iff window.end <= max event time over batches <= b-2,
+      minus the delay — NON-STRICT (the end == wm probe at 96 s drops);
+    - eviction/emission is non-strict too (the end == final-wm probe
+      at [190,200) emits);
+    - a batch's inputs aggregate BEFORE its eviction (the 101.5 s row
+      joins [100,110) in the same batch that evicts it: n=3);
+    - the availableNow no-data batch advances eviction and emits the
+      remaining closed windows; windows past the final watermark
+      ([200,210)) are never emitted;
+    - append emits each window exactly once (the dropped 89.5/96 s
+      rows would otherwise re-emit [80,90)/[90,100) as duplicates).
+    """
+    import os
+
+    src = tmp_path / "src"
+    S = 1_000_000
+
+    def mk(ts_us_list, chunk_i):
+        df = spark.createDataFrame(
+            [(i, t) for i, t in enumerate(ts_us_list)], "id long, us long"
+        ).select("id", F.timestamp_micros(F.col("us")).alias("ts"))
+        d = src / f"c{chunk_i}"
+        df.coalesce(1).write.parquet(str(d))
+        for p in d.glob("*.parquet"):
+            os.utime(p, (1_700_000_000 + chunk_i, 1_700_000_000 + chunk_i))
+
+    mk([5 * S, 105 * S + 999], 0)
+    mk([89 * S, 95 * S, 101 * S, 205 * S + 999, 193 * S], 1)
+    mk([89 * S + 500_000, 96 * S, 101 * S + 500_000, 203 * S], 2)
+
+    stream = (
+        spark.readStream.schema("id long, ts timestamp")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{src}/c*")
+    )
+    agg = (
+        stream.withWatermark("ts", "5 seconds")
+        .groupBy(F.window("ts", "10 seconds").alias("w"))
+        .agg(F.count("*").alias("n"))
+        .select(
+            F.unix_micros(F.col("w.start")).alias("ws_us"),
+            F.unix_micros(F.col("w.end")).alias("we_us"),
+            "n",
+        )
+    )
+    out = tmp_path / "out"
+
+    def sink(df, bid):
+        df.withColumn("batch_id", F.lit(bid)).write.mode("append").parquet(
+            str(out)
+        )
+
+    q = (
+        agg.writeStream.foreachBatch(sink)
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(300)
+    got = sorted(
+        (r.ws_us // S, r.we_us // S, r.n, r.batch_id)
+        for r in spark.read.parquet(str(out)).collect()
+    )
+    assert got == [
+        (0, 10, 1, 1),     # closed by wm(batch1)=100
+        (80, 90, 1, 1),    # 89 s NOT dropped at batch 1 (late wm lags: still 0)
+        (90, 100, 1, 1),   # 95 s likewise; end==evict-wm emits (non-strict)
+        (100, 110, 3, 2),  # 101.5 s joined before the batch-2 eviction
+        (190, 200, 1, 2),  # end == final wm 200 -> emits (non-strict)
+        # [200,210) never emitted; 89.5/96 s dropped (end <= late wm 100)
+    ]
+
+
+def test_watermark_gate_drops_are_nonvacuous():
+    """The gate's straggler design must produce BOTH dropped and kept
+    late rows (the ADVICE-r12 vacuity class: a late-data gate where
+    nothing is ever late verifies nothing). Restates the oracle's drop
+    rule in DuckDB and counts."""
+    import duckdb
+
+    q = """
+    WITH r AS (
+      SELECT event_id, epoch_us(ts) AS us,
+             row_number() OVER (ORDER BY ts, event_id) AS rnk,
+             COUNT(*) OVER () AS n
+      FROM events
+    ),
+    a AS (
+      SELECT event_id, us,
+             CASE WHEN event_id % 97 = 0
+                  THEN LEAST(3, CAST(FLOOR((rnk - 1) * 4.0 / n) AS BIGINT) + 2)
+                  ELSE LEAST(3, CAST(FLOOR((rnk - 1) * 4.0 / n) AS BIGINT))
+             END AS chunk
+      FROM r
+    ),
+    mx AS (SELECT chunk, max(us) AS mx_us FROM a GROUP BY chunk),
+    wm AS (
+      SELECT chunk,
+             (max(mx_us) OVER (ORDER BY chunk
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 2 PRECEDING) // 1000
+              - 1800000) * 1000 AS wm_us
+      FROM mx
+    )
+    SELECT
+      COUNT(*) FILTER (WHERE wm.wm_us IS NOT NULL
+        AND (a.us // 3600000000) * 3600000000 + 3600000000 <= wm.wm_us)
+        AS dropped,
+      COUNT(*) FILTER (WHERE event_id % 97 = 0) AS stragglers
+    FROM a JOIN wm USING (chunk)
+    """
+    for sf in ("/root/testdata/sf0.001", "/root/testdata/sf0.01"):
+        con = duckdb.connect()
+        con.execute(f"CREATE VIEW events AS SELECT * FROM '{sf}/events.parquet'")
+        dropped, stragglers = con.sql(q).fetchone()
+        assert dropped > 0, f"{sf}: no late rows dropped — gate is vacuous"
+        assert dropped < stragglers, (
+            f"{sf}: every straggler dropped — kept-late case missing"
+        )
