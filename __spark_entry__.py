@@ -494,8 +494,9 @@ from glamira_batch_processing_spark.plans.registry import ORACLE, QUERIES
 # oracle restating the watermark algebra boundary-exactly) and
 # s11_time_travel_restore (VERSION AS OF + RESTORE: three versions of
 # one VersionedTable read in a single result, restore proven a
-# metadata re-commit) — the 8 round-12 swap-ins reach 2 greens in r13
-# and free their slots then.
+# metadata re-commit), and shard_balance_tokens (token-balanced
+# round-robin shard dealing, imbalance bounded by one document) — the
+# 8 round-12 swap-ins reach 2 greens in r13 and free their slots then.
 _PRIORITY: list[str] = [
     # Flagships: whole-warehouse DAG (staging -> SCD -> marts -> rollup)
     # and whole-training-data pipeline (quality -> dedup+components ->

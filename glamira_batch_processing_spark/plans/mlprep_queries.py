@@ -1310,3 +1310,73 @@ def budget_select_two_phase(
         .select(*cols)
     )
     return full_sel.unionByName(bnd_sel)
+
+
+# ---------------------------------------------------------------------------
+# Balanced shard assignment (the shard-writing pass of a pretraining run).
+# ---------------------------------------------------------------------------
+_SHARDS = 8
+
+
+@query(
+    "shard_balance_tokens",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, len(str_split(lower(text), ' ')) AS n_tokens
+      FROM documents
+    ),
+    r AS (
+      SELECT *, row_number() OVER (ORDER BY n_tokens DESC, doc_id) AS rnk
+      FROM t
+    )
+    SELECT CAST((rnk - 1) % {_SHARDS} AS BIGINT) AS shard,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS shard_tokens,
+           CAST(MAX(n_tokens) AS BIGINT) AS max_doc_tokens
+    FROM r GROUP BY 1
+    """,
+)
+def shard_balance_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-balanced shard assignment (new round 13): distribute the
+    corpus over a fixed shard count so every shard carries a
+    near-equal TOKEN total — the shard-writing pass of a pretraining
+    data run, where token-skewed shards turn directly into
+    straggler training steps. Deterministic rule: rank documents by
+    token count DESCENDING (doc_id tie-break) and deal them
+    round-robin — the classic longest-first dealing whose imbalance is
+    bounded by one document (each dealing round hands every shard
+    exactly one doc, and within a round sizes are non-increasing, so
+    max(shard) - min(shard) <= the largest document's tokens). True
+    LPT (assign-to-currently-lightest) beats the bound by a hair but
+    is inherently sequential state — not expressible as a window, and
+    not worth a driver-side loop at any scale.
+
+    The result is the per-shard manifest (doc count, token total, max
+    doc) the writer would partition by; the oracle recomputes the
+    identical dealing in SQL, so the gate proves the rank rule, the
+    modulo dealing, and the integer token algebra all match.
+
+    100 TB shape: the global sort ranks (doc_id, n_tokens) STAT pairs
+    — 16 bytes/doc, column-pruned off the scan, ~1.6 TB/100 TB corpus
+    of 10^11 docs — never the text; the subsequent shard write is a
+    hash partition on the dealt shard id (`repartition(shard)`), which
+    co-locates each shard's documents without a second sort. The
+    round-robin rule is also ONLINE-friendly: rank can be assigned per
+    arriving batch against a persisted per-shard token ledger."""
+    d = table(spark, sf_dir, "documents")
+    from ..operators.text import words
+
+    t = d.select(
+        "doc_id",
+        F.size(words(F.col("text"))).cast("long").alias("n_tokens"),
+    )
+    rnk = F.row_number().over(Window.orderBy(F.desc("n_tokens"), "doc_id"))
+    return (
+        t.withColumn("shard", ((rnk - F.lit(1)) % _SHARDS).cast("long"))
+        .groupBy("shard")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("n_tokens").cast("long").alias("shard_tokens"),
+            F.max("n_tokens").cast("long").alias("max_doc_tokens"),
+        )
+    )

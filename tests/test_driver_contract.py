@@ -370,7 +370,14 @@ GATE_FAMILIES: dict[str, tuple[str, ...]] = {
     # Round 11: the cluster-atomic leakage-safe split joins the
     # train-prep partitioning family while corpus_shuffle (green
     # r7..r10) rotates out.
-    "split": ("split_train_val_test", "corpus_shuffle_deterministic", "split_leakage_safe"),
+    # Round 13 (round-14 queue): token-balanced round-robin shard
+    # dealing — the train-prep partitioning family's shard-writing leg.
+    "split": (
+        "split_train_val_test",
+        "corpus_shuffle_deterministic",
+        "split_leakage_safe",
+        "shard_balance_tokens",
+    ),
     # Round 9: source-proportion resampling is the sampling family's
     # domain-mixing leg — it rotates in while mix_temperature_sampling
     # (green r7/8) rotates out.

@@ -440,3 +440,24 @@ def test_budget_select_randomized_vs_naive(spark):
         assert _two_phase(spark, rows, budget) == _naive_budget_prefix(
             rows, budget
         ), budget
+
+
+def test_shard_balance_imbalance_bounded_by_one_doc(spark):
+    """Longest-first round-robin dealing: max(shard_tokens) -
+    min(shard_tokens) <= the largest document's token count, at every
+    test scale — the property that makes the dealt shards stragglerless
+    at the training step level."""
+    import __spark_entry__ as contract
+
+    qs = contract.queries()
+    for sf in ("/root/testdata/sf0.001", "/root/testdata/sf0.01"):
+        rows = qs["shard_balance_tokens"](spark, sf).collect()
+        assert len(rows) == 8
+        assert {r.shard for r in rows} == set(range(8))
+        totals = [r.shard_tokens for r in rows]
+        biggest_doc = max(r.max_doc_tokens for r in rows)
+        assert max(totals) - min(totals) <= biggest_doc, (
+            sf,
+            max(totals) - min(totals),
+            biggest_doc,
+        )
