@@ -486,17 +486,27 @@ from glamira_batch_processing_spark.plans.registry import ORACLE, QUERIES
 # (rows-only, pytest tolerance parity) but un-gated. Result: ZERO
 # rows-only members in-window — every round-13 gate row carries a full
 # value-hash oracle.
-# Round-14 queue: the rows-only production kernels
-# dedup_minhash_lsh_fast + datapipe_e2e_fast (VERDICT r11 ask #3's
-# last two, displaced by this round's arithmetic cap), plus the TWO
-# NEW round-13 operators watermark_late_data_gate (withWatermark +
-# tumbling-window agg in append mode, out-of-order straggler replay,
-# oracle restating the watermark algebra boundary-exactly) and
-# s11_time_travel_restore (VERSION AS OF + RESTORE: three versions of
-# one VersionedTable read in a single result, restore proven a
-# metadata re-commit), and shard_balance_tokens (token-balanced
-# round-robin shard dealing, imbalance bounded by one document) — the
-# 8 round-12 swap-ins reach 2 greens in r13 and free their slots then.
+# Round-14 queue (8 names — exactly the slots the 8 round-12 swap-ins
+# free when their second green lands in r13):
+# - the rows-only production kernels dedup_minhash_lsh_fast +
+#   datapipe_e2e_fast (VERDICT r11 ask #3's last two, displaced by
+#   this round's arithmetic cap; both need rows_only_ok entries);
+# - the THREE new round-13 operators watermark_late_data_gate
+#   (withWatermark + tumbling-window agg in append mode, straggler
+#   replay, oracle restating the split-watermark algebra
+#   boundary-exactly), s11_time_travel_restore (VERSION AS OF +
+#   RESTORE, restore proven a metadata re-commit), and
+#   shard_balance_tokens (token-balanced round-robin shard dealing,
+#   imbalance bounded by one document);
+# - the THREE names newly oracled in round 13 and therefore now the
+#   oracle-backed never-gated tail: bpe_train_merges +
+#   unigram_train_pieces (the distributed trainers vs committed
+#   Spark-free-twin seed tables — the round-9 encode-seed pattern
+#   extended to TRAINING) and ann_ivf_bucketed_np_ids (the numpy IVF
+#   kernel's ids projection vs the exact-fold IVF oracle — the
+#   ann_cosine settlement pattern; id sets EQUAL at 4 scales).
+# All driver_sim-verified at sf0.001/0.01/0.1/sf1 the session they
+# landed.
 _PRIORITY: list[str] = [
     # Flagships: whole-warehouse DAG (staging -> SCD -> marts -> rollup)
     # and whole-training-data pipeline (quality -> dedup+components ->

@@ -122,6 +122,39 @@ def py_unigram_train(
     return final
 
 
+def py_bpe_train(
+    texts: list[str], n_merges: int = 8, min_count: int = 2
+) -> list[tuple[str, str]]:
+    """Single-process twin of ``operators/bpe.py::bpe_train``: the same
+    round loop (re-encode with merges-so-far, count adjacent pairs,
+    take the (count desc, a, b) argmax) with plain dict sums where
+    Spark sums Arrow-batch partials — exact integers either way."""
+    from glamira_batch_processing_spark.operators.bpe import _encode_with
+
+    merges: list[tuple[str, str]] = []
+    for _ in range(n_merges):
+        ranks = {p: i for i, p in enumerate(merges)}
+        counts: dict[tuple[str, str], int] = {}
+        cache: dict[str, list[str]] = {}
+        for text in texts:
+            for w in (text or "").lower().split(" "):
+                if not w:
+                    continue
+                seq = _encode_with(w, merges, ranks, cache)
+                for i in range(len(seq) - 1):
+                    p = (seq[i], seq[i + 1])
+                    counts[p] = counts.get(p, 0) + 1
+        if not counts:
+            break
+        (a, b), c = min(
+            counts.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+        )
+        if c < min_count:
+            break
+        merges.append((a, b))
+    return merges
+
+
 def corpus_sig(doc_ids: list[int], texts: list[str]) -> int:
     """Corpus fingerprint computable identically in DuckDB SQL:
     SUM((doc_id + 1) * LENGTH(text)). Disambiguates corpora that share
@@ -178,8 +211,26 @@ def expected_for_corpus(
     return bpe_rows, uni_rows
 
 
+def train_expected_for_corpus(
+    doc_ids: list[int], texts: list[str]
+) -> tuple[list[tuple], list[tuple]]:
+    """(bpe_train_rows, unigram_train_rows) for one corpus — the
+    round-13 TRAIN seed tables: the learned merge table / vocabulary
+    computed by the pure-Python twins, keyed like the encode seeds."""
+    n = corpus_sig(doc_ids, texts)
+    texts = [t or "" for t in texts]
+    merges = py_bpe_train(texts, n_merges=8, min_count=2)
+    bpe_rows = [(n, i, a, b) for i, (a, b) in enumerate(merges)]
+    vocab = py_unigram_train(
+        texts, vocab_size=48, n_iters=2, max_piece_len=4, seed_size=256
+    )
+    uni_rows = [(n, i, p, c) for i, (p, c) in enumerate(vocab)]
+    return bpe_rows, uni_rows
+
+
 def main() -> None:
     all_bpe, all_uni = [], []
+    all_bpe_train, all_uni_train = [], []
     for sf in SF_DIRS:
         t = pq.read_table(f"{sf}/documents.parquet", columns=["doc_id", "text"])
         doc_ids = [int(v) for v in t["doc_id"].to_pylist()]
@@ -187,6 +238,9 @@ def main() -> None:
         bpe_rows, uni_rows = expected_for_corpus(doc_ids, texts)
         all_bpe.extend(bpe_rows)
         all_uni.extend(uni_rows)
+        bt_rows, ut_rows = train_expected_for_corpus(doc_ids, texts)
+        all_bpe_train.extend(bt_rows)
+        all_uni_train.extend(ut_rows)
         print(f"{sf}: {len(doc_ids)} docs")
 
     pq.write_table(
@@ -213,7 +267,36 @@ def main() -> None:
         ),
         SEEDS / "unigram_expected.parquet",
     )
-    print(f"wrote {SEEDS}/bpe_expected.parquet and unigram_expected.parquet")
+    pq.write_table(
+        pa.table(
+            {
+                "corpus_sig": pa.array(
+                    [r[0] for r in all_bpe_train], pa.int64()
+                ),
+                "rank": pa.array([r[1] for r in all_bpe_train], pa.int32()),
+                "a": pa.array([r[2] for r in all_bpe_train], pa.string()),
+                "b": pa.array([r[3] for r in all_bpe_train], pa.string()),
+            }
+        ),
+        SEEDS / "bpe_train_expected.parquet",
+    )
+    pq.write_table(
+        pa.table(
+            {
+                "corpus_sig": pa.array(
+                    [r[0] for r in all_uni_train], pa.int64()
+                ),
+                "rank": pa.array([r[1] for r in all_uni_train], pa.int32()),
+                "piece": pa.array([r[2] for r in all_uni_train], pa.string()),
+                "count": pa.array([r[3] for r in all_uni_train], pa.int64()),
+            }
+        ),
+        SEEDS / "unigram_train_expected.parquet",
+    )
+    print(
+        f"wrote {SEEDS}/bpe_expected.parquet, unigram_expected.parquet, "
+        f"bpe_train_expected.parquet, unigram_train_expected.parquet"
+    )
 
 
 if __name__ == "__main__":

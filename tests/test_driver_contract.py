@@ -311,6 +311,7 @@ GATE_FAMILIES: dict[str, tuple[str, ...]] = {
         "ann_sq8_recall_eval",
         "ann_cosine_topk_np",
         "ann_cosine_topk_np_ids",
+        "ann_ivf_bucketed_np_ids",
     ),
     # Round 7: SemDeDup's gate row exercises centroid assignment +
     # within-cluster pruning (clustering machinery) — it rotates in
@@ -526,7 +527,14 @@ GATE_FAMILIES: dict[str, tuple[str, ...]] = {
     # encodes (BPE merges and Unigram pieces trained distributed, the
     # encode passes oracle-checked against seed tables from a
     # Spark-free twin).
-    "tokenizer": ("bpe_encode_stats", "unigram_encode_stats"),
+    # Round 13: the TRAIN passes gained seed-table oracles (the
+    # round-9 encode pattern extended to training) — round-14 queue.
+    "tokenizer": (
+        "bpe_encode_stats",
+        "unigram_encode_stats",
+        "bpe_train_merges",
+        "unigram_train_pieces",
+    ),
 }
 
 

@@ -559,3 +559,27 @@ def test_tokenizer_expected_seeds_not_stale():
     assert uni_slice == sorted(r[1:] for r in uni_rows), (
         "unigram_expected.parquet is stale — rerun scripts/gen_tokenizer_expected.py"
     )
+
+    # Round 13: the TRAIN seed tables (learned merge table / vocab from
+    # the Spark-free twins) under the same staleness guard.
+    from gen_tokenizer_expected import train_expected_for_corpus
+
+    bt_rows, ut_rows = train_expected_for_corpus(doc_ids, texts)
+    bt = pq.read_table(seeds / "bpe_train_expected.parquet").to_pylist()
+    ut = pq.read_table(seeds / "unigram_train_expected.parquet").to_pylist()
+    bt_slice = sorted(
+        (r["rank"], r["a"], r["b"]) for r in bt if r["corpus_sig"] == sig
+    )
+    ut_slice = sorted(
+        (r["rank"], r["piece"], r["count"])
+        for r in ut
+        if r["corpus_sig"] == sig
+    )
+    assert bt_slice == sorted(r[1:] for r in bt_rows), (
+        "bpe_train_expected.parquet is stale — rerun "
+        "scripts/gen_tokenizer_expected.py"
+    )
+    assert ut_slice == sorted(r[1:] for r in ut_rows), (
+        "unigram_train_expected.parquet is stale — rerun "
+        "scripts/gen_tokenizer_expected.py"
+    )

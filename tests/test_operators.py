@@ -288,6 +288,28 @@ def test_cosine_topk_np_ids_set_matches_fold(spark):
     assert len(ids) == 50  # 5 queries x top-10
 
 
+def test_ivf_bucketed_np_ids_set_matches_oracle_form(spark, duck_small):
+    """The gated ids-only IVF projection (ann_ivf_bucketed_np_ids,
+    round 13): the numpy kernel's (query_id, neighbor_id) SET equals
+    the exact-fold IVF oracle's — centroid assignment AND k-boundary
+    are float-robust. Verified EQUAL at sf0.001/0.01/0.1/sf1 before
+    gating."""
+    import __spark_entry__ as contract
+
+    qs, osql = contract.queries(), contract.oracle_sql()
+    sf = "/root/testdata/sf0.001"
+    ids = {
+        (r.query_id, r.neighbor_id)
+        for r in qs["ann_ivf_bucketed_np_ids"](spark, sf).collect()
+    }
+    duck = {
+        (a, b)
+        for a, b in duck_small.sql(osql["ann_ivf_bucketed_np_ids"]).fetchall()
+    }
+    assert ids == duck
+    assert len(ids) == 25  # 5 queries x top-5
+
+
 def test_extract_features_deterministic(spark):
     """Multimodal feature-extraction stub: fixed dim, [-1,1) range,
     deterministic across runs, consumable by the similarity operators."""
