@@ -504,9 +504,15 @@ from glamira_batch_processing_spark.plans.registry import ORACLE, QUERIES
 #   Spark-free-twin seed tables — the round-9 encode-seed pattern
 #   extended to TRAINING) and ann_ivf_bucketed_np_ids (the numpy IVF
 #   kernel's ids projection vs the exact-fold IVF oracle — the
-#   ann_cosine settlement pattern; id sets EQUAL at 4 scales).
-# All driver_sim-verified at sf0.001/0.01/0.1/sf1 the session they
-# landed.
+#   ann_cosine settlement pattern; id sets EQUAL at 4 scales);
+# - interval_join_streaming_gate (the FOURTH new round-13 operator:
+#   the stream-stream interval join replayed as a real two-source
+#   Structured Streaming join, the view side delivered one chunk late
+#   so nearly every attribution pair needs cross-batch join state;
+#   emission set hash-matches the batch oracle).
+# That is 9 candidates for 8 freed slots — round 14's arithmetic
+# picks; all driver_sim-verified at sf0.001/0.01/0.1/sf1 the session
+# they landed.
 _PRIORITY: list[str] = [
     # Flagships: whole-warehouse DAG (staging -> SCD -> marts -> rollup)
     # and whole-training-data pipeline (quality -> dedup+components ->

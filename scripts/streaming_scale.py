@@ -42,6 +42,10 @@ GATES = [
     # with displaced-straggler late data (windowed agg state instead
     # of GroupState; batch_id in the sink counts micro-batches)
     "watermark_late_data_gate",
+    # round 13: stream-stream interval join (two file sources, view
+    # side delivered one chunk late so matches require cross-batch
+    # join state)
+    "interval_join_streaming_gate",
 ]
 
 
@@ -84,6 +88,11 @@ def main() -> int:
     n_corpus = con.sql(
         f"WITH {corpus_cte()} SELECT COUNT(*) FROM corpus"
     ).fetchone()[0]
+    # the stream-stream join gate streams only the view + purchase
+    # subsets (two file sources) — count what is actually staged.
+    n_join_sides = con.sql(
+        "SELECT COUNT(*) FROM events WHERE event_type IN ('view', 'purchase')"
+    ).fetchone()[0]
 
     qs, osql = contract.queries(), contract.oracle_sql()
     report: dict[str, dict] = {}
@@ -115,9 +124,16 @@ def main() -> int:
         report[name] = {
             "oracle_match": ok,
             # the dedup gate streams the documents-derived corpus
-            # (incl. injected duplicates); the event gates stream the
-            # events table
-            "input_rows": n_corpus if name.startswith("dedup_") else n_events,
+            # (incl. injected duplicates); the join gate streams the
+            # view+purchase subsets; the event gates stream the events
+            # table
+            "input_rows": (
+                n_corpus
+                if name.startswith("dedup_")
+                else n_join_sides
+                if name.startswith("interval_join")
+                else n_events
+            ),
             "result_rows": len(srows),
             "state_crossing_batches": batches,
             "replay_wall_sec": round(wall, 2),

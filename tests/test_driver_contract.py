@@ -487,6 +487,7 @@ GATE_FAMILIES: dict[str, tuple[str, ...]] = {
         "range_lookup_ip_geo",
         "interval_join_attribution",
         "asof_forward_next_purchase",
+        "interval_join_streaming_gate",
     ),
     # Round-5 families: lexical retrieval and iterative graph ranking.
     # Round 11: tf-idf relevance ranking is the lexical-retrieval
@@ -522,6 +523,9 @@ GATE_FAMILIES: dict[str, tuple[str, ...]] = {
         # round-13 new operator (round-14 queue): watermarked windowed
         # agg in append mode with genuinely-late straggler replay
         "watermark_late_data_gate",
+        # round-13 new operator (round-14 queue): stream-stream
+        # interval join replay, view side delivered one chunk late
+        "interval_join_streaming_gate",
     ),
     # Round 11: new family — the digest-pinned distributed tokenizer
     # encodes (BPE merges and Unigram pieces trained distributed, the

@@ -580,3 +580,55 @@ def test_watermark_gate_drops_are_nonvacuous():
         assert dropped < stragglers, (
             f"{sf}: every straggler dropped — kept-late case missing"
         )
+
+
+def test_interval_join_gate_pairs_cross_batches(spark):
+    """The stream-stream join gate's one-chunk view delay must make
+    MOST attribution pairs cross a micro-batch boundary (purchase in
+    state when its view arrives later) — the ADVICE-r12 vacuity guard
+    applied to join state. Restates the per-side chunk rule and counts;
+    also checks the replay sink emitted across multiple batches."""
+    import __spark_entry__ as contract
+    from scripts.streaming_scale import scratch_root
+
+    name = "interval_join_streaming_gate"
+    qs = contract.queries()
+    sf = "/root/testdata/sf0.01"
+    rows = qs[name](spark, sf).collect()
+    assert rows
+
+    # recompute each side's arrival chunk exactly as the gate staged it
+    def chunks(event_type, delay):
+        import duckdb
+
+        con = duckdb.connect()
+        con.execute(
+            f"CREATE VIEW events AS SELECT * FROM '{sf}/events.parquet'"
+        )
+        q = f"""
+        SELECT event_id,
+               LEAST(3, CAST(FLOOR((rnk - 1) * 4.0 / n) AS BIGINT) + {delay})
+        FROM (
+          SELECT event_id,
+                 row_number() OVER (ORDER BY ts, event_id) AS rnk,
+                 COUNT(*) OVER () AS n
+          FROM events WHERE event_type = '{event_type}'
+        )
+        """
+        return {eid: min(3, c) for eid, c in con.sql(q).fetchall()}
+
+    p_chunk = chunks("purchase", 0)
+    v_chunk = chunks("view", 1)
+    cross = sum(
+        1 for r in rows if v_chunk[r.view_id] > p_chunk[r.purchase_id]
+    )
+    assert cross > len(rows) / 2, (cross, len(rows))
+
+    sink = scratch_root(name, sf) / "out"
+    emitted = spark.read.parquet(str(sink)).collect()
+    assert len({r.batch_id for r in emitted}) >= 2
+    # every pair emits at the batch where its LATER side arrives
+    for r in emitted:
+        assert r.batch_id == max(
+            p_chunk[r.purchase_id], v_chunk[r.view_id]
+        ), (r.purchase_id, r.view_id, r.batch_id)
