@@ -48,7 +48,13 @@ def seed_centroids(dim: int, k: int = 8) -> list[list[float]]:
 
 def _sq_dist(vec: Column, centroid: list[float]) -> Column:
     """Ordered-fold squared L2 distance to a literal centroid —
-    bit-identical in Spark and DuckDB (sequential double fold)."""
+    bit-identical in Spark and DuckDB (sequential double fold).
+
+    Deliberately the zip_with/aggregate fold, NOT an unrolled
+    per-element sum: unrolling k x dim GetArrayItem trees was measured
+    (round 14) to overflow whole-stage codegen (Janino method-size
+    failure -> interpreted giant tree), losing 2-4x vs this compact
+    interpreted fold at dim=64."""
     c = F.array(*[F.lit(x) for x in centroid])
     return F.aggregate(
         F.zip_with(vec, c, lambda x, y: (x.cast("double") - y) * (x.cast("double") - y)),
@@ -58,15 +64,23 @@ def _sq_dist(vec: Column, centroid: list[float]) -> Column:
 
 
 def lloyd_assign(vec: Column, centroids: list[list[float]]) -> Column:
-    """Nearest-centroid id (ties -> lower id) as a Column expression."""
-    best_id = F.lit(0)
-    best_d = _sq_dist(vec, centroids[0])
-    for j, cent in enumerate(centroids[1:], start=1):
-        d = _sq_dist(vec, cent)
-        closer = d < best_d
-        best_id = F.when(closer, F.lit(j)).otherwise(best_id)
-        best_d = F.when(closer, d).otherwise(best_d)
-    return best_id
+    """Nearest-centroid id (ties -> lower id) as a Column expression.
+
+    Argmin is array_min over (dist, id) structs — each distance subtree
+    appears ONCE, keeping the tree linear in k (round 14; same shape as
+    pq_encode_expr). The round-13 chained when() duplicated the running
+    best per step (~3^k nodes of interpreted fold — the dominant cost
+    of every lloyd_assign caller at bench scale). Struct ordering is
+    (d, id) lexicographic, so ties break to the lower id exactly like
+    the strict-< chain; an all-NULL distance row (NULL vec) compares
+    by id and returns 0, the chain's behavior too."""
+    pairs = F.array(
+        *[
+            F.struct(_sq_dist(vec, cent).alias("d"), F.lit(j).alias("c"))
+            for j, cent in enumerate(centroids)
+        ]
+    )
+    return F.array_min(pairs).getField("c")
 
 
 def lloyd_step_quantized(

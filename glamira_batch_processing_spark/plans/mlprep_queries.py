@@ -1356,13 +1356,23 @@ def shard_balance_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     identical dealing in SQL, so the gate proves the rank rule, the
     modulo dealing, and the integer token algebra all match.
 
-    100 TB shape: the global sort ranks (doc_id, n_tokens) STAT pairs
-    — 16 bytes/doc, column-pruned off the scan, ~1.6 TB/100 TB corpus
-    of 10^11 docs — never the text; the subsequent shard write is a
-    hash partition on the dealt shard id (`repartition(shard)`), which
-    co-locates each shard's documents without a second sort. The
-    round-robin rule is also ONLINE-friendly: rank can be assigned per
-    arriving batch against a persisted per-shard token ledger."""
+    100 TB shape (round 14, VERDICT r13 ask #2): the global rank runs
+    the repo's two-phase bucket-histogram pattern (the
+    budget_quality_select rewrite), NOT an unpartitioned window — the
+    round-13 form sent every (doc_id, n_tokens) stat pair through ONE
+    task (~1.6 TB single-partition at 10^11 docs). Phase 1 histograms
+    the corpus by EXACT token count (map-side-combinable agg whose
+    output is bounded by the token-count domain, i.e. the max document
+    length — a corpus constant, not corpus size) and cumulates
+    strictly-greater counts over that spine. Phase 2 broadcast-joins
+    the per-value offsets back and ranks each token-count group
+    locally by doc_id, so global_rank = offset + local_rank exactly.
+    The bucket key is a pure function of the row, so the two
+    references to the scored frame cannot disagree (no reliance on
+    exchange reuse or sampling determinism). Residual skew bound: one
+    window partition = the docs sharing one exact token count, vs the
+    whole corpus before. Equivalence is oracle-gated (the naive
+    global-window SQL) and edge-pinned in tests/test_mlprep.py."""
     d = table(spark, sf_dir, "documents")
     from ..operators.text import words
 
@@ -1370,9 +1380,39 @@ def shard_balance_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.size(words(F.col("text"))).cast("long").alias("n_tokens"),
     )
-    rnk = F.row_number().over(Window.orderBy(F.desc("n_tokens"), "doc_id"))
+    return ranked_round_robin_shards(t, _SHARDS)
+
+
+def ranked_round_robin_shards(t: DataFrame, n_shards: int) -> DataFrame:
+    """Per-shard manifest of the longest-first round-robin dealing,
+    with the global rank computed scale-safely in two phases.
+
+    ``t`` carries (doc_id, n_tokens). Rank rule: row_number over
+    (n_tokens DESC, doc_id ASC); shard = (rank-1) % n_shards. The rank
+    decomposes exactly as offset(v) + local_rank, where offset(v) =
+    COUNT(docs with n_tokens > v) (prefix sum over the token-count
+    histogram, broadcast) and local_rank = row_number by doc_id within
+    the n_tokens=v group (a PARTITIONED window)."""
+    hist = t.groupBy("n_tokens").agg(F.count(F.lit(1)).alias("_n"))
+    # Spine window: one row per DISTINCT token count — bounded by the
+    # max document length, not the corpus size (same class as the
+    # repo's bucket/hour-grain spines).
+    w_off = Window.orderBy(F.desc("n_tokens")).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    offsets = hist.select(
+        "n_tokens",
+        F.coalesce(F.sum("_n").over(w_off), F.lit(0)).alias("_off"),
+    )
+    local = F.row_number().over(
+        Window.partitionBy("n_tokens").orderBy("doc_id")
+    )
     return (
-        t.withColumn("shard", ((rnk - F.lit(1)) % _SHARDS).cast("long"))
+        t.join(F.broadcast(offsets), "n_tokens")
+        .withColumn(
+            "shard",
+            ((F.col("_off") + local - F.lit(1)) % n_shards).cast("long"),
+        )
         .groupBy("shard")
         .agg(
             F.count("*").cast("long").alias("n_docs"),

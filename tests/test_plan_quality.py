@@ -814,3 +814,31 @@ def test_countmin_estimate_broadcast_probe_and_bound(spark):
     assert all(r.est_count >= r.exact_count for r in rows)
     absent = [r for r in rows if r.exact_count == 0]
     assert len(absent) == 2  # the two known-absent probes
+
+
+def test_shard_balance_rank_window_is_partitioned(spark):
+    """shard_balance_tokens (VERDICT r13 ask #2): the corpus rank must
+    NOT run through an unpartitioned window — the round-13 form moved
+    every (doc_id, n_tokens) pair to ONE task. The two-phase rewrite
+    partitions the row_number window by n_tokens; the only
+    SinglePartition exchange left feeds the bounded token-count
+    histogram spine (one row per DISTINCT token count), never the raw
+    corpus."""
+    df = QUERIES["shard_balance_tokens"](spark, SF_SMALL)
+    plan = plan_of(df)
+    lines = plan.splitlines()
+    rank_lines = [
+        ln for ln in lines if "row_number() windowspecdefinition" in ln
+    ]
+    assert rank_lines, plan
+    for ln in rank_lines:
+        # A partitioned Window prints THREE bracket groups:
+        # [exprs], [partition spec], [order spec].
+        assert "], [n_tokens" in ln and "], [doc_id" in ln, ln
+    singles = [
+        i for i, ln in enumerate(lines) if "Exchange SinglePartition" in ln
+    ]
+    assert len(singles) == 1, plan
+    # The SinglePartition exchange's child is the histogram aggregate,
+    # not a corpus scan.
+    assert "HashAggregate" in lines[singles[0] + 1], plan
