@@ -56,10 +56,22 @@ def connected_components(
         .distinct()
         .localCheckpoint()
     )
+    # Fused round 0 (round 14): the first propagation round joined the
+    # edge list against the IDENTITY label map — algebraically just
+    # min(node, min(neighbors)) — so compute it as ONE aggregation over
+    # the symmetric edge list instead of distinct-nodes + join + union +
+    # agg. Every node appears as `a` in bidir, so the node set is
+    # unchanged; for any edge (a, b) with a < b, node b's label drops to
+    # <= a < b, so round 0 ALWAYS changes when edges exist and its old
+    # change-detection job was a constant-true check — dropped with it.
+    # The loop below therefore starts from the old round-1 state and
+    # always includes the pointer-jump.
     labels = (
-        bidir.select(F.col("a").alias("node"))
-        .distinct()
-        .withColumn("component", F.col("node"))
+        bidir.groupBy(F.col("a").alias("node"))
+        .agg(F.min("b").alias("_mn"))
+        .select(
+            "node", F.least(F.col("node"), F.col("_mn")).alias("component")
+        )
         .localCheckpoint()
     )
     for round_no in range(max_iter):
@@ -75,28 +87,25 @@ def connected_components(
             .select(F.col("a").alias("node"), "component")
             .withColumn("is_self", F.lit(False))
         )
-        candidates = own.unionByName(offers)
-        if round_no > 0:
-            # pointer-jump: each node also considers its label's label.
-            # Invariant: component(v) is always a node id inside v's
-            # component with component(v) <= v, so the jump target
-            # exists and the min stays inside the component. This makes
-            # convergence O(log diameter) instead of O(diameter). In
-            # round 0 labels are the identity map, so the jump would be
-            # a no-op join — skipped; dedup-shaped near-cliques that
-            # close in 2 rounds never pay for it.
-            jumps = (
-                labels.join(
-                    labels.select(
-                        F.col("node").alias("component"),
-                        F.col("component").alias("grand"),
-                    ),
-                    "component",
-                )
-                .select("node", F.col("grand").alias("component"))
-                .withColumn("is_self", F.lit(False))
+        # pointer-jump: each node also considers its label's label.
+        # Invariant: component(v) is always a node id inside v's
+        # component with component(v) <= v, so the jump target exists
+        # and the min stays inside the component. This makes
+        # convergence O(log diameter) instead of O(diameter). The
+        # fused round 0 above means labels are never the identity map
+        # here, so the jump is live from the first loop round.
+        jumps = (
+            labels.join(
+                labels.select(
+                    F.col("node").alias("component"),
+                    F.col("component").alias("grand"),
+                ),
+                "component",
             )
-            candidates = candidates.unionByName(jumps)
+            .select("node", F.col("grand").alias("component"))
+            .withColumn("is_self", F.lit(False))
+        )
+        candidates = own.unionByName(offers).unionByName(jumps)
         agg = (
             candidates.groupBy("node")
             .agg(

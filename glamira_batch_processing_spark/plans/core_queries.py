@@ -16,7 +16,7 @@ from ..functions.cleaning import (
     parse_localized_number,
     parse_localized_number_sql,
 )
-from .registry import date_between, date_ge, date_gt, date_le, date_lt, query, table
+from .registry import date_between, date_ge, date_gt, date_le, date_lt, fan_out, query, table
 
 
 # ---------------------------------------------------------------------------
@@ -478,7 +478,15 @@ def f3_parse_localized_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
     parses them back — the parse must invert the formatting."""
     l = table(spark, sf_dir, "lineitem")
     base = F.col("l_extendedprice").cast("decimal(12,2)").cast("string")
-    src = l.select("l_orderkey", "l_linenumber", base.alias("base"))
+    # fan_out (round 14): the localized re-format + parse chain is a
+    # pure scan-fused projection (several regexes per row) that ran on
+    # the single-row-group scan's one task; spread the 3 narrow input
+    # columns first.
+    src = fan_out(
+        l.select("l_orderkey", "l_linenumber", base.alias("base")),
+        "l_orderkey",
+        "l_linenumber",
+    )
     price_raw = (
         F.when(F.col("l_orderkey") % 31 == 0, F.lit("N/A"))
         .when(F.col("l_orderkey") % 5 == 0, F.regexp_replace("base", "\\.", "٫"))

@@ -30,7 +30,7 @@ from ..operators.similarity import (
     sql_dot,
     sql_hyperplane_bucket,
 )
-from .registry import query, table
+from .registry import fan_out, query, table
 
 # Deterministic hyperplane constants (md5-derived — embeddable as SQL
 # literals, so Spark and DuckDB compute identical sign-bit buckets).
@@ -1317,7 +1317,12 @@ def multimodal_pixel_digest(spark: SparkSession, sf_dir: str) -> DataFrame:
     columns) ever shuffle."""
     from ..operators.multimodal import _decode_pixels_real, image_bytes
 
-    d = table(spark, sf_dir, "documents").filter(F.col("doc_id") % 10 == 0).select("doc_id")
+    d = fan_out(
+        table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 10 == 0)
+        .select("doc_id"),
+        "doc_id",
+    )
 
     def gen(batches):
         import hashlib
@@ -1817,7 +1822,15 @@ def _video_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     arithmetically."""
     from ..operators.video import mjpeg_video_bytes
 
-    d = table(spark, sf_dir, "documents").filter(F.col("doc_id") % 20 == 0).select("doc_id")
+    # fan_out (round 14): the AVI render + downstream parse/decode are
+    # Arrow-batched Python kernels; on the single-row-group scan they
+    # all ran in ONE Python worker. The exchange carries only doc_id.
+    d = fan_out(
+        table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 20 == 0)
+        .select("doc_id"),
+        "doc_id",
+    )
 
     def gen(batches):
         import pandas as pd
@@ -1959,6 +1972,9 @@ def multimodal_video_routing(spark: SparkSession, sf_dir: str) -> DataFrame:
     truncated container."""
     from ..operators.video import route_videos, variant_video_bytes
 
+    # fan_out NOT applied (round 14): render+header-parse here is ~0.4 s
+    # single-task at sf0.1; the A/B measured the added exchange as a net
+    # loss (0.41 s -> 0.81 s). Only the frame-DECODE paths pay off.
     d = table(spark, sf_dir, "documents").filter(F.col("doc_id") % 10 == 7).select("doc_id")
     variants = ["mjpg", "xvid", "h264", "corrupt", "unknown"]
 

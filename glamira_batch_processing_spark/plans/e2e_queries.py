@@ -15,7 +15,7 @@ from pyspark.sql import functions as F
 
 from ..functions.cleaning import parse_localized_number, parse_localized_number_sql
 from ..functions.keys import key_input
-from .registry import query, table
+from .registry import fan_out, query, table
 
 # Localized price string variants built from the 2dp decimal rendering
 # of l_extendedprice (same trick as f3, keyed by orderkey+linenumber).
@@ -111,7 +111,24 @@ def glamira_e2e_order_flatten(spark: SparkSession, sf_dir: str) -> DataFrame:
     UNNEST WITH OFFSET (posexplode_outer x2) -> localized price parse ->
     composite item key -> line totals. NULL carts (orderkey%10==0) and
     NULL/empty option arrays must all survive with NULL offsets."""
-    li = table(spark, sf_dir, "lineitem")
+    # fan_out by the groupBy key (round 14, guide §2.4/§8): the cart
+    # item structs (price-string variants, option arrays) were built
+    # map-side on the single-task scan and then shuffled WIDE into the
+    # collect_list agg. Hash-repartitioning the 5 raw columns by
+    # l_orderkey first (a) parallelizes the struct build and (b) is the
+    # same hash partitioning the groupBy needs, so the exchange count
+    # is unchanged and the bytes crossing it are the narrower raw
+    # columns instead of built structs.
+    li = fan_out(
+        table(spark, sf_dir, "lineitem").select(
+            "l_orderkey",
+            "l_linenumber",
+            "l_partkey",
+            "l_quantity",
+            "l_extendedprice",
+        ),
+        "l_orderkey",
+    )
     ok, ln, pk = F.col("l_orderkey"), F.col("l_linenumber"), F.col("l_partkey")
     base = F.col("l_extendedprice").cast("decimal(12,2)").cast("string")
     price = (
@@ -233,7 +250,17 @@ def glamira_e2e_revenue_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     every line item (~4x fewer rows), and the agg's hash partitioning
     is reused by the join exchange on the same key.
     """
-    li = table(spark, sf_dir, "lineitem")
+    # fan_out by the pre-agg key (round 14, guide §2.4/§8): same move
+    # as glamira_e2e_order_flatten — the price synth + 12-branch parse
+    # ran on the single-task scan; hash-repartitioning the 4 raw
+    # columns by l_orderkey parallelizes it, and the groupBy reuses the
+    # partitioning, so no exchange is added at any scale.
+    li = fan_out(
+        table(spark, sf_dir, "lineitem").select(
+            "l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice"
+        ),
+        "l_orderkey",
+    )
     ok, ln = F.col("l_orderkey"), F.col("l_linenumber")
     base = F.col("l_extendedprice").cast("decimal(12,2)").cast("string")
     price_raw = (

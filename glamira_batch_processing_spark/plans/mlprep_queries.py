@@ -28,7 +28,7 @@ from ..operators.mlprep import (
     stratified_sample,
 )
 from .datapipe_queries import corpus, corpus_cte
-from .registry import query, table
+from .registry import fan_out, query, table
 
 # ---------------------------------------------------------------------------
 # Deterministic train/val/test split.
@@ -124,7 +124,10 @@ def pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
     Patterns are chosen to parse identically under Java regex and RE2;
     the whole operator is a regexp chain fused into the scan projection
     (one stage, no shuffle, no UDF)."""
-    d = table(spark, sf_dir, "documents").select(
+    # fan_out (round 14): six regex passes per row, fused into a
+    # single-task scan projection — spread the narrow input first.
+    d = table(spark, sf_dir, "documents").select("doc_id", "text")
+    d = fan_out(d, "doc_id").select(
         "doc_id", _pii_text(F.col("doc_id")).alias("text")
     )
     r = redact_pii(d, "text")

@@ -201,7 +201,24 @@ def _raw_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """countly_summary-shaped raw events from orders x lineitem: nested
     cart_products[].option[] with localized prices and currency labels,
     plus the event metadata stg_order and stg_customer consume."""
-    li = table(spark, sf_dir, "lineitem")
+    # fan_out by the groupBy key (round 14): same move as
+    # glamira_e2e_order_flatten — the cart-item struct build (price
+    # variants, labels, option arrays) ran on the single-task scan;
+    # repartitioning the 5 raw columns by l_orderkey parallelizes it
+    # and the collect_list groupBy reuses the partitioning, so the
+    # exchange count is unchanged and it carries narrower rows.
+    from .registry import fan_out
+
+    li = fan_out(
+        table(spark, sf_dir, "lineitem").select(
+            "l_orderkey",
+            "l_linenumber",
+            "l_partkey",
+            "l_quantity",
+            "l_extendedprice",
+        ),
+        "l_orderkey",
+    )
     ok, ln, pk = F.col("l_orderkey"), F.col("l_linenumber"), F.col("l_partkey")
     base = F.col("l_extendedprice").cast("decimal(12,2)").cast("string")
     price = (

@@ -121,6 +121,35 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+def fan_out(df: DataFrame, *keys: str) -> DataFrame:
+    """Scale-adaptive compute fan-out (round 14, guide §2.5 input skew /
+    §8 "shuffle the light proxy, compute heavy bytes after").
+
+    Expression-heavy projections (nested to_json/from_json, regex
+    batteries, Arrow-batched kernels) inherit the SCAN's parallelism.
+    The bench parquet inputs are single-row-group files, so every scan
+    is ONE task and pre-shuffle per-row work runs on one core of 32 —
+    byte-range splitting cannot help (a row group is indivisible).
+    This helper hash-repartitions a NARROW input (call it on the
+    projected key columns, before attaching heavy expressions) up to
+    cluster parallelism, but ONLY when the input's planned partitioning
+    is actually below it: on a production cluster reading well-sized
+    multi-row-group files the scan is already parallel and this is a
+    no-op — the repartition is derived from input shape, not a local
+    constant. The exchange it may add carries only the projected
+    columns (e.g. one 8-byte key), per guide §8.
+    """
+    sc = df.sparkSession.sparkContext
+    n = sc.defaultParallelism
+    if df.rdd.getNumPartitions() >= n:
+        return df
+    if keys:
+        from pyspark.sql import functions as F
+
+        return df.repartition(n, *[F.col(k) for k in keys])
+    return df.repartition(n)
+
+
 def _next_day(date_str: str) -> str:
     import datetime
 

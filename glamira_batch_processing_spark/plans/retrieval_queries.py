@@ -586,6 +586,10 @@ def mix_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.spans import word_windows
 
     docs = table(spark, sf_dir, "documents")
+    # fan_out deliberately NOT applied here (round 14): the single-task
+    # pre-checkpoint segment is only ~0.4 s at sf0.1 and the sandwich
+    # A/B measured the added exchange + planning as a net loss
+    # (1.25 s -> 1.54 s).
     flagged = docs.select(
         "doc_id",
         F.col("source").isin(*_DSIR_TARGETS).alias("is_target"),

@@ -14,7 +14,7 @@ from ..functions.currency import (
 )
 from ..functions.keys import key_input, surrogate_key
 from .core_queries import cents as cents_expr
-from .registry import query, table
+from .registry import fan_out, query, table
 
 
 # ---------------------------------------------------------------------------
@@ -599,7 +599,14 @@ def f14_json_retype(spark: SparkSession, sf_dir: str) -> DataFrame:
     pipelined Generate. At 100 TB the one-pass from_json beats the
     reference's per-path JSON_VALUE (one text parse per row, not one
     per extracted field)."""
-    o = table(spark, sf_dir, "orders").select("o_orderkey")
+    # fan_out (round 14): the whole query is one scan-fused projection
+    # whose per-row cost is a nested to_json+from_json round-trip —
+    # measured 2.8 s on ONE task (the single-row-group scan) at sf0.1.
+    # Spreading the 8-byte key first parallelizes the JSON work; the
+    # exchange carries only o_orderkey.
+    o = fan_out(
+        table(spark, sf_dir, "orders").select("o_orderkey"), "o_orderkey"
+    )
     k = F.col("o_orderkey")
 
     opt_t = (

@@ -132,14 +132,22 @@ def test_f14_json_retype_drift_rows_and_plan(spark):
     """The from_json repair (f14): malformed and NULL JSON rows both
     land as a preserved parent row with NULL item fields (PERMISSIVE
     from_json -> NULL array -> posexplode_outer), option-less items
-    keep one row with NULL option fields, and the whole pipeline is
-    scan-fused: zero Exchange, zero Python."""
+    keep one row with NULL option fields, and the pipeline stays
+    zero-Python. Round 14: the plan carries AT MOST ONE Exchange — the
+    deliberate fan_out of the 8-byte key column that parallelizes the
+    JSON round-trip (measured 2.8 s single-task without it at sf0.1);
+    the heavy to_json/from_json projection must sit ABOVE it."""
     import __spark_entry__ as contract
     from tests.conftest import SF_SMALL
 
     df = contract.queries()["f14_json_retype"](spark, SF_SMALL)
     plan = df._jdf.queryExecution().executedPlan().toString()
-    assert "Exchange" not in plan, plan
+    exchanges = plan.count("Exchange")
+    assert exchanges <= 1, plan
+    if exchanges:
+        # the exchange carries only the key, never the built JSON
+        ex_line = [ln for ln in plan.splitlines() if "Exchange" in ln][0]
+        assert "o_orderkey" in ex_line and "cart" not in ex_line, ex_line
     assert "Python" not in plan and "ArrowEval" not in plan, plan
 
     # o_orderkey % 37 == 0 is the malformed row, == 1 the NULL row:

@@ -288,13 +288,25 @@ def test_mix_importance_weights_no_cartesian(spark):
 
 
 def test_audio_resample_and_pixel_digest_zero_shuffle(spark):
-    """Both multimodal transforms are single mapInPandas passes — no
-    Exchange anywhere in the plan."""
-    for name in ("multimodal_audio_resample", "multimodal_pixel_digest"):
-        df = QUERIES[name](spark, SF_SMALL)
-        plan = plan_of(df)
-        assert "Exchange" not in plan, name
-        assert "ArrowEvalPython" in plan or "MapInPandas" in plan, name
+    """Both multimodal transforms are single mapInPandas passes.
+    audio_resample stays zero-Exchange (its render is cheap; a fan-out
+    was measured a net loss in round 14). pixel_digest carries AT MOST
+    ONE exchange — the deliberate round-14 fan_out of the 8-byte key
+    that parallelizes the real pixel decode (measured 1.64 -> 0.72 s
+    at sf0.1) — and that exchange must carry only doc_id, never
+    payloads."""
+    df = QUERIES["multimodal_audio_resample"](spark, SF_SMALL)
+    plan = plan_of(df)
+    assert "Exchange" not in plan, plan
+    assert "ArrowEvalPython" in plan or "MapInPandas" in plan, plan
+
+    df = QUERIES["multimodal_pixel_digest"](spark, SF_SMALL)
+    plan = plan_of(df)
+    ex_lines = [ln for ln in plan.splitlines() if "Exchange" in ln]
+    assert len(ex_lines) <= 2, plan  # Exchange node + AQEShuffleRead echo
+    for ln in ex_lines:
+        assert "payload" not in ln, ln
+    assert "ArrowEvalPython" in plan or "MapInPandas" in plan, plan
 
 
 # ---------------------------------------------------------------------------

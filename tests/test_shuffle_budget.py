@@ -78,8 +78,11 @@ def test_decontaminate_probe_is_broadcast(spark, qs):
 
 
 def test_video_frame_decode_is_scan_fused(spark, qs):
-    """Sampled-frame video decode: one mapInPandas pass — ZERO exchanges
-    (the 100 TB crawl shape: decode parallelism = input partitioning,
-    nothing wide)."""
+    """Sampled-frame video decode: one mapInPandas pass. Round 14: at
+    most ONE exchange — the deliberate key-only fan_out of the 8-byte
+    doc_id that spreads the render+decode across workers when the scan
+    is narrower than the cluster (a no-op on parallel scans; measured
+    1.20 -> 0.73 s at sf0.1). Payload bytes still never shuffle: the
+    exchange sits BELOW the payload-producing mapInPandas."""
     s = _run(spark, qs, "multimodal_video_frames")
-    assert s["n_shuffles"] == 0 and s["n_broadcasts"] == 0, s
+    assert s["n_shuffles"] <= 1 and s["n_broadcasts"] == 0, s
