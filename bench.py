@@ -33,6 +33,7 @@ from __future__ import annotations
 
 import json
 import os
+import re
 import statistics
 import sys
 import time
@@ -247,7 +248,12 @@ def _load_prior_queries(repo_dir: Path) -> tuple[str, dict[str, float], str]:
             summary = s
     except (OSError, ValueError):
         pass
+    # Only the driver's MAIN per-round artifacts qualify as a prior.
+    # Suffixed variants (e.g. BENCH_r14_c8.json, the low-core scaling
+    # rerun) are measurements under a different core count; comparing
+    # the next full-core run against them would misread every ratio.
     parsed_artifacts: list[tuple[str, dict | None]] = []
+    variant_values: set = set()
     for artifact in sorted(repo_dir.glob("BENCH_r*.json"), reverse=True):
         try:
             prev = json.loads(artifact.read_text())
@@ -257,7 +263,16 @@ def _load_prior_queries(repo_dir: Path) -> tuple[str, dict[str, float], str]:
             continue
         prev = prev.get("parsed", prev)
         ok = isinstance(prev, dict) and isinstance(prev.get("queries"), dict)
-        parsed_artifacts.append((artifact.name, prev if ok else None))
+        if re.fullmatch(r"BENCH_r\d+\.json", artifact.name):
+            parsed_artifacts.append((artifact.name, prev if ok else None))
+        elif ok:
+            variant_values.add(prev.get("value"))
+    if summary and summary.get("value") in variant_values:
+        # The committed summary is a suffixed variant run's full record
+        # (the scaling rerun overwrites BENCH_SUMMARY.json after the
+        # main run — live repo state after round 14). Its timings are
+        # from a different core count: never usable as a prior.
+        summary = {}
     for i, (name, prev) in enumerate(parsed_artifacts):
         if prev is None:
             # rc!=0 artifact (e.g. BENCH_r11.json): no parsed line. The
@@ -325,6 +340,10 @@ def build_summaries(
         # Co-tenant adjudication from the artifact alone (VERDICT r10
         # ask #5): the box's 1-minute load average at measurement end.
         "loadavg_1m": round(os.getloadavg()[0], 2),
+        # Core count the run was taken at (round 15: the scaling rerun
+        # overwrites BENCH_SUMMARY.json, so the record must say which
+        # core count produced it or cross-count priors get compared).
+        "cpus": int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 0)),
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         # Pinned tier only — a frozen 20-name set, so this map cannot
         # grow. Full maps (all tiers, full precision): BENCH_SUMMARY.json.

@@ -174,16 +174,53 @@ def test_sameset_stale_summary_does_not_shadow_older_artifact(tmp_path):
 
 def test_repo_prior_loader_returns_full_precision_superset():
     """Live repo state, round-agnostic (VERDICT r13 ask #1): the loader
-    must return the newest usable driver artifact (any ``BENCH_r*.json``)
-    or the committed summary under its documented guard, upgraded to the
-    full-precision multi-tier map — NEVER a hard-coded round filename,
-    which breaks the moment the driver deposits the next round's
-    artifact. Properties pinned: source shape, full precision, and a
-    name count at least the frozen pinned tier (the full map always
-    spans pinned + extended, so it is strictly larger than 20).
+    must return the newest usable MAIN driver artifact
+    (``BENCH_r<digits>.json``) or the committed summary under its
+    documented guard — NEVER a hard-coded round filename, and never a
+    suffixed scaling-rerun variant (``BENCH_r14_c8.json``), whose
+    timings are from a different core count. When the committed summary
+    belongs to the main run, the prior upgrades to the full-precision
+    multi-tier map, STRICTLY larger than the pinned tier (ADVICE r14: a
+    non-strict bound would pass a pinned-tier-only regression); when the
+    driver's scaling rerun has overwritten the summary (live state after
+    round 14), the only honest prior is the main artifact's pinned-tier
+    stdout map at 2-decimal precision.
     """
     repo = Path(bench.__file__).resolve().parent
     src, pq, precision = bench._load_prior_queries(repo)
     assert re.fullmatch(r"BENCH_r\d+\.json", src) or src == "BENCH_SUMMARY.json"
-    assert len(pq) >= len(bench.HEADLINE_PINNED)
-    assert precision == "full"
+    if precision == "full":
+        assert len(pq) > len(bench.HEADLINE_PINNED)
+    else:
+        assert precision == "stdout_2dp"
+        assert set(pq) == set(bench.HEADLINE_PINNED) & set(pq)
+        assert len(pq) == len(bench.HEADLINE_PINNED)
+
+
+def test_scaling_rerun_artifact_and_summary_never_become_the_prior(tmp_path):
+    """Round 15: the driver's low-core scaling rerun deposits a suffixed
+    ``BENCH_r<N>_c8.json`` AND overwrites ``BENCH_SUMMARY.json`` with its
+    own full record. Neither may serve as a prior for the next full-core
+    run: the suffixed artifact must be skipped in the walk, and a summary
+    whose headline total matches a suffixed variant must be discarded
+    (not used for the full-precision upgrade, and not returned standalone).
+    """
+    main = {"rc": 0, "parsed": {"value": 80.0, "queries": {"a": 1.0}}}
+    c8 = {"rc": 0, "parsed": {"value": 99.8, "queries": {"a": 4.0, "b": 2.0}}}
+    tmp_path.joinpath("BENCH_r14.json").write_text(json.dumps(main))
+    tmp_path.joinpath("BENCH_r14_c8.json").write_text(json.dumps(c8))
+    # The c8 run's summary: same total, full map at the WRONG core count.
+    tmp_path.joinpath("BENCH_SUMMARY.json").write_text(
+        json.dumps({"value": 99.8, "queries": {"a": 4.0041, "b": 2.0001}})
+    )
+    src, pq, precision = bench._load_prior_queries(tmp_path)
+    assert src == "BENCH_r14.json"
+    assert pq == {"a": 1.0}
+    assert precision == "stdout_2dp"
+    # And with a crashed main artifact, the c8 summary must NOT stand in.
+    tmp_path.joinpath("BENCH_r15.json").write_text(
+        json.dumps({"rc": 1, "parsed": None})
+    )
+    src, pq, precision = bench._load_prior_queries(tmp_path)
+    assert src == "BENCH_r14.json"
+    assert pq == {"a": 1.0}
