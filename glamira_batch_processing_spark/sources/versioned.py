@@ -56,8 +56,14 @@ class StagedWrite:
         self.txn_id = txn_id
 
     def read(self, spark: "SparkSession") -> "DataFrame":
-        """The staged snapshot, for audit queries."""
-        return spark.read.parquet(str(self.data_dir))
+        """The staged snapshot, for audit queries. Uses the schema
+        recorded at stage time — no parquet schema-inference job."""
+        reader = spark.read
+        if self.schema:
+            reader = reader.schema(
+                ", ".join(f"`{name}` {dtype}" for name, dtype in self.schema)
+            )
+        return reader.parquet(str(self.data_dir))
 
 
 class VersionConflictError(RuntimeError):
@@ -550,6 +556,25 @@ class VersionedTable:
         :meth:`version_as_of`)."""
         return self.read(spark, self.version_as_of(ts_unix))
 
+    def _reader(self, spark: SparkSession, m: dict):
+        """DataFrameReader for one version — with the manifest's
+        RECORDED schema when present (round 15, guide §2.6/§1.2: every
+        commit stores the committed column list, so snapshot reads need
+        no parquet schema-inference job; a whole lifecycle — create,
+        MERGE, compact, diff, pruned probe — was paying one small
+        driver-blocking job per read just to rediscover a schema the
+        control plane already knows). Spark marks file-source schemas
+        nullable either way, so the DDL round-trip (simpleString) is
+        exactly the inferred schema. Manifests without a recorded
+        schema (pre-round-6 tables) fall back to inference."""
+        reader = spark.read
+        schema = m.get("schema")
+        if schema:
+            reader = reader.schema(
+                ", ".join(f"`{name}` {dtype}" for name, dtype in schema)
+            )
+        return reader
+
     def read(self, spark: SparkSession, version: int | None = None) -> DataFrame:
         """Snapshot read: latest (default) or time-travel to ``version``.
 
@@ -564,8 +589,8 @@ class VersionedTable:
         m = self.manifest(version)
         paths = self._version_file_paths(m)
         if paths is not None:
-            return spark.read.parquet(*paths)
-        return spark.read.parquet(str(self.path / m["data_dir"]))
+            return self._reader(spark, m).parquet(*paths)
+        return self._reader(spark, m).parquet(str(self.path / m["data_dir"]))
 
     def read_pruned(
         self,
@@ -649,7 +674,7 @@ class VersionedTable:
             df = self.read(spark, version).filter(F.lit(False))
             return df, info
         paths = [_resolve(f) for f in kept]
-        return _pred(spark.read.parquet(*paths)), info
+        return _pred(self._reader(spark, m).parquet(*paths)), info
 
     def read_pruned_multi(
         self,
@@ -728,7 +753,7 @@ class VersionedTable:
         if not kept:
             return self.read(spark, version).filter(F.lit(False)), info
         paths = [str(root / f["path"]) for f in kept]
-        return _pred(spark.read.parquet(*paths)), info
+        return _pred(self._reader(spark, m).parquet(*paths)), info
 
     def read_pruned_in(
         self,
@@ -792,7 +817,11 @@ class VersionedTable:
         if not kept:
             return self.read(spark, version).filter(F.lit(False)), info
         paths = [str(root / f["path"]) for f in kept]
-        return spark.read.parquet(*paths).filter(F.col(column).isin(vals)), info
+        return (
+            self._reader(spark, m).parquet(*paths)
+            .filter(F.col(column).isin(vals)),
+            info,
+        )
 
     def merge(
         self,
@@ -1094,7 +1123,7 @@ class VersionedTable:
             return latest
         big = [f for f in all_files if f not in set(small)]
         n_out = max(1, -(-sum(sizes[f] for f in small) // target_bytes))
-        packed = spark.read.parquet(*small).coalesce(n_out)
+        packed = self._reader(spark, m).parquet(*small).coalesce(n_out)
         data_dir = (
             self.path / _DATA_DIR / f"v{latest + 1:05d}-{uuid.uuid4().hex[:8]}"
         )
