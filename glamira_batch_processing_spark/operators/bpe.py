@@ -115,6 +115,27 @@ PAIR_SCHEMA = StructType(
 )
 
 
+def materialized_training_corpus(texts: DataFrame) -> DataFrame:
+    """Materialize a tokenizer-training corpus projection ONCE per
+    training run (round 15, guide §2.4/§5): every training round
+    (8 merge rounds for BPE, seed + EM rounds for unigram) re-executed
+    the corpus lineage end-to-end — n_rounds full corpus scans at any
+    scale. An eager ``localCheckpoint`` pays the scan once; every round
+    reads the materialized partitions. Iteration-internal reuse inside
+    one timed run, recomputed from source on every invocation — never
+    cross-run state.
+
+    Deliberately NO repartition fan-out of the checkpoint: measured at
+    sf0.1 (round 15), spreading the corpus to defaultParallelism made
+    the loops SLOWER (unigram_encode_stats 1.7 -> 2.5 s) — the
+    mapInPandas passes are amortized by a per-task distinct-word cache,
+    and splitting a Zipfian corpus k ways re-pays the common words'
+    encode/Viterbi work in every task (round 14's fan-out A/B regressed
+    on these queries for the same reason, on top of re-paying the
+    exchange per round)."""
+    return texts.localCheckpoint()
+
+
 def bpe_train(
     df: DataFrame,
     n_merges: int,
@@ -139,7 +160,9 @@ def bpe_train(
     from pyspark.sql import functions as F
 
     merges: list[tuple[str, str]] = []
-    texts = df.select(F.col(text_col).alias("text"))
+    texts = materialized_training_corpus(
+        df.select(F.col(text_col).alias("text"))
+    )
 
     for _ in range(n_merges):
         ranks = {pair: i for i, pair in enumerate(merges)}

@@ -186,9 +186,15 @@ def unigram_train(
     rounds -> count-ranked prune to ``vocab_size`` (single characters
     are never pruned). Returns (piece, final_count) sorted by
     (count desc, piece) — a deterministic, partition-invariant table."""
-    texts = df.select(F.col(text_col).alias("text"))
+    from .bpe import materialized_training_corpus
+
+    # One materialization serves the seed pass + every EM round
+    # (round 15; see materialized_training_corpus for the rationale).
+    texts = materialized_training_corpus(
+        df.select(F.col(text_col).alias("text"))
+    )
     counts = seed_vocab(
-        df, text_col, max_piece_len=max_piece_len,
+        texts, "text", max_piece_len=max_piece_len,
         seed_size=seed_size, min_count=min_count,
     )
 
