@@ -73,14 +73,26 @@ def lloyd_assign(vec: Column, centroids: list[list[float]]) -> Column:
     of every lloyd_assign caller at bench scale). Struct ordering is
     (d, id) lexicographic, so ties break to the lower id exactly like
     the strict-< chain; an all-NULL distance row (NULL vec) compares
-    by id and returns 0, the chain's behavior too."""
+    by id and returns 0, the chain's behavior too.
+
+    The coalesce is a NO-OP by construction (the struct array is a
+    non-empty literal-length array of non-null structs whose id field
+    is a literal int, so array_min(...).c is never null) — it exists to
+    teach Catalyst that non-nullability (round 15): a join/filter on
+    the assigned cell pushes an isnotnull(<this expression>) predicate
+    below the consumer's exchange, where it re-evaluated the ENTIRE
+    k x dim interpreted distance fold once more per row (measured in
+    ann_ivfpq_residual_topk's plan: the full array_min tree duplicated
+    into a pre-exchange Filter). With the provably-non-null coalesce,
+    NullPropagation folds that isnotnull to true and the fold runs
+    once."""
     pairs = F.array(
         *[
             F.struct(_sq_dist(vec, cent).alias("d"), F.lit(j).alias("c"))
             for j, cent in enumerate(centroids)
         ]
     )
-    return F.array_min(pairs).getField("c")
+    return F.coalesce(F.array_min(pairs).getField("c"), F.lit(0))
 
 
 def lloyd_step_quantized(

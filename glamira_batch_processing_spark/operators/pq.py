@@ -298,6 +298,7 @@ def ivfpq_adc_topk(
     query_pred: Column | None = None,
     k: int = 5,
     exclude_self: bool = True,
+    fan_out_partitions: int | None = None,
 ) -> DataFrame:
     """IVF + PQ with RESIDUAL encoding (Jegou et al. 2011 §IV — the
     composition FAISS calls IVFADC): assign every vector to its
@@ -340,7 +341,22 @@ def ivfpq_adc_topk(
         F.col(id_col),
         F.col(vec_col).alias("vec"),
         lloyd_assign(F.col(vec_col), coarse_centroids).alias("cell"),
-    ).withColumn("ccent", F.element_at(coarse_arr, F.col("cell") + 1))
+    )
+    if (
+        fan_out_partitions
+        and base.rdd.getNumPartitions() < fan_out_partitions
+    ):
+        # Fan out AFTER the cell projection, not before it (round 15):
+        # when the caller repartitioned the raw scan instead, the ADC
+        # join's pushed-down isnotnull(cell) landed BELOW that exchange
+        # while the projection stayed above it, so the 8x64-dim coarse
+        # argmin fold (CodegenFallback zip_with — interpreted) ran
+        # TWICE per corpus row. With the projection below the exchange
+        # the pushed filter is a cheap column test and the fold runs
+        # once. No-op when the scan is already at least this parallel
+        # (production multi-row-group files).
+        base = base.repartition(fan_out_partitions, F.col(id_col))
+    base = base.withColumn("ccent", F.element_at(coarse_arr, F.col("cell") + 1))
 
     cents = pq_centroids_df(spark, codebooks)
 

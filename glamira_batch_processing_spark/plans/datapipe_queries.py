@@ -1508,13 +1508,14 @@ def ann_ivfpq_residual_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     and ADC ranking in SQL so every stage is cross-engine
     bit-identical.
 
-    The single-file local scan repartitions before the 128-centroid
-    residual projection (ann_pq_adc_topk precedent)."""
+    The single-file local scan fans out before the 128-centroid
+    residual projection — INSIDE the operator, after the coarse-cell
+    projection, so the exchange-pushed isnotnull(cell) filter tests a
+    column instead of re-running the coarse argmin fold below the
+    exchange (round 15; see ivfpq_adc_topk)."""
     from ..operators.pq import ivfpq_adc_topk
 
-    e = table(spark, sf_dir, "embeddings").repartition(
-        spark.sparkContext.defaultParallelism, F.col("vec_id")
-    )
+    e = table(spark, sf_dir, "embeddings")
     return ivfpq_adc_topk(
         e,
         _KMEANS_CENTS,
@@ -1522,6 +1523,7 @@ def ann_ivfpq_residual_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         id_col="vec_id",
         query_pred=F.col("vec_id") % 100 == 0,
         k=5,
+        fan_out_partitions=spark.sparkContext.defaultParallelism,
     )
 
 
