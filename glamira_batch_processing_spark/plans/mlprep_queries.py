@@ -128,7 +128,13 @@ def pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
     the whole operator is a regexp chain fused into the scan projection
     (one stage, no shuffle, no UDF)."""
     # fan_out (round 14): six regex passes per row, fused into a
-    # single-task scan projection — spread the narrow input first.
+    # single-task scan projection — spread the input first. NOTE
+    # (ADVICE r14): unlike the other fan_out sites, this exchange
+    # carries the raw document text BY DESIGN — _pii_text concatenates
+    # the original text with the synthetic PII suffix, so the payload
+    # must cross with its key (re-joining text after the exchange
+    # would be a second full shuffle). The fan_out no-op guard still
+    # makes this zero-exchange on an already-parallel production scan.
     d = table(spark, sf_dir, "documents").select("doc_id", "text")
     d = fan_out(d, "doc_id").select(
         "doc_id", _pii_text(F.col("doc_id")).alias("text")

@@ -138,6 +138,22 @@ def fan_out(df: DataFrame, *keys: str) -> DataFrame:
     no-op — the repartition is derived from input shape, not a local
     constant. The exchange it may add carries only the projected
     columns (e.g. one 8-byte key), per guide §8.
+
+    Two deliberate choices (ADVICE r14, round-15 disposition):
+    - The partition COUNT is pinned (``repartition(n, keys)``), not
+      left to AQE: fan-out exists precisely because the downstream
+      per-row work is heavy while the DATA is small, and AQE's
+      coalescing (advisory partition size >= 64 MB) would merge the
+      deliberately-small partitions straight back to one, undoing the
+      fan-out. Pinning is the point, not an oversight.
+    - The ``df.rdd.getNumPartitions()`` probe compiles a physical plan
+      per call site at query-build time (driver-side, milliseconds
+      here) and is unsupported under Spark Connect; this engine
+      targets classic Spark and builds each query once per run, so the
+      probe's cost is immaterial and the committed plan artifacts are
+      generated on this environment's parallelism (plans ARE
+      environment-dependent by design — the guard makes the exchange
+      vanish on parallel scans).
     """
     sc = df.sparkSession.sparkContext
     n = sc.defaultParallelism

@@ -442,6 +442,46 @@ def test_budget_select_randomized_vs_naive(spark):
         ), budget
 
 
+def test_shard_balance_two_phase_rank_equals_naive_global_window(spark):
+    """ADVICE r14: the scale-safe two-phase rank (histogram offsets +
+    per-token-count partitioned window) must equal the naive
+    unpartitioned row_number over (n_tokens DESC, doc_id) — on a frame
+    with HEAVY token-count ties, where an offset or tie-break bug would
+    shuffle docs between shards."""
+    from pyspark.sql import Window
+
+    from glamira_batch_processing_spark.plans.mlprep_queries import (
+        ranked_round_robin_shards,
+    )
+
+    # 60 docs over only 4 distinct token counts (15-way ties), ids
+    # deliberately interleaved so rank order != id order.
+    rows = [((i * 7) % 60 + 100, (i % 4 + 1) * 10) for i in range(60)]
+    t = spark.createDataFrame(rows, "doc_id long, n_tokens long")
+    n_shards = 8
+    naive_rank = F.row_number().over(
+        Window.orderBy(F.desc("n_tokens"), "doc_id")
+    )
+    naive = (
+        t.withColumn("shard", ((naive_rank - 1) % n_shards).cast("long"))
+        .groupBy("shard")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("n_tokens").cast("long").alias("shard_tokens"),
+            F.max("n_tokens").cast("long").alias("max_doc_tokens"),
+        )
+    )
+    got = {
+        r.shard: (r.n_docs, r.shard_tokens, r.max_doc_tokens)
+        for r in ranked_round_robin_shards(t, n_shards).collect()
+    }
+    want = {
+        r.shard: (r.n_docs, r.shard_tokens, r.max_doc_tokens)
+        for r in naive.collect()
+    }
+    assert got == want
+
+
 def test_shard_balance_imbalance_bounded_by_one_doc(spark):
     """Longest-first round-robin dealing: max(shard_tokens) -
     min(shard_tokens) <= the largest document's token count, at every
