@@ -26,6 +26,14 @@ back-to-back reps, with the sample standard deviation reported in
 ``stddev`` — the round-5 driver artifact carried contention noise the
 single-shot timing could not distinguish from regression (VERDICT r5
 ask #2); error bars make the artifact self-diagnosing.
+
+SCALING-PAIR PROCEDURE (VERDICT r14 #4/#7): when measuring the core
+scaling ratio, run the low-core pass (``SPARK_GRAFT_CPUS=8``)
+IMMEDIATELY after the full-core pass — this box's co-tenant load
+swings by >3x within minutes, and the round-14 pair (c8 at loadavg
+3.05 vs c32 at 6.6) made half the per-query ratios read <=1 on
+fixed-overhead queries. Compare the two runs' ``loadavg_1m``/``cpus``
+fields (both recorded since round 15) before interpreting ratios.
 Run: python bench.py
 """
 
